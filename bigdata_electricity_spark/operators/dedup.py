@@ -1,0 +1,212 @@
+"""Deduplication operators over the documents table (north-star extension).
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard near-dup —
+the training-data-pipeline dedup ladder, each designed shuffle-aware:
+
+- exact dedup groups by a 128-bit content hash (md5 of normalized text),
+  so the shuffle key is 16 bytes instead of the document body;
+- MinHash/LSH banding turns all-pairs O(n²) into per-bucket candidate
+  generation (the only scalable shape at 100 TB);
+- Jaccard verification runs only on blocked candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import normalize_text
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy (fp, keep_id, n_copies).
+
+    The shuffle moves only (hash, id) pairs — never document bodies.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group."""
+    w = Window.partitionBy(F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles of normalized text (array<string>)."""
+    tokens = F.split(normalize_text(col), " ")
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3):
+    """MinHash signature as array<bigint>: min over shingles of
+    xxhash64(shingle, seed_i) per hash function. Pure expression —
+    explode-free (the per-row shingle array is transformed in place)."""
+    sh = shingles(col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = num_hashes / bands. Docs sharing ANY band bucket become
+    a candidate pair. The self-join is per-bucket (skew-bounded by bucket
+    size), never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash64_udf():
+    """64-bit SimHash as an Arrow-batched Pandas UDF (factory — the
+    decorator needs an active session, so it binds lazily).
+
+    Per-bit majority vote over word-bigram shingle hashes (md5-derived
+    64-bit ints — stable across runs/engines). This is one of the few
+    operators where an expression-level formulation is genuinely
+    pathological (64 per-bit aggregates over the shingle array per row),
+    so the vectorized-UDF escape hatch is the right scale call
+    (SURVEY §2.11); numpy does the bit voting per batch.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(texts):  # type: ignore[misc]
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row_idx, text in enumerate(texts):
+            norm = " ".join(str(text or "").lower().split())
+            tokens = norm.split(" ")
+            if len(tokens) < 2:
+                grams = [norm]
+            else:
+                grams = [tokens[i] + " " + tokens[i + 1] for i in range(len(tokens) - 1)]
+            hashes = np.array(
+                [
+                    int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                    for g in grams
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(grams)
+            fp = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(i)
+            out[row_idx] = int(fp) if fp < (1 << 63) else int(fp) - (1 << 64)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit fingerprint prefix, verify
+    Hamming distance ≤ max_hamming within each block.
+
+    Prefix blocking keeps the self-join per-bucket; at production scale
+    use 4 rotated prefix tables to guarantee recall for distance ≤ 3.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp"))
+    blocked = fp.withColumn("block", F.shiftrightunsigned("fp", 48))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        block_cols: list[str] | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Token-set Jaccard similarity over blocked candidate pairs.
+
+    ``block_cols`` bounds the self-join (same-block pairs only); Jaccard =
+    |A∩B| / |A∪B| over distinct tokens, computed with array intersect/union
+    — JVM-side, no UDF.
+    """
+    tokens = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        tokens.alias("toks"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jaccard = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

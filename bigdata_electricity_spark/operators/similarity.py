@@ -1,0 +1,97 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Brute-force cosine top-k as the exact baseline, plus a bucketed
+(IVF-style) variant as the scale path: restrict candidate generation to a
+coarse partition (here the ``label`` column stands in for a centroid
+assignment) so the pairwise work is per-bucket, never all-pairs.
+
+Vector math uses higher-order functions (functions/vectors.py) — JVM-side
+double accumulation, no Arrow boundary on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k nearest neighbours of one query vector by cosine.
+
+    Broadcast the single query row against the full table (a map-side
+    scan: no shuffle except the final k-row TakeOrdered merge). Ties break
+    on id for determinism.
+    """
+    query = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__query_vec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__query_vec")).alias("cosine_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def bucketed_nearest_neighbor(embeddings: DataFrame,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              bucket_col: str = "label") -> DataFrame:
+    """IVF-style ANN: nearest neighbour within the same coarse bucket.
+
+    The self-join keys on the bucket, so candidate pairs are |bucket|²
+    per bucket instead of n² global — the shape that survives 100 TB
+    (bucket assignment would come from a trained coarse quantizer; the
+    testdata ``label`` plays that role).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("vec")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("cand"),
+        cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cand"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cand").alias("nn_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def pairwise_near_dups(embeddings: DataFrame, threshold: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       bucket_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``, blocked
+    by the coarse bucket (the embedding-space analogue of MinHash-LSH
+    candidate verification)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("vec")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,155 @@
+"""General OLAP analytics: TPC-H Q1 shape, pivot, cube, set operations.
+
+Extensions beyond the reference surface (it has no joins/set-ops/pivot —
+SURVEY §2.7), establishing the engine as a general analytics layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.loaders import load_table
+from ..functions.rounding import dround, hround
+from .registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan→filter→agg benchmark.
+
+    Predicate pushes to the parquet scan; 8 aggregates compute in one
+    partial+final hash-aggregate pass over ~6 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            hround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            hround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            hround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "pivot_event_type_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           COUNT(*) AS total
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def pivot_event_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day × event_type count matrix.
+
+    The pivot values are pinned explicitly — with an unpinned pivot Spark
+    runs an extra distinct job to discover them (and the column set
+    becomes data-dependent, which would break schema stability).
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    pivoted = (
+        events.groupBy(day)
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    total = sum((F.col(c) for c in EVENT_TYPES[1:]), F.col(EVENT_TYPES[0]))
+    return pivoted.withColumn("total", total.cast("long")).orderBy("day")
+
+
+@query(
+    "cube_lineitem_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (returnflag, linestatus) — all 2^2 grouping sets in
+    one pass via Expand. Grouped-out keys surfaced as 'ALL' so the result
+    is null-free and hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    ORDER BY op
+    """,
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union/intersect/except) between two customer
+    cohorts — absent from the reference (SURVEY §2.7), table stakes for an
+    engine. Each op is a hash-based set operation, not a sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", building.union(rich).distinct())
+        .union(one("intersect", building.intersect(rich)))
+        .union(one("except", building.exceptAll(rich).distinct()))
+        .orderBy("op")
+    )

@@ -1,0 +1,113 @@
+"""Deduplication queries over documents (north-star extension).
+
+Exact and Jaccard dedup are oracle-checked; MinHash-LSH and SimHash are
+engine-specific signatures → rows-only checks (the driver records the
+weaker check; the pair-generation semantics are unit-tested instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from ..sources.loaders import load_table
+from ..functions.rounding import dround, hround
+from .registry import query
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content-hash groupBy with lowest-id
+    representative. Shuffle key is the 16-byte hash, not the body."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).orderBy("keep_id")
+
+
+@query(
+    "dedup_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique
+    FROM documents
+    """,
+)
+def dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup rate: total vs content-distinct documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import fingerprint
+
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.t, b.t)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs, blocked by source.
+
+    Blocking bounds the self-join to same-source pairs — the all-pairs
+    O(n²) never materializes (SURVEY north-star: candidate generation must
+    be blocked/bucketed at scale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_cols=["source"], threshold=0.6).orderBy(
+        "id_a", "id_b"
+    ).select("id_a", "id_b", hround("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # rows-only: signatures are engine-specific (xxhash64 seeds)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 32 hashes, 8 bands × 4 rows.
+
+    shingle→minhash→band→bucket-join — the scalable near-dup shape. The
+    xxhash64-seeded signature is deterministic within Spark but not
+    reproducible in DuckDB → rows-only check; Jaccard recall is
+    unit-tested on synthetic near-dups instead (tests/test_dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # rows-only: bit-level fingerprint, engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 within 16-bit prefix blocks).
+
+    Fingerprints via an Arrow-batched Pandas UDF (bit-majority voting is
+    the rare genuinely-non-expressible op); blocking keeps the verify
+    join per-bucket.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs).orderBy("id_a", "id_b")

@@ -1,0 +1,193 @@
+"""Star-schema join queries (new-engine extension — SURVEY §2.3).
+
+The reference implements zero joins; these are required by the driver's
+TPC-H-ish testdata and the north-star. Join-strategy discipline for the
+100 TB tier:
+- dimensions (region 5, nation 25, supplier, customer, part) are
+  broadcast explicitly — no shuffle for the fact table;
+- the one genuinely large⋈large join (lineitem⋈orders) shuffles on the
+  join key, with AQE skew-splitting enabled in the session confs;
+- aggregations sit ABOVE the join but Catalyst pushes projections/filters
+  below it — verified via .explain in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.loaders import load_table
+from ..functions.rounding import dround, hround
+from .registry import query
+
+
+@query(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: fact⋈fact shuffle + broadcast dims, then rollup.
+
+    lineitem⋈orders shuffles on the order key (both large); customer and
+    nation broadcast. TPC-H Q5-like shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "join_part_brand_volume",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           floor((SUM(l.l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty,
+           floor((AVG(l.l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def join_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with broadcast: shipped volume per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            hround(F.sum("l_quantity"), 2).alias("total_qty"),
+            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "join_region_rollup",
+    oracle="""
+    SELECT r.r_name AS region,
+           floor((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_sales,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake rollup through two broadcast dimension hops + distinct agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            hround(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed at least one order,
+    by segment. Semi joins never duplicate or widen rows — the scalable
+    EXISTS shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders, by nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("nation")
+    )
+
+
+@query(
+    "join_supplier_nation",
+    oracle="""
+    SELECT s.s_name AS supplier, n.n_name AS nation,
+           floor((s.s_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY supplier
+    """,
+)
+def join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension⋈dimension broadcast join (supplier enrichment)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            hround("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("supplier")
+    )

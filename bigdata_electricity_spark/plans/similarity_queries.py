@@ -1,0 +1,82 @@
+"""Similarity-search queries over embeddings (north-star extension).
+
+The oracle computes cosine with explicit double math over list_zip so the
+accumulation order matches Spark's sequential higher-order fold — results
+agree to well below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
+from ..sources.loaders import load_table
+from .registry import query
+
+# DuckDB cosine between two FLOAT[] lists with double accumulation.
+_DUCK_COS = """
+list_sum(list_transform(list_zip({a}, {b}),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           floor(({_DUCK_COS.format(a='embedding', b='qv')}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY {_DUCK_COS.format(a='embedding', b='qv')} DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vector vec_id=0.
+
+    Exact ANN baseline: broadcast 1 query row, map-side score, TakeOrdered
+    top-k — no shuffle of the embedding table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+@query(
+    "sim_bucketed_nn",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id,
+           arg_max(b.vec_id, {_DUCK_COS.format(a='a.embedding', b='b.embedding')}) AS nn_id,
+           floor((MAX({_DUCK_COS.format(a='a.embedding', b='b.embedding')})) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id
+    ORDER BY vec_id
+    """,
+)
+def sim_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest neighbour within the same coarse bucket
+    (label ≈ centroid assignment). Per-bucket self-join — the scale path
+    vs. brute force's all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_nearest_neighbor(emb).orderBy("vec_id")
+
+
+@query(
+    "sim_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(({_DUCK_COS.format(a='a.embedding', b='b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.3 — the synthetic embeddings are near-orthogonal, max within-bucket cosine ≈0.47, so the demo threshold sits in the observable range) within buckets — the
+    embedding-space dedup verifier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pairwise_near_dups(emb, threshold=0.3)

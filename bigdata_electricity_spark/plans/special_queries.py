@@ -1,0 +1,79 @@
+"""Non-SQL-expressible queries: sampling, ML metrics, streaming, multimodal.
+
+These are registered WITHOUT oracle SQL (rows-only driver checks —
+SURVEY §5.2): seeded sampling and ML metrics are engine-specific floats,
+streaming runs through a stateful runtime, and the multimodal decode goes
+through mapInPandas. Their semantics are covered by unit tests instead.
+One exception: the multimodal metadata math is deterministic arithmetic,
+so it DOES get an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ml.regression import run_regression_pipeline
+from ..operators.multimodal import attach_binary_payload, decode_media
+from ..sources.loaders import load_table
+from .registry import query
+
+
+@query("sample_events")  # rows-only: Bernoulli sampling is engine-specific (R1)
+def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — seeded 50% Bernoulli sample (reduction.scala:27-29), reduced to
+    a count + aggregate so the smoke check is cheap and stable per seed."""
+    from ..operators.reduction import sample_rows
+
+    events = load_table(spark, sf_dir, "events")
+    return sample_rows(events, 0.5, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query("ml_linear_regression")  # rows-only: solver floats (M1-M6)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 — assemble→scale→LR vs mean baseline on lineitem
+    (label l_extendedprice ~ quantity/discount/tax)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return run_regression_pipeline(
+        li, label_col="l_extendedprice", feature_cols=["l_quantity", "l_discount", "l_tax"]
+    )
+
+
+@query("streaming_tumbling_counts")  # rows-only: streaming runtime
+def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts (readStream → memory
+    sink); batch parity asserted in tests/test_streaming.py."""
+    from ..streaming.event_windows import streaming_tumbling_counts
+
+    return streaming_tumbling_counts(spark, sf_dir)
+
+
+@query("streaming_session_window")  # rows-only: streaming runtime + watermark
+def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window stateful aggregation with watermark."""
+    from ..streaming.event_windows import streaming_session_window
+
+    return streaming_session_window(spark, sf_dir)
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+           md5(text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas decode stub
+    → typed metadata. The decode math is deterministic, so the Arrow
+    round-trip is fully oracle-checked even though the operator runs in
+    Python (the real image decode is stubbed — operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary_payload(docs)).orderBy("doc_id")

@@ -1,0 +1,174 @@
+"""Time-window analytics over the events table (extension — SURVEY §2.10).
+
+Batch equivalents of the streaming operators (tumbling/sliding windows,
+sessionization) expressed with F.window / window functions so DuckDB can
+oracle-check them; the true Structured Streaming variants live in
+``streaming/`` and are rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.loaders import load_table
+from ..functions.rounding import dround, hround
+from .registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "events_tumbling_10min",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation via F.window.
+
+    The batch shape of the streaming rollup; hash aggregate on the bucket
+    — scales like any groupBy (no ordering requirement).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             hround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_sliding_10min_5min",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' AS ws, value FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM assigned
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in two
+    overlapping windows. Spark expands rows internally exactly like the
+    oracle's UNION ALL of shifted buckets."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             hround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-inactivity session boundaries per user.
+
+    Classic gap-and-island: lag → boundary flag → running sum as session
+    id → per-session rollup. Window partitioned by user_id — fully
+    parallel, no global order (the streaming twin uses session_window).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_sec"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+           floor((AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON props column
+    and aggregate per event type (get_json_object stays JVM-side)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            hround(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

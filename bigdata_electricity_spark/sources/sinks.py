@@ -1,0 +1,50 @@
+"""Sinks. The only custom plumbing the reference has: a single-file CSV export.
+
+The reference triplicates this utility (Cleaning.scala:155-178,
+Transformation.scala:92-115, reduction.scala:52-76): coalesce(1) → write
+CSV into a temp dir → rename the part file → delete the temp dir. One
+shared implementation here (SURVEY §4.3.5).
+
+``coalesce(1)`` lives ONLY inside this explicit export operator — never on
+a compute path (it would serialize the whole plan through one task at
+scale). For big outputs use :func:`write_parquet` which keeps
+parallelism and is the engine's interchange format (SURVEY §4.3.4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def save_single_csv(df: DataFrame, out_path: str, header: bool = True) -> str:
+    """S6 — export a (small) DataFrame as exactly one CSV file at ``out_path``.
+
+    Mirrors reference Cleaning.scala:155-178 semantics: overwrite, header,
+    single part file renamed to the target name. Uses local-FS rename
+    (the reference drives Hadoop FS via the JVM; for local/posix paths
+    shutil is equivalent and avoids py4j round-trips).
+    """
+    tmp_dir = out_path + "__tmp"
+    (df.coalesce(1).write.option("header", str(header).lower())
+       .mode("overwrite").csv(tmp_dir))
+    part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))
+    if not part:  # e.g. compressed part files
+        part = [p for p in glob.glob(os.path.join(tmp_dir, "part-*")) if not p.endswith(".crc")]
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    shutil.move(part[0], out_path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_path
+
+
+def write_parquet(df: DataFrame, out_dir: str, partition_by: list[str] | None = None) -> str:
+    """Parquet sink — the engine's default intermediate/interchange format."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+    return out_dir

@@ -1,0 +1,103 @@
+"""Structured Streaming variants of the event-window analytics (SURVEY §2.10).
+
+The events parquet drives a real ``readStream`` → windowed aggregation →
+memory sink, run to completion synchronously (processAllAvailable) so the
+result is a DataFrame the driver can count. Batch/stream parity is
+asserted in tests: the tumbling stream must equal the batch
+``events_tumbling_10min`` query.
+
+Scale notes: in production the source is Kafka/files-on-arrival; the
+watermark bounds state, and the memory sink becomes a real sink. The
+query shapes (window agg, session_window, watermark) are identical.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_COUNTER = itertools.count()
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the static events parquet (schema pinned from a
+    static peek; ts arrives as epoch-nanos long under nanosAsLong)."""
+    from ..sources.loaders import load_table  # late import to avoid cycle
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        # Plain TIMESTAMP (not NTZ): watermarks require TIMESTAMP event
+        # time; session tz is pinned UTC so wall-clock output matches.
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    return stream
+
+
+def _run_to_completion(result, name: str, mode: str = "complete") -> None:
+    query = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windowed aggregation as a streaming query.
+
+    Must produce exactly the batch events_tumbling_10min result —
+    asserted in tests/test_streaming.py.
+    """
+    name = f"stream_tumbling_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_completion(agg, name)
+    return spark.table(name).orderBy("window_start")
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) with a 10-minute watermark.
+
+    Uses the native ``session_window`` stateful operator — the streaming
+    twin of the batch gap-and-island sessionization.
+    """
+    name = f"stream_session_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    # Session windows don't support complete mode; append emits every
+    # session the watermark has closed (all but the trailing 10 minutes
+    # of the static input).
+    _run_to_completion(agg, name, mode="append")
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -1,0 +1,70 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver runs this per-round and
+records BENCH_r{N}.json; target is ≤2× the driver BASELINE (BASELINE.md).
+
+Headline set spans the engine's plan shapes: full-table agg, star join,
+window rank, event-time windows, sessionization, text analysis, exact
+dedup, and embedding top-k — the queries whose physical plans matter most
+at 100 TB (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_electricity_spark.plans import REGISTRY  # noqa: E402
+from bigdata_electricity_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",   # wide scan + 8-agg groupBy
+    "join_revenue_by_nation",    # 4-way star join (broadcast dims)
+    "join_region_rollup",        # 6-way join rollup
+    "q5_top_month_per_year",     # groupBy + partitioned window rank
+    "events_tumbling_10min",     # event-time tumbling window agg
+    "events_sessionization",     # gap-based session windows (lag + cumsum)
+    "rdd_top5_days",             # agg + global top-k (TakeOrderedAndProject)
+    "text_stats",                # documents: tokenize/length profile
+    "dedup_exact_groups",        # hash-groupBy duplicate detection
+    "sim_topk_bruteforce",       # embedding cosine top-k (higher-order fns)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    # Warm the JVM/session on the smallest table so per-query timings
+    # measure the plan, not session spin-up.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

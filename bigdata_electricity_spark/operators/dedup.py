@@ -51,13 +51,19 @@ def shingles(col, n: int = 3):
 def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3):
     """MinHash signature as array<bigint>: min over shingles of
     xxhash64(shingle, seed_i) per hash function. Pure expression —
-    explode-free (the per-row shingle array is transformed in place)."""
+    explode-free (the per-row shingle array is transformed in place).
+
+    The per-hash seed must be bound via a closure factory: a two-arg
+    lambda to F.transform would receive the ARRAY INDEX as its second
+    argument, silently shadowing the seed.
+    """
     sh = shingles(col, shingle_n)
+
+    def hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(num_hashes)]
     )
 
 
@@ -158,23 +164,38 @@ def simhash64_udf():
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit fingerprint prefix, verify
-    Hamming distance ≤ max_hamming within each block.
+    """SimHash near-dup pairs: block on each of the four 16-bit fingerprint
+    quarters (the standard rotated-table scheme), verify Hamming distance
+    within blocks.
 
-    Prefix blocking keeps the self-join per-bucket; at production scale
-    use 4 rotated prefix tables to guarantee recall for distance ≤ 3.
+    Two fingerprints at distance d ≤ 3 agree on ≥1 of 4 quarters by
+    pigeonhole — guaranteed recall there, high recall for moderate d. Each
+    join is per-(quarter, value) bucket, so candidate generation stays
+    O(bucket²) instead of O(n²); pairs colliding in several quarters are
+    deduplicated before the Hamming verify.
     """
     fp = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp"))
-    blocked = fp.withColumn("block", F.shiftrightunsigned("fp", 48))
+    blocked = fp.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned("fp", 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("block"),
+            )
+            for q in range(4)
+        ])).alias("qb"),
+    ).select("id", "fp", "qb.q", "qb.block")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -65,6 +65,7 @@ def get_spark(app_name: str = "bigdata_electricity_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

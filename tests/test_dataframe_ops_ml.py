@@ -1,0 +1,72 @@
+"""DataFrame re-expressions of the reference RDD module + the ML pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_electricity_spark.ml.regression import coefficient_report, run_regression_pipeline
+from bigdata_electricity_spark.operators import dataframe_ops as O
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 4.0), ("c", 4.5)]
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_threshold_filter_and_count(kv):
+    out = O.threshold_filter(kv, "v", 3.0)
+    assert O.count_rows(out) == 3
+
+
+def test_totals_by_key(kv):
+    got = {r["k"]: r["total"] for r in
+           O.totals_by_key(kv, F.col("k"), "v", key_name="k").collect()}
+    assert got == {"a": 3.0, "b": 10.0, "c": 8.5}
+
+
+def test_argmax(kv):
+    totals = O.totals_by_key(kv, F.col("k"), "v", key_name="k")
+    top = O.argmax(totals, "k", "total").first()
+    assert top["k"] == "b" and top["total"] == 10.0
+
+
+def test_top_k(kv):
+    got = [r["v"] for r in O.top_k(kv, "v", 2).collect()]
+    assert got == [10.0, 4.5]
+
+
+def test_categorize_buckets(spark):
+    df = spark.createDataFrame([(0.5,), (2.0,), (10.0,)], ["v"])
+    buckets = [(1.0, "low"), (5.0, "mid")]
+    got = [r["category"] for r in
+           O.categorize(df, "v", buckets, "high").orderBy("v").collect()]
+    assert got == ["low", "mid", "high"]
+
+
+def test_category_counts(spark):
+    df = spark.createDataFrame([(0.5,), (0.7,), (2.0,)], ["v"])
+    got = {r["category"]: r["count"] for r in
+           O.category_counts(df, "v", [(1.0, "low")], "high").collect()}
+    assert got == {"low": 2, "high": 1}
+
+
+def test_regression_on_linear_target(spark):
+    # y = 3x + 2 exactly → LR must fit ~perfectly and crush the mean baseline.
+    df = spark.createDataFrame(
+        [(float(i), 3.0 * i + 2.0) for i in range(200)], ["x", "y"]
+    )
+    metrics = {r["metric"]: r for r in run_regression_pipeline(df, "y", ["x"]).collect()}
+    assert metrics["r2"]["model"] == pytest.approx(1.0, abs=1e-6)
+    assert metrics["rmse"]["model"] < 1e-3
+    assert metrics["rmse"]["baseline"] > 100
+    assert metrics["r2"]["baseline"] <= 0.01
+
+
+def test_coefficient_report_recovers_slope(spark):
+    df = spark.createDataFrame(
+        [(float(i), 3.0 * i + 2.0) for i in range(100)], ["x", "y"]
+    )
+    coefs = dict(coefficient_report(df, "y", ["x"]))
+    assert coefs["x"] == pytest.approx(3.0, abs=1e-6)

@@ -1,0 +1,94 @@
+"""Dedup ladder + embedding similarity on planted duplicates/vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigdata_electricity_spark.operators import dedup as D
+from bigdata_electricity_spark.operators import similarity as S
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, BASE, "web"),
+        (2, BASE, "web"),                                    # exact dup of 1
+        (3, "The  Quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight", "web"),    # normalization dup
+        (4, BASE.replace("tonight", "today"), "web"),        # near-dup of 1
+        (5, "completely different text about electricity meters and spark",
+            "web"),
+        (6, "unrelated short doc", "news"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in D.exact_dup_groups(dup_docs).collect()}
+    assert groups[1] == 3          # 1, 2, and case/space-normalized 3
+    assert groups[4] == 1
+
+
+def test_dedup_exact_keeps_lowest_id(dup_docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(dup_docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_lsh_finds_near_dup(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(dup_docs).collect()}
+    assert (1, 2) in pairs         # identical docs always collide
+    assert (1, 4) in pairs         # 1-word-out-of-18 near-dup shares bands
+    assert (1, 6) not in pairs and (5, 6) not in pairs
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_dups(dup_docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0      # identical → identical fingerprint
+    assert (1, 4) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(dup_docs, block_cols=["source"],
+                                            threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 4)] == pytest.approx(16 / 18, abs=0.01)
+    assert all(b != 6 for (_, b) in pairs)  # blocked by source
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.1], 0),        # nearly parallel to 1
+        (3, [0.0, 1.0], 0),        # orthogonal to 1
+        (4, [-1.0, 0.0], 1),       # different bucket
+        (5, [-1.0, -0.1], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vectors):
+    got = S.brute_force_topk(vectors, query_vec_id=1, k=2).collect()
+    assert [r["vec_id"] for r in got] == [2, 3]
+    assert got[0]["cosine"] == pytest.approx(1 / math.sqrt(1.01), abs=1e-4)
+    assert got[1]["cosine"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bucketed_nn(vectors):
+    nn = {r["vec_id"]: r["nn_id"] for r in S.bucketed_nearest_neighbor(vectors).collect()}
+    assert nn[1] == 2
+    assert nn[4] == 5              # never crosses buckets
+    assert nn[2] == 1
+
+
+def test_pairwise_near_dups_threshold(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in S.pairwise_near_dups(vectors, 0.9).collect()}
+    assert pairs == {(1, 2), (4, 5)}

@@ -1,0 +1,65 @@
+"""Loaders (parquet testdata, household CSV) and the single-file CSV sink."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from bigdata_electricity_spark.sources.loaders import (
+    TESTDATA_TABLES,
+    load_household_raw,
+    load_table,
+    register_views,
+)
+from bigdata_electricity_spark.sources.sinks import save_single_csv, write_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_load_all_testdata_tables(spark):
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, SF_DIR, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+
+
+def test_register_views_sql(spark):
+    register_views(spark, SF_DIR)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n > 0
+
+
+def test_household_raw_loader(spark, tmp_path):
+    p = tmp_path / "power.csv"
+    p.write_text(
+        "Date;Time;Global_active_power;Global_reactive_power;Voltage;"
+        "Global_intensity;Sub_metering_1;Sub_metering_2;Sub_metering_3\n"
+        "7/3/2007;0:05:00;1.5;0.1;240.0;6.2;0.0;1.0;17.0\n"
+        "7/3/2007;0:06:00;?;?;?;?;?;?;?\n"
+    )
+    df = load_household_raw(spark, str(p))
+    assert df.count() == 2
+    assert all(t == "string" for _, t in df.dtypes)  # S1: no inferSchema
+
+
+def test_save_single_csv(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    out = str(tmp_path / "out.csv")
+    save_single_csv(df, out)
+    assert os.path.isfile(out)
+    with open(out) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["id", "s"]
+    assert sorted(rows[1:]) == [["1", "a"], ["2", "b"]]
+
+
+def test_write_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "part"])
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2

@@ -37,49 +37,66 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
-def run(sf_dir: str, names: list[str] | None = None) -> int:
-    spark = get_spark("parity")
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
+
+def compare_one(spark, con, spec, sf_dir: str) -> str | None:
+    """Run one query on Spark and its oracle on DuckDB; None = match.
+
+    Mirrors the driver's t2 compare: column names, row count, and
+    order-insensitive value equality over name-sorted columns.
+    Returns a failure description, or "rows-only (N rows)" prefixed with
+    "ok:" for oracle-less specs.
+    """
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        return f"ok:rows-only ({len(s_rows)} rows)"
+    res = con.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    sc, sr = _norm_rows(s_cols, s_rows)
+    dc, dr = _norm_rows(d_cols, d_rows)
+    if sc != dc:
+        return f"columns differ spark={sc} duck={dc}"
+    if len(sr) != len(dr):
+        return f"rowcount spark={len(sr)} duck={len(dr)}"
+    if sr != dr:
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        return f"values differ; first diffs: {diffs}"
+    return None
+
+
+def run(sf_dir: str, names: list[str] | None = None) -> int:
+    unknown = set(names or []) - set(REGISTRY)
+    if unknown:
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        return 1
+    spark = get_spark("parity")
+    con = oracle_connection(sf_dir)
     failures = 0
     for name, spec in REGISTRY.items():
         if names and name not in names:
             continue
         try:
-            sdf = spec.fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            outcome = compare_one(spark, con, spec, sf_dir)
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
+            print(f"FAIL {name}: error: {exc}")
             failures += 1
             continue
-        if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
-            continue
-        try:
-            res = con.execute(spec.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
-            failures += 1
-            continue
-        sc, sr = _norm_rows(s_cols, s_rows)
-        dc, dr = _norm_rows(d_cols, d_rows)
-        if sc != dc:
-            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
-            failures += 1
-        elif len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
-            failures += 1
-        elif sr != dr:
-            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs: {diffs}")
-            failures += 1
+        if outcome is None:
+            print(f"PASS {name}")
+        elif outcome.startswith("ok:"):
+            print(f"ok   {name}: {outcome[3:]}")
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"FAIL {name}: {outcome}")
+            failures += 1
     spark.stop()
     return failures
 

@@ -1,0 +1,252 @@
+"""Advanced relational shapes beyond the reference surface (extensions).
+
+As-of join, analytic-function zoo, statistical moments, exact
+percentiles, ROLLUP, and distributed vector aggregation — each a shape a
+production analytics engine needs, each expressed so Catalyst plans it
+scalably and DuckDB can oracle-check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "asof_join_click_to_purchase",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(CAST(p.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS purchase_ts,
+           strftime(CAST(c.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS click_ts,
+           CAST(date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent strictly
+    earlier click (attribution).
+
+    Spark has no native as-of join; the scalable composition is the
+    union-and-carry idiom: tag both sides, union, then one window
+    partitioned by the join key carries the latest click timestamp
+    forward. ONE shuffle on user_id, no range-explosion self-join —
+    the shape that survives 100 TB (vs. the naive t1.join(t2, t1.ts >
+    t2.ts) which is O(n·m) per key). Strict inequality falls out of the
+    sort order: at equal ts the purchase (is_p=1 desc first) precedes the
+    click, so the carried value can't include it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("timestamp_ntz").alias("click_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_p"), F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_p") == 1) & F.col("last_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format("last_click", _TS_FMT_SPARK).alias("click_ts"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click")).cast("bigint").alias("gap_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_function_zoo",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+           LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile,
+           floor((AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS moving_avg_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function coverage: dense_rank, lead, lag, ntile, and a
+    3-row moving-average frame, all per-customer.
+
+    Every window partitions by o_custkey → one hash shuffle, per-group
+    sorts only (no global order). Tie-broken on o_orderkey so results
+    hash-match deterministically.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price_asc = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(by_price).alias("price_rank"),
+            F.lead("o_orderkey").over(by_date).alias("next_orderkey"),
+            F.lag("o_orderkey").over(by_date).alias("prev_orderkey"),
+            F.ntile(4).over(by_price_asc).alias("price_quartile"),
+            hround(
+                F.avg("o_totalprice").over(by_date.rowsBetween(-2, Window.currentRow)), 2
+            ).alias("moving_avg_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "stats_moments_lineitem",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dround('corr(l_extendedprice, l_quantity)', 6)} AS price_qty_corr,
+           {dround('covar_samp(l_extendedprice, l_quantity)', 4)} AS price_qty_covar,
+           {dround('stddev_samp(l_extendedprice)', 4)} AS price_stddev,
+           {dround('var_samp(l_quantity)', 6)} AS qty_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (corr/covar/stddev/variance) per group —
+    single-pass partial+final aggregation (each moment is a sum of
+    products, so map-side combine applies)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            hround(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+            hround(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+            hround(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            hround(F.var_samp("l_quantity"), 6).alias("qty_variance"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dround('quantile_cont(l_extendedprice, 0.25)', 4)} AS price_p25,
+           {dround('quantile_cont(l_extendedprice, 0.5)', 4)} AS price_p50,
+           {dround('quantile_cont(l_extendedprice, 0.75)', 4)} AS price_p75,
+           {dround('quantile_cont(l_extendedprice, 0.95)', 4)} AS price_p95
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`).
+
+    Exact percentile gathers per-group values — fine for bounded group
+    cardinality; at 100 TB with huge groups switch to
+    approx_percentile (same query shape, driver records rows-only).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(pct.alias("p"))
+        .select(
+            "l_linestatus",
+            hround(F.col("p")[0], 4).alias("price_p25"),
+            hround(F.col("p")[1], 4).alias("price_p50"),
+            hround(F.col("p")[2], 4).alias("price_p75"),
+            hround(F.col("p")[3], 4).alias("price_p95"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "rollup_orders_year_priority",
+    oracle=f"""
+    SELECT COALESCE(CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {dround('SUM(o_totalprice)', 2)} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (EXTRACT(YEAR FROM o_orderdate), o_orderpriority)
+    ORDER BY order_year, priority
+    """,
+)
+def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (year → priority → grand total).
+
+    Catalyst plans rollup as a single Expand + hash aggregate — one scan,
+    one shuffle for all three grouping levels. Null grouping cells are
+    labeled 'ALL' so the hash compare is unambiguous.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("string"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), hround(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_year", "priority")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+    SELECT label,
+           pos,
+           {dround('AVG(v)', 6)} AS centroid
+    FROM (
+        SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-dim embeddings — distributed vector
+    aggregation via posexplode + (label, dim) hash aggregate.
+
+    The explode multiplies rows ×64 but each is 16 bytes; the aggregate
+    is partial+final so the shuffle carries one (label, pos, sum, count)
+    per partition — the canonical way to average vectors at scale without
+    collecting them (a pandas UDF here would move whole vectors).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .withColumn("pos", F.col("pos0") + 1)  # 1-based like generate_subscripts
+        .groupBy("label", "pos")
+        .agg(hround(F.avg("v"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )

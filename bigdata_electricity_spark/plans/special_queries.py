@@ -58,6 +58,16 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     return streaming_session_window(spark, sf_dir)
 
 
+@query("streaming_stateful_user_stats")  # rows-only: custom state runtime
+def streaming_stateful_user_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count/total/max. Batch equivalence asserted in
+    tests/test_streaming_multimodal.py."""
+    from ..streaming.event_windows import streaming_user_running_stats
+
+    return streaming_user_running_stats(spark, sf_dir)
+
+
 @query(
     "multimodal_decode_meta",
     oracle="""

@@ -76,6 +76,58 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start")
 
 
+def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running count / total / max-value state carried across micro-batches.
+
+    The shape SURVEY §2.10 calls 'custom stateful operators': state is an
+    explicit (count, total, max) tuple per user_id, updated from Arrow
+    batches — the escape hatch for stateful logic `groupBy().agg()`
+    can't express (e.g. conditional resets, per-key ML state). Emits the
+    running totals each batch; with the static-parquet source that is one
+    batch, so the final table equals the batch per-user aggregate
+    (asserted in tests).
+
+    Scale: state lives in the state store partitioned by user_id —
+    per-key memory is O(1), shuffle is one hash exchange per batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        count, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((count, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 2)],
+                "max_value": [round(vmax, 2)],
+            }
+        )
+
+    name = f"stream_user_stats_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    result = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_user,
+            outputStructType="user_id long, n_events long, total_value double, max_value double",
+            stateStructType="count long, total double, vmax double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_completion(result, name, mode="update")
+    return spark.table(name).orderBy("user_id")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap) with a 10-minute watermark.
 

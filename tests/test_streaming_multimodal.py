@@ -28,6 +28,33 @@ def test_streaming_session_rows(spark):
     assert {"user_id", "session_start", "n_events", "total_value"} <= set(out.columns)
 
 
+def test_streaming_stateful_matches_batch_agg(spark):
+    # One micro-batch over the static source → the final state per user
+    # must equal the plain batch per-user aggregate.
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.streaming.event_windows import streaming_user_running_stats
+
+    got = {r["user_id"]: r for r in streaming_user_running_stats(spark, SF_DIR).collect()}
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        g = got[uid]
+        assert (g["n_events"], g["total_value"], g["max_value"]) == (
+            b["n_events"], b["total_value"], b["max_value"]), uid
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "xyz")], ["doc_id", "text"]

@@ -23,7 +23,7 @@ from bigdata_electricity_spark.sources.loaders import TESTDATA_TABLES  # noqa: E
 
 def _norm_cell(v):
     if v is None:
-        return None
+        return "\x00NULL"  # sortable sentinel (tuples with None don't compare)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -16,5 +16,6 @@ from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import special_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
+from . import sql_text_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

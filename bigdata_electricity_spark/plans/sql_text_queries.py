@@ -1,0 +1,91 @@
+"""Q1-Q5 as literal Spark SQL text over temp views — the reference's API.
+
+The reference's SQL module is a temp view + ``spark.sql`` strings
+(sql/SQLOperations.scala:25,39,57,74,97,124). These are the same five
+query shapes as plans/reference_queries.py but through the SQL-text
+entry point, proving both front-ends produce identical results (each
+pair shares one DuckDB oracle; Catalyst compiles both to the same plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import register_views
+from .registry import REGISTRY, query
+
+# Deterministic half-up rounding, Spark SQL side (see functions/rounding.py).
+# The 'D' suffix forces DOUBLE literals — a bare 10000.0 is DECIMAL in
+# Spark SQL, and decimal division changes the result's scale/rendering.
+def _sround(expr: str, n: int) -> str:
+    s = repr(float(10.0 ** n))
+    return f"floor(({expr}) * {s}D + 0.5D) / {s}D"
+
+
+_SQL_TEXT: dict[str, str] = {
+    "q1_hourly_avg": f"""
+        SELECT hour(ts) AS hour_of_day,
+               {_sround('AVG(value)', 4)} AS avg_value
+        FROM events
+        GROUP BY hour(ts)
+        ORDER BY avg_value DESC
+    """,
+    "q2_global_stats": f"""
+        SELECT COUNT(DISTINCT to_date(o_orderdate)) AS distinct_days,
+               {_sround('AVG(o_totalprice)', 4)} AS avg_totalprice,
+               {_sround('VARIANCE(o_totalprice)', -2)} AS var_totalprice
+        FROM orders
+    """,
+    "q3_rank_years": f"""
+        SELECT year,
+               {_sround('avg_raw', 4)} AS avg_totalprice,
+               RANK() OVER (ORDER BY avg_raw DESC) AS price_rank
+        FROM (
+            SELECT year(o_orderdate) AS year, AVG(o_totalprice) AS avg_raw
+            FROM orders GROUP BY year(o_orderdate)
+        )
+        ORDER BY price_rank
+    """,
+    "q4_above_avg_days": f"""
+        WITH daily AS (
+            SELECT to_date(ts) AS day, SUM(value) AS total_raw
+            FROM events GROUP BY to_date(ts)
+        )
+        SELECT day, {_sround('total_raw', 2)} AS total_value
+        FROM daily
+        WHERE total_raw > (SELECT AVG(total_raw) FROM daily)
+        ORDER BY total_value DESC
+    """,
+    "q5_top_month_per_year": f"""
+        WITH monthly AS (
+            SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue_raw
+            FROM lineitem GROUP BY year(l_shipdate), month(l_shipdate)
+        ), ranked AS (
+            SELECT year, month, revenue_raw,
+                   ROW_NUMBER() OVER (PARTITION BY year ORDER BY revenue_raw DESC) AS rn
+            FROM monthly
+        )
+        SELECT year, month, {_sround('revenue_raw', 2)} AS revenue
+        FROM ranked WHERE rn = 1
+        ORDER BY year
+    """,
+}
+
+
+def _make(df_twin: str, sql_text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql_text)
+
+    run.__doc__ = (
+        f"SQL-text twin of {df_twin} (reference spark.sql API, "
+        "sql/SQLOperations.scala) — same oracle, same result hash."
+    )
+    return run
+
+
+for _name, _sql in _SQL_TEXT.items():
+    # Registered after reference_queries, so the DataFrame twin's oracle
+    # exists; sharing it asserts both front-ends agree with DuckDB.
+    query(f"{_name}_sqltext", oracle=REGISTRY[_name].oracle)(_make(_name, _sql))

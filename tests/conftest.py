@@ -43,7 +43,9 @@ def _base_rows() -> list[list[str]]:
             f"{gap_kw:.3f}",
             f"{0.1 + (i % 13) * 0.01:.3f}",
             f"{235.0 + (i % 20) * 0.5:.3f}",
-            f"{1.0 + (i % 40) * 0.2:.3f}",
+            # Intensity tracks power (I ≈ P·1000/230) as in the real UCI
+            # data — gives the ML pipeline a learnable relationship.
+            f"{gap_kw * 4.27 + (i % 5) * 0.1:.3f}",
             f"{i % 3}.000",
             f"{i % 5}.000",
             f"{i % 7}.000",

@@ -220,6 +220,37 @@ def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_lineitem",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           {dround('SUM(l_quantity)', 2)} AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (flag-only, status-only, grand total) —
+    planned as one Expand + single hash aggregate, same as cube/rollup.
+    Run through the SQL front-end (the DataFrame API gained groupingSets
+    recently; the SQL shape is the portable one)."""
+    from ..sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_items,
+               floor(SUM(l_quantity) * 100.0D + 0.5D) / 100.0D AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+    """)
+
+
+@query(
     "embedding_centroids",
     oracle=f"""
     SELECT label,

@@ -64,6 +64,22 @@ def sim_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_nearest_neighbor(emb).orderBy("vec_id")
 
 
+@query("sim_lsh_hyperplane")  # rows-only: signature buckets are seed/float-sign sensitive
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (no precomputed buckets).
+
+    The scale path when no IVF/label bucketing exists: 16-bit seeded
+    hyperplane signatures, 4-band bucket join, exact-cosine verify
+    (operators/lsh.py). Recall against the exhaustive ground truth is
+    unit-tested (tests/test_lsh.py); bucket boundaries depend on float
+    sign at ~0 so the pair set is declared rows-only for the oracle.
+    """
+    from ..operators.lsh import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, dim=64, k_bits=16, bands=4, threshold=0.3)
+
+
 @query(
     "sim_near_dup_pairs",
     oracle=f"""

@@ -162,3 +162,63 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               floor((tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: highest-scoring term per document.
+
+    The full distributed shape: explode → (doc, term) counts → document
+    frequency join → per-doc window argmax. The df side aggregates to
+    |vocab| rows (broadcastable); scores are rounded BEFORE ranking so
+    libm ln() ulp differences can't flip the per-doc argmax across
+    engines (tie-break on term).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            hround(
+                F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )

@@ -88,6 +88,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", hround("jaccard", 4).alias("jaccard"))
 
 
+def _curation_oracle() -> str:
+    from .text_queries import _duck_lang_score, _LANG_CASE
+    from ..operators.text import LANG_STOPWORDS
+
+    best = "greatest(" + ", ".join(_duck_lang_score(lang) for lang in LANG_STOPWORDS) + ")"
+    return _CURATION_ORACLE_TEMPLATE.format(best=best, lang_case=_LANG_CASE)
+
+
+_CURATION_ORACLE_TEMPLATE = """
+    WITH fps AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), keep AS (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fps
+    ), scored0 AS (
+        SELECT doc_id, source, text,
+               floor((LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+                      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 0.5) * 1000000.0 + 0.5) / 1000000.0 AS q,
+               {best} AS best
+        FROM keep WHERE rn = 1
+    ), scored AS (
+        SELECT doc_id, source, q,
+               CASE WHEN best = 0 THEN 'und' {lang_case} ELSE 'und' END AS pl
+        FROM scored0
+    )
+    SELECT source,
+           COUNT(*) AS n_curated,
+           floor((AVG(q)) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+    FROM scored
+    WHERE q >= 0.5 AND pl <> 'und'
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation flagship: exact-dedup (keep lowest id per
+    content hash) → quality filter (rounded score ≥ 0.5) → language filter
+    (lang-ID ≠ 'und') → per-source corpus stats, as ONE lazy plan.
+
+    Physical shape: one shuffle on the 16-byte fingerprint (dedup window),
+    everything else map-side projections + final per-source aggregate.
+    The quality threshold compares the ROUNDED score on both engines so
+    a ulp at exactly 0.5 can't flip membership.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import fingerprint, predict_language, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            hround(quality_score(F.col("text")), 6).alias("q"),
+            predict_language(F.col("text")).alias("pl"),
+        )
+        .filter((F.col("q") >= 0.5) & (F.col("pl") != "und"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_curated"),
+            hround(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: signatures are engine-specific (xxhash64 seeds)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 32 hashes, 8 bands × 4 rows.

@@ -58,6 +58,25 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     return streaming_session_window(spark, sf_dir)
 
 
+@query("sketch_approx_stats")  # rows-only: HLL++/KLL estimates are engine-specific
+def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (KLL-style) on lineitem.
+
+    The 100 TB path for distinct counts and quantiles: fixed-size sketch
+    per partition, merged at the final aggregate — no exact distinct
+    shuffle, no per-group value gathering. Estimates are
+    implementation-specific → rows-only; accuracy vs the exact values is
+    asserted in tests/test_sketches.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+    )
+
+
 @query("streaming_stateful_user_stats")  # rows-only: custom state runtime
 def streaming_stateful_user_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):

@@ -48,3 +48,24 @@ def write_parquet(df: DataFrame, out_dir: str, partition_by: list[str] | None = 
         writer = writer.partitionBy(*partition_by)
     writer.parquet(out_dir)
     return out_dir
+
+
+def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
+                         n_buckets: int = 16,
+                         sort_col: str | None = None) -> str:
+    """Bucketed managed-table sink: pre-shuffles ONCE at write time so
+    every later equi-join/aggregation on ``bucket_col`` between
+    co-bucketed tables runs shuffle-free (SortMergeJoin without
+    Exchange).
+
+    The 100 TB pattern for repeatedly-joined fact tables: pay the
+    partitioning once, reuse it across the workload. Spark buckets only
+    via ``saveAsTable`` (the bucket metadata lives in the catalog).
+    tests/test_bucketing.py asserts the co-located join plan contains no
+    shuffle exchange.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+    return table_name

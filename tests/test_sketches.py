@@ -1,0 +1,26 @@
+"""Sketch aggregates: estimates must sit within their error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_electricity_spark.plans import REGISTRY
+from bigdata_electricity_spark.sources.loaders import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_within_bounds(spark):
+    got = REGISTRY["sketch_approx_stats"].fn(spark, SF_DIR).first()
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").alias("q"),
+    ).first()
+    # HLL++ at rsd=0.02: allow 3σ ≈ 6%.
+    assert abs(got["approx_orders"] - exact["orders"]) <= 0.06 * exact["orders"]
+    assert abs(got["approx_parts"] - exact["parts"]) <= 0.06 * exact["parts"]
+    # KLL accuracy=10000 → rank error ~1e-4; compare by value within 1%.
+    for approx, true in zip(got["price_quantiles"], exact["q"]):
+        assert abs(approx - true) <= 0.01 * abs(true)

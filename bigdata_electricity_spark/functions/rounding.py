@@ -11,6 +11,12 @@ Fix: round as ``floor(x·10ⁿ + 0.5) / 10ⁿ`` on BOTH engines — pure double
 arithmetic that is bit-identical across them (half-up toward +inf).
 :func:`hround` is the Spark side; :func:`dround` emits the matching
 DuckDB SQL for oracle strings.
+
+Domain: |x|·10ⁿ must stay below 2⁵³ (exact-integer double range) —
+beyond it Spark's floor (→ LONG) and DuckDB's floor (→ DOUBLE) diverge
+(property-tested in tests/test_rounding_cross_engine.py). Callers pick n
+accordingly: large-magnitude aggregates round coarser (e.g. variance at
+n=-2), never finer.
 """
 
 from __future__ import annotations

@@ -74,6 +74,126 @@ def asof_join_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_event_pairs",
+    oracle=f"""
+    SELECT a.user_id,
+           a.event_id AS id_a,
+           b.event_id AS id_b,
+           CAST(date_diff('second', CAST(a.ts AS TIMESTAMP), CAST(b.ts AS TIMESTAMP)) AS BIGINT) AS delta_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '60 seconds'
+    ORDER BY a.user_id, id_a, id_b
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs of the same user within 60 seconds.
+
+    The scalable composition for an interval join Spark lacks natively:
+    bucket time into range-width bins and join on (user, bin) ∪ (user,
+    bin+1), then filter the exact range — candidate pairs are bounded by
+    bucket occupancy instead of per-user O(m²). (A bare non-equi
+    predicate on the user-equi join degrades to per-user all-pairs; at
+    100 TB the bucketed form is the difference between a join and an
+    explosion.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    width = 60  # seconds — equals the range bound
+    base = events.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.unix_timestamp("ts") / width).cast("long").alias("bin"),
+    )
+    # Right side appears in its own bin and the previous one, so every
+    # (a, b) with b.ts - a.ts ≤ width shares a join key with a.
+    b_side = base.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("b_ts"),
+        F.explode(F.array(F.col("bin"), F.col("bin") - 1)).alias("b_bin"),
+    )
+    return (
+        base.join(
+            b_side,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("bin") == F.col("b_bin"))
+            & (F.col("b_ts") > F.col("ts"))
+            & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("id_a"),
+            "id_b",
+            (F.unix_timestamp("b_ts") - F.unix_timestamp("ts")).cast("bigint").alias("delta_sec"),
+        )
+        .orderBy("user_id", "id_a", "id_b")
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle=f"""
+    SELECT resolution, window_start, n_events, total_value FROM (
+        SELECT '10min' AS resolution,
+               strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}') AS window_start,
+               COUNT(*) AS n_events,
+               {dround('SUM(value)', 2)} AS total_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'hour',
+               strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}'),
+               COUNT(*), {dround('SUM(value)', 2)}
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day',
+               strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}'),
+               COUNT(*), {dround('SUM(value)', 2)}
+        FROM events GROUP BY 2
+    )
+    ORDER BY resolution, window_start
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same measure rolled up
+    at 10-minute, hourly, and daily resolution in one result (resolution
+    column tags each tier).
+
+    Built hierarchically the way a timeseries store materializes
+    continuous aggregates: the 10-minute tier aggregates the raw scan
+    ONCE; hour and day tiers re-aggregate the previous tier (sums of
+    sums), so the raw table is read once instead of three times — at
+    100 TB the coarser tiers cost ~nothing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tier10 = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_raw"))
+        .select(F.col("w.start").alias("t"), "n_events", "sum_raw")
+    )
+    def _tier(src: DataFrame, label: str, trunc: str) -> DataFrame:
+        return (
+            src.groupBy(F.date_trunc(trunc, "t").alias("t"))
+            .agg(F.sum("n_events").alias("n_events"), F.sum("sum_raw").alias("sum_raw"))
+            .select(F.lit(label).alias("resolution"), "t", "n_events", "sum_raw")
+        )
+
+    t10 = tier10.select(F.lit("10min").alias("resolution"), "t", "n_events", "sum_raw")
+    hour = _tier(tier10, "hour", "hour")
+    day = _tier(tier10, "day", "day")
+    return (
+        t10.unionByName(hour).unionByName(day)
+        .select(
+            "resolution",
+            F.date_format("t", _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            hround("sum_raw", 2).alias("total_value"),
+        )
+        .orderBy("resolution", "window_start")
+    )
+
+
+@query(
     "window_function_zoo",
     oracle="""
     SELECT o_custkey,

@@ -1,0 +1,73 @@
+"""Physical-plan regressions: the scale properties SURVEY §4 promises.
+
+These assert the *shape* of the executed plan, not results — a refactor
+that silently turns a broadcast join into a shuffle join, or drops a
+pushed filter back above the scan, fails here even though every value
+test still passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_electricity_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushes_filter_and_prunes(spark):
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    # Column pruning: the untouched l_comment-ish columns never appear.
+    assert "l_orderkey" not in scan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "join_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation (orders may AQE-broadcast)
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = plan_of(spark, "rdd_top5_days")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_argmax_has_no_sort(spark):
+    plan = plan_of(spark, "rdd_hourly_argmax")
+    assert "Sort" not in plan  # max_by aggregates; no global sort
+
+
+def test_aggregates_are_partial_final(spark):
+    plan = plan_of(spark, "reduction_hourly_agg")
+    assert plan.count("HashAggregate") >= 2  # partial + final around the exchange
+
+
+def test_dedup_shuffles_hash_not_text(spark):
+    # The exchange key for exact dedup is the md5 fingerprint, computed
+    # BELOW the first (partial) aggregate — document bodies never shuffle.
+    df = REGISTRY["dedup_exact_groups"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partial_agg_pos = plan.find("HashAggregate")
+    exchange_pos = plan.find("Exchange")
+    assert partial_agg_pos != -1 and exchange_pos != -1
+    assert "md5" in plan
+
+
+def test_brute_force_topk_broadcasts_query_row(spark):
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionization_single_user_shuffle(spark):
+    plan = plan_of(spark, "events_sessionization")
+    # Both windows and the session aggregate reuse ONE hash exchange on
+    # user_id; the only other exchange is the final tiny ORDER BY.
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, plan[:2000]

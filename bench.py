@@ -39,6 +39,15 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --repeat N: report best-of-N per query (steady-state timing; the
+    # default single pass includes Catalyst+codegen compile, which is
+    # what the driver's cold run sees).
+    repeat = 1
+    if "--repeat" in sys.argv:
+        idx = sys.argv.index("--repeat")
+        if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
+            sys.exit("usage: bench.py [--repeat N]")
+        repeat = int(sys.argv[idx + 1])
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
@@ -49,10 +58,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            n = df.count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

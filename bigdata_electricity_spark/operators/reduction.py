@@ -42,6 +42,18 @@ def sample_rows(df: DataFrame, fraction: float = 0.5, seed: int = 42) -> DataFra
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
+                      seed: int = 42) -> DataFrame:
+    """R1-extension — per-stratum Bernoulli sampling (``sampleBy``).
+
+    The scale-correct way to downsample skewed categories independently
+    (e.g. keep 1% of 'view' events but 100% of 'purchase'): per-partition
+    filtering with no shuffle, like ``sample``. Seed-deterministic within
+    Spark → rows-only for oracle purposes.
+    """
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
 def select_features(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """P10/R4 — column-pruning projection (reduction.scala:32-43).
 

@@ -58,6 +58,21 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     return streaming_session_window(spark, sf_dir)
 
 
+@query("sample_stratified_events")  # rows-only: seeded per-stratum Bernoulli
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: keep all purchases, 10% of views/clicks, 50%
+    of the rest — the skew-aware downsampling a training pipeline uses.
+    Reduced to per-type counts so the rows-only smoke check is stable."""
+    from ..operators.reduction import stratified_sample
+
+    events = load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        events, "event_type",
+        {"purchase": 1.0, "view": 0.1, "click": 0.1, "signup": 0.5, "error": 0.5},
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
 @query("sketch_approx_stats")  # rows-only: HLL++/KLL estimates are engine-specific
 def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates: approx_count_distinct (HyperLogLog++) and

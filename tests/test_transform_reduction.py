@@ -44,6 +44,21 @@ def test_select_features_drops_reactive(hourly):
     assert "avg_Global_active_power" in out.columns
 
 
+def test_stratified_sample_fractions(spark):
+    from bigdata_electricity_spark.operators.reduction import stratified_sample
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    sampled = stratified_sample(events, "event_type", {"purchase": 1.0, "view": 0.1})
+    by_type = {r["event_type"]: r["count"]
+               for r in sampled.groupBy("event_type").count().collect()}
+    total = {r["event_type"]: r["count"]
+             for r in events.groupBy("event_type").count().collect()}
+    assert by_type["purchase"] == total["purchase"]        # fraction 1.0 keeps all
+    assert 0 < by_type.get("view", 0) < total["view"] * 0.3  # ~10%
+    assert set(by_type) == {"purchase", "view"}            # unlisted strata dropped
+
+
 def test_sample_deterministic(hourly):
     a = R.sample_rows(hourly, 0.5, seed=42).count()
     b = R.sample_rows(hourly, 0.5, seed=42).count()

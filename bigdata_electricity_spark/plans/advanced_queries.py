@@ -202,6 +202,8 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
            LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
            CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile,
+           floor((PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)) * 1000000.0 + 0.5) / 1000000.0 AS price_pctrank,
+           floor((CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)) * 1000000.0 + 0.5) / 1000000.0 AS price_cumedist,
            floor((AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS moving_avg_price
     FROM orders
@@ -228,6 +230,8 @@ def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_orderkey").over(by_date).alias("next_orderkey"),
             F.lag("o_orderkey").over(by_date).alias("prev_orderkey"),
             F.ntile(4).over(by_price_asc).alias("price_quartile"),
+            hround(F.percent_rank().over(by_price_asc), 6).alias("price_pctrank"),
+            hround(F.cume_dist().over(by_price_asc), 6).alias("price_cumedist"),
             hround(
                 F.avg("o_totalprice").over(by_date.rowsBetween(-2, Window.currentRow)), 2
             ).alias("moving_avg_price"),

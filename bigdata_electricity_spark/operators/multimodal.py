@@ -77,3 +77,67 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")).mapInPandas(
         decode_media_batch, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, scale double"
+
+
+def resize_metadata(df: DataFrame, target_width: int = 224,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Resize stage over decoded metadata (STUB — no PIL in container).
+
+    A real deployment resizes pixel buffers here; the stub recomputes the
+    target geometry (aspect-preserving to ``target_width``) so the
+    two-stage mapInPandas pipeline — decode → resize, each an Arrow batch
+    pass, no shuffle between them — is exercised end-to-end.
+    """
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["fake_width"].clip(lower=1)
+            scale = target_width / w
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([target_width] * len(pdf), dtype="int32"),
+                "height": (pdf["fake_height"].clip(lower=1) * scale).round().astype("int32"),
+                "scale": scale.round(6),
+            })
+
+    return df.mapInPandas(resize_batch, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_checksum string"
+
+
+def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling stage for video-like payloads (STUB — no ffmpeg).
+
+    Treats the binary payload as a sequence of fixed-size 'frames'
+    (16-byte windows) and keeps every ``every_n``-th — the fan-out shape
+    (one input row → K frame rows) of real frame extraction, with
+    deterministic md5 per frame so results are verifiable. Arrow-batched;
+    output fan-out stays inside the partition (no shuffle).
+    """
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // 16)
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(hashlib.md5(raw[k * 16:(k + 1) * 16]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_checksum": pd.Series(sums, dtype="object"),
+            })
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")).mapInPandas(
+        sample_batch, schema=FRAMES_SCHEMA
+    )

@@ -102,6 +102,22 @@ def streaming_stateful_user_stats_query(spark: SparkSession, sf_dir: str) -> Dat
     return streaming_user_running_stats(spark, sf_dir)
 
 
+@query("multimodal_frame_sample")  # rows-only: md5 over byte windows of
+# multibyte text — not expressible as DuckDB character-substring md5
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (every 4th 16-byte 'frame' per payload) —
+    the 1→K fan-out shape of video frame extraction through mapInPandas;
+    checksums verified against Python md5 in tests."""
+    from ..operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = frame_sample(attach_binary_payload(docs), every_n=4)
+    return sampled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_checksum").alias("min_checksum"),
+    ).orderBy("doc_id")
+
+
 @query(
     "multimodal_decode_meta",
     oracle="""

@@ -72,3 +72,29 @@ def test_multimodal_binary_type(spark):
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     out = attach_binary_payload(docs)
     assert dict(out.dtypes)["payload"] == "binary"
+
+
+def test_multimodal_resize_stage(spark):
+    from bigdata_electricity_spark.operators.multimodal import resize_metadata
+
+    docs = spark.createDataFrame([(1, "x" * 100)], ["doc_id", "text"])
+    decoded = decode_media(attach_binary_payload(docs))
+    out = resize_metadata(decoded, target_width=224).first()
+    # decode gives fake_width = 100 % 640 = 100 → scale 2.24.
+    assert out["width"] == 224
+    assert out["scale"] == 2.24
+    assert out["height"] == round((100 % 480) * 2.24)
+
+
+def test_multimodal_frame_sampling(spark):
+    import hashlib
+
+    from bigdata_electricity_spark.operators.multimodal import frame_sample
+
+    text = "0123456789abcdef" * 8  # 8 'frames' of 16 bytes
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    frames = frame_sample(attach_binary_payload(docs), every_n=4).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 4]
+    raw = text.encode()
+    assert frames[0]["frame_checksum"] == hashlib.md5(raw[0:16]).hexdigest()
+    assert frames[1]["frame_checksum"] == hashlib.md5(raw[64:80]).hexdigest()

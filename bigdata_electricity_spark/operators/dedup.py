@@ -56,6 +56,13 @@ def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3):
     The per-hash seed must be bound via a closure factory: a two-arg
     lambda to F.transform would receive the ARRAY INDEX as its second
     argument, silently shadowing the seed.
+
+    PERFORMANCE: this inlines the shingle expression ``num_hashes``
+    times, and higher-order functions run interpreted (CodegenFallback)
+    with no cross-expression CSE — so the shingles are recomputed per
+    hash (measured 16× slower at 32 hashes). Prefer projecting
+    :func:`shingles` into a column first and building the hash array
+    from that column, as :func:`minhash_lsh_candidates` does.
     """
     sh = shingles(col, shingle_n)
 
@@ -77,9 +84,24 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     size), never all-pairs. Returns (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Materialize the shingle array in its OWN projection before fanning
+    # out to the per-hash mins: higher-order functions run interpreted
+    # (CodegenFallback), so an inlined shingle expression would be
+    # re-evaluated once per hash function — measured 16× slower at 32
+    # hashes. With the column materialized, each transform reads it.
+    shingled = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+
+    def hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = shingled.select(
+        "id",
+        F.array(
+            *[F.array_min(F.transform("__sh", hash_with_seed(i))) for i in range(num_hashes)]
+        ).alias("sig"),
     )
     banded = sig.select(
         "id",

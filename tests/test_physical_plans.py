@@ -65,6 +65,29 @@ def test_brute_force_topk_broadcasts_query_row(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_star_join_survives_broadcast_demotion(spark):
+    # At 100 TB no dimension may fit the broadcast threshold; the same
+    # declarative plan must fall back to shuffle joins AND produce the
+    # same result. (The explicit F.broadcast hint is advisory — with the
+    # threshold at -1 AQE may still honor hints, so also check values.)
+    baseline = sorted(
+        map(tuple, REGISTRY["join_revenue_by_nation"].fn(spark, SF_DIR).collect())
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        demoted = sorted(
+            map(tuple, REGISTRY["join_revenue_by_nation"].fn(spark, SF_DIR).collect())
+        )
+        assert demoted == baseline
+        plan = plan_of(spark, "join_revenue_by_nation")
+        # lineitem⋈orders must be a shuffle join now (no auto-broadcast).
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_sessionization_single_user_shuffle(spark):
     plan = plan_of(spark, "events_sessionization")
     # Both windows and the session aggregate reuse ONE hash exchange on

@@ -128,6 +128,80 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id")
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf for its
+    state-server protocol; this container ships a broken partial install
+    (import of google.protobuf.descriptor fails), so the TWS variant is
+    gated. The applyInPandasWithState twin has no such dependency."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running stats via transformWithStateInPandas —
+    Spark 4's successor stateful API (StatefulProcessor + typed state
+    handle). Kept alongside the applyInPandasWithState variant so both
+    stateful surfaces are exercised; results must match it exactly
+    (asserted in tests, which skip where :func:`tws_available` is False).
+
+    Scale: identical state-store characteristics; the new API adds typed
+    value/list/map state and timers for production state evolution.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, "
+            "not functional in this environment (see tws_available)"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "count long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total, vmax = (
+                self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((count, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    name = f"stream_user_tws_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    result = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType="user_id long, n_events long, total_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    _run_to_completion(result, name, mode="update")
+    return spark.table(name).orderBy("user_id")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap) with a 10-minute watermark.
 

@@ -55,6 +55,22 @@ def test_streaming_stateful_matches_batch_agg(spark):
             b["n_events"], b["total_value"], b["max_value"]), uid
 
 
+def test_streaming_tws_matches_apply_variant(spark):
+    import pytest
+
+    from bigdata_electricity_spark.streaming.event_windows import (
+        streaming_user_running_stats,
+        streaming_user_stats_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf broken in container; TWS gated")
+    a = sorted(map(tuple, streaming_user_stats_tws(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, streaming_user_running_stats(spark, SF_DIR).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "xyz")], ["doc_id", "text"]

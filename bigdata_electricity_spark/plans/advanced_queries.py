@@ -241,6 +241,74 @@ def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_frame_trailing_spend",
+    oracle=f"""
+    SELECT o_custkey,
+           o_orderkey,
+           {dround('''SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL '90 days' PRECEDING AND CURRENT ROW)''', 2)} AS trailing_90d_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per-customer trailing-90-day spend.
+
+    A VALUE-based frame (all orders within 90 days of the current one),
+    not a row-count frame — the other frame family the engine must
+    support. Implemented on the epoch-seconds ordering column so the
+    frame bound is a plain numeric range (90·86400); Spark's RANGE
+    frames take numeric offsets.
+
+    Note: ties on (custkey, orderdate) are deterministic because RANGE
+    frames include ALL peers of the current order date on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            hround(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "histogram_price_bins",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           {dround('MIN(l_extendedprice)', 2)} AS bin_min,
+           {dround('MAX(l_extendedprice)', 2)} AS bin_max
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram: fixed-width 10k bins over
+    extendedprice. floor-arithmetic binning is engine-portable (no
+    width_bucket dependency) and aggregates map-side like any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 10000.0).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            hround(F.min("l_extendedprice"), 2).alias("bin_min"),
+            hround(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "stats_moments_lineitem",
     oracle=f"""
     SELECT l_returnflag,

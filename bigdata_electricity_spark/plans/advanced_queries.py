@@ -412,6 +412,53 @@ def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_daily_dense",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, SUM(value) AS total
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), calendar AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL '1 day')) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT c.day,
+           COALESCE(d.n, 0) AS n_events,
+           {dround('COALESCE(d.total, 0.0)', 2)} AS total_value
+    FROM calendar c LEFT JOIN daily d USING (day)
+    ORDER BY c.day
+    """,
+)
+def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: daily rollup left-joined onto a generated
+    contiguous date spine, holes filled with zeros.
+
+    Time-series gap filling — downstream windows/models need every day
+    present. The spine comes from ``sequence(min, max)`` exploded off the
+    1-row bounds aggregate (driver-free, no Python range); the join
+    broadcasts the spine, which is tiny relative to the fact table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        F.broadcast(spine).join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            hround(F.coalesce("total", F.lit(0.0)), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "grouping_sets_lineitem",
     oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -84,6 +84,22 @@ def predict_language(col: Column) -> Column:
     return expr.otherwise("und")
 
 
+POSITIVE_WORDS = ["good", "great", "excellent", "best", "love", "happy"]
+NEGATIVE_WORDS = ["bad", "terrible", "worst", "hate", "awful", "poor"]
+
+
+def sentiment_label(col: Column) -> Column:
+    """Keyword-count sentiment: positive/negative/neutral by which
+    signature list hits more (ties → neutral). The wordlist approach of
+    the classic large-scale Spark sentiment pipelines — expression-only,
+    so it runs inside codegen like the lang-ID heuristic."""
+    pos = _lang_score(col, POSITIVE_WORDS)
+    neg = _lang_score(col, NEGATIVE_WORDS)
+    return (
+        F.when(pos > neg, "positive").when(neg > pos, "negative").otherwise("neutral")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text. Content-addressed
     identity for exact dedup; stable across engines (md5 of UTF-8 bytes)."""

@@ -125,6 +125,44 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_word_count(words: list[str]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+from ..operators.text import NEGATIVE_WORDS, POSITIVE_WORDS  # noqa: E402
+
+_POS = _duck_word_count(POSITIVE_WORDS)
+_NEG = _duck_word_count(NEGATIVE_WORDS)
+
+
+@query(
+    "text_sentiment",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN {_POS} > {_NEG} THEN 'positive'
+                WHEN {_NEG} > {_POS} THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY source, sentiment
+    """,
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword sentiment per source: the wordlist-count classifier of the
+    classic Spark sentiment pipelines, as a pure expression."""
+    from ..operators.text import sentiment_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", sentiment_label(F.col("text")).alias("sentiment"))
+        .groupBy("source", "sentiment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "sentiment")
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

@@ -64,6 +64,21 @@ def test_language_id(docs):
     assert got[4] == "und"
 
 
+def test_sentiment_label_branches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "this is a great and excellent thing, best ever"),
+            (2, "terrible awful experience, the worst"),
+            (3, "the meter reads forty watts"),
+            (4, "good but also bad"),                 # tie → neutral
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["s"]
+           for r in df.select("doc_id", T.sentiment_label(F.col("text")).alias("s")).collect()}
+    assert got == {1: "positive", 2: "negative", 3: "neutral", 4: "neutral"}
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]

@@ -412,6 +412,49 @@ def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(floor((a.day - f.cohort_day) / 7) AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_day, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per week offset since joining.
+
+    Two aggregates over the same scan (first-seen, distinct activity)
+    joined on user_id — the firsts side is one row per user and
+    broadcastable at moderate cardinality; at 100 TB both sides shuffle
+    on user_id and co-partition, so the join adds no extra exchange
+    beyond the aggregates' own.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day"))
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = days.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@query(
     "events_daily_dense",
     oracle=f"""
     WITH daily AS (

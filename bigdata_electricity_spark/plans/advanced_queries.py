@@ -412,6 +412,53 @@ def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after the first
+    view, then purchased after that first click.
+
+    Each stage joins the events of one type against the previous stage's
+    per-user first-completion time — user_id-keyed joins and aggregates
+    throughout, so every stage co-partitions on the same key (one shuffle
+    family, no global ordering). The staged min-after-min semantics is
+    the standard strict-ordering funnel.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = events.filter(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
     "cohort_retention_weekly",
     oracle="""
     WITH firsts AS (

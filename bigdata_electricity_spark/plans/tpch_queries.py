@@ -1,0 +1,368 @@
+"""Classic TPC-H query shapes adapted to the driver's star schema.
+
+The reference implements zero joins (SURVEY §2.3); ``tpch_q1`` lives in
+reference_queries. This module widens the relational surface with the
+canonical TPC-H patterns the testdata schema can express — each one
+exercises a distinct planner capability:
+
+- Q3: selective dim filter → fact join → grouped top-k (TakeOrderedAndProject)
+- Q4: EXISTS via left-semi join (no row duplication)
+- Q6: pure scan-side predicate pushdown, no join, single-row agg
+- Q10: group-by-customer revenue with broadcast nation, top 20
+- Q12: interval arithmetic + two-tier conditional aggregation
+- Q14: conditional-sum ratio over a broadcast part join
+- Q18: having-filter on a grouped fact, joined back to dimensions
+
+Scale notes (100 TB tier): every dim side is explicitly broadcast;
+lineitem⋈orders shuffles on the shared key so AQE can split skew; all
+date predicates sit directly on the parquet scan (PushedFilters verified
+in tests/test_physical_plans.py for the existing joins — same loaders).
+Top-k queries carry a unique tiebreak key so LIMIT output is
+deterministic under the driver's value-hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority,
+           {dround("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-orders revenue top-10 for one segment.
+
+    Customer filters to ~1/5 of rows and broadcasts; orders⋈lineitem is
+    the one shuffle. Sort+limit plans as TakeOrderedAndProject (true
+    distributed top-k, never a global sort). Tiebreak on orderkey keeps
+    the LIMIT deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority that shipped anything after the
+    order date, one quarter. EXISTS = left-semi join on (orderkey +
+    non-equi date predicate) — semi joins never widen or duplicate the
+    probe side, the scalable EXISTS shape.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dround("SUM(l_extendedprice * l_discount)", 2)} AS promo_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase from ending low-discount small orders.
+
+    Join-free: all four predicates push into the parquet scan
+    (PushedFilters), the row-group min/max stats skip whole chunks at
+    scale, and the single-row global agg is one partial+final pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        hround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           {dround("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-merchandise revenue in a
+    quarter. The returnflag filter pushes into the lineitem scan; nation
+    and customer broadcast; TakeOrderedAndProject caps the result with a
+    custkey tiebreak for deterministic LIMIT output.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    ORDER BY ship_year
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lineitems shipped >60 days after ordering, split
+    into high/low priority counts per ship year. The non-equi interval
+    predicate rides on the equi-join (evaluated post-probe, no extra
+    pass); the two-tier count is a conditional-sum pair in one agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT {dround(
+        "100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE CAST(0.0 AS DOUBLE) END) "
+        "/ SUM(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO parts.
+
+    Conditional-sum ratio in a single aggregate over a broadcast part
+    join — one pass, no second scan for the denominator.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            hround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           {dround("o.o_totalprice", 2)} AS totalprice,
+           {dround("SUM(l.l_quantity)", 2)} AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             CAST(o.o_orderdate AS DATE), o.o_totalprice
+    HAVING SUM(l.l_quantity) > 250
+    ORDER BY totalprice DESC, orderkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (total quantity > 250) with their
+    customers. Aggregate-then-filter (HAVING) on the grouped fact; the
+    per-orderkey pre-aggregation happens before the having filter so
+    only qualifying groups survive into the sort.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("_totalprice"),
+        )
+        .agg(hround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select(
+            "name",
+            "custkey",
+            "orderkey",
+            "orderdate",
+            hround("_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+    )
+
+
+@query(
+    "tpch_q19_bracketed_revenue",
+    oracle=f"""
+    SELECT {dround("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity brackets.
+
+    The OR-of-ANDs predicate spans both join sides, so it can't push
+    below the join — but the broadcast-hash join keeps it a single
+    streamed pass over lineitem with the predicate evaluated post-probe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def bracket(brand: str, size_hi: int, qty_lo: float, qty_hi: float):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+
+    cond = (
+        bracket("Brand#1", 15, 1, 11)
+        | bracket("Brand#12", 25, 10, 20)
+        | bracket("Brand#23", 35, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

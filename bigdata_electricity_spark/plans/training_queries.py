@@ -1,0 +1,222 @@
+"""Training-data-pipeline queries (north-star extension).
+
+The operations a 100 TB LLM-corpus pipeline runs beyond per-doc dedup
+and quality scoring, each expressed as DataFrame plans with a DuckDB
+oracle:
+
+- benchmark decontamination: n-gram overlap between a held-out eval
+  source and the training pool (the standard 13-gram check, shrunk to
+  4-grams for the synthetic vocabulary);
+- duplicate-cluster closure: connected components over the near-dup
+  pair graph (transitive closure — A~B~C is ONE cluster even when A~C
+  misses the threshold);
+- sequence packing: concatenate docs in id order, chunk into fixed
+  token budgets (the concat-and-chunk packing used for pretraining
+  batches);
+- domain mixing: deterministic per-source quota selection (quota
+  sampling — the reproducible cousin of weighted domain sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.dedup import ngram_jaccard_pairs, shingles
+from ..operators.graph import connected_components
+from ..operators.text import normalize_text
+from ..sources.loaders import load_table
+from .registry import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "decon_ngram_overlap",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source, array_to_string(list_slice(w, i, i + 3), ' ') AS g
+        FROM words, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+        WHERE len(w) >= 4
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE source = 'src0'
+    )
+    SELECT a.source AS source,
+           COUNT(DISTINCT a.doc_id) AS n_contaminated,
+           COUNT(DISTINCT a.g) AS n_shared_grams
+    FROM grams a JOIN eval_grams e ON a.g = e.g
+    WHERE a.source <> 'src0'
+    GROUP BY a.source
+    ORDER BY source
+    """,
+)
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 4-gram
+    with the eval source ('src0'), counted per training source.
+
+    The eval gram set is small by construction (benchmarks are tiny next
+    to the corpus) and is broadcast — the 100 TB training side streams
+    through one exploded hash join, never shuffling document bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    grams = (
+        docs.filter(F.size(toks) >= 4)
+        .select("doc_id", "source", F.explode(shingles(F.col("text"), 4)).alias("g"))
+    )
+    eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS t
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+    ), sym AS (
+        SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+    ), reach AS (
+        SELECT doc_id AS id, doc_id AS comp FROM documents
+        UNION
+        SELECT sym.d AS id, reach.comp
+        FROM reach JOIN sym ON sym.s = reach.id
+        WHERE reach.comp < sym.d
+    )
+    SELECT component, COUNT(*) AS n_docs FROM (
+        SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: connected components over the
+    source-blocked Jaccard near-dup graph, reported as cluster sizes
+    keyed by the min doc_id.
+
+    Iterative min-label propagation over joins (operators/graph.py) —
+    the min-reachable-id labeling is deterministic, so unlike the
+    hash-seeded LSH variants this transitive dedup IS oracle-checkable
+    (DuckDB recursive CTE computes the same closure).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_cols=["source"], threshold=0.6)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(nodes, edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+@query(
+    "pack_sequences_chunked",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+        FROM sized
+    )
+    SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY 1
+    ORDER BY chunk_id
+    """,
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate docs in id order, cut into 512-token
+    chunks, assign each doc to the chunk containing its start offset.
+
+    The running offset is a prefix sum over the global doc order — here a
+    single-partition window (fine at test SF). The 100 TB shape is the
+    classic two-phase scan: per-partition token subtotals → driver-side
+    cumulative offsets (one tiny row per partition) → broadcast back and
+    add to per-partition prefix sums; same result, no global shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = sized.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            F.floor(F.col("start_offset") / F.lit(512.0)).cast("bigint").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+@query(
+    "mix_domain_quota",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 15 ELSE 5 END AS quota
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM ranked WHERE rn <= quota
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via deterministic quotas: keep the first N docs per
+    source (15 for even-numbered sources, 5 for odd) in doc_id order.
+
+    Quota (systematic) sampling is the reproducible counterpart of
+    weighted random domain sampling — same mixture control, exact
+    cross-engine parity. The rank window partitions by source, so no
+    global sort; per-source ordering scales with the largest domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    quota = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(15)
+    ).otherwise(F.lit(5))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", quota.alias("quota"),
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )

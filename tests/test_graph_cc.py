@@ -1,0 +1,45 @@
+"""Connected-components label propagation: closure, chains, singletons."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_electricity_spark.operators.graph import connected_components
+
+
+def _cc(spark, node_ids, edge_pairs, max_iter=25):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(edge_pairs or [(0, 0)], "src long, dst long")
+    if not edge_pairs:
+        edges = edges.filter(F.lit(False))
+    out = connected_components(nodes, edges, max_iter=max_iter)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_transitive_closure_chain(spark):
+    # 1-2, 2-3, 3-4: one component even though 1-4 never appears directly.
+    got = _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_singleton(spark):
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_edge_orientation_irrelevant(spark):
+    # dst < src orientation must give the same labeling.
+    got = _cc(spark, [5, 6, 7], [(7, 6), (6, 5)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [3, 1, 2], [])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_long_chain_converges_within_diameter(spark):
+    # Chain of 8 nodes: diameter 7, must converge (min id floods right).
+    n = 8
+    got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert set(got.values()) == {0}

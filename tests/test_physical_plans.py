@@ -94,3 +94,30 @@ def test_sessionization_single_user_shuffle(spark):
     # user_id; the only other exchange is the final tiny ORDER BY.
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 3, plan[:2000]
+
+
+def test_tpch_q3_topk_broadcast_and_pushdown(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan          # LIMIT 10 = true top-k
+    assert plan.count("BroadcastHashJoin") >= 2      # customer + one more
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter at the scan
+    assert "GreaterThan(l_shipdate" in plan          # fact filter at the scan
+
+
+def test_tpch_q6_is_join_free_scan_agg(spark):
+    # Q6 is the pushdown showcase: every predicate reaches the scan and
+    # the plan is scan → filter → partial agg → exchange → final agg.
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    # (PushedFilters text is truncated in toString — assert the stable prefix
+    # and the pruned ReadSchema instead of individual pushed predicates.)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    # The eval-source gram set must broadcast — the training side (the
+    # 100 TB side) streams through the join without shuffling.
+    plan = plan_of(spark, "decon_ngram_overlap")
+    assert "BroadcastHashJoin" in plan

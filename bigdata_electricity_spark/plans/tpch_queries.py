@@ -11,7 +11,11 @@ exercises a distinct planner capability:
 - Q10: group-by-customer revenue with broadcast nation, top 20
 - Q12: interval arithmetic + two-tier conditional aggregation
 - Q14: conditional-sum ratio over a broadcast part join
+- Q15: scalar-subquery max over a reused CTE (1-row broadcast)
+- Q17: correlated per-part AVG subquery, decorrelated by hand
 - Q18: having-filter on a grouped fact, joined back to dimensions
+- Q19: disjunctive cross-side predicate evaluated post-probe
+- Q22: scalar-subquery cutoff + NOT EXISTS anti join
 
 Scale notes (100 TB tier): every dim side is explicitly broadcast;
 lineitem⋈orders shuffles on the shared key so AQE can split skew; all
@@ -365,4 +369,131 @@ def tpch_q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           {dround("r.total_rev", 2)} AS total_rev
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The scalar subquery (global max over the revenue CTE) becomes a
+    1-row broadcast joined against the same aggregate — the CTE is
+    declared once and Catalyst decides between reuse and recompute.
+    Rounding happens AFTER the max-equality test, mirroring the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        supplier.join(revenue, supplier.s_suppkey == revenue.suppkey)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            hround("total_rev", 2).alias("total_rev"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {dround("SUM(l.l_extendedprice) / 7.0", 2)} AS avg_yearly,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost by never filling small orders of one brand.
+
+    The correlated per-part AVG subquery is decorrelated by hand: one
+    grouped aggregate over lineitem (all parts — cheap, it shuffles only
+    (partkey, sum, count)), broadcast-joined back on partkey. This is
+    exactly the rewrite Catalyst performs for correlated scalar
+    subqueries, made explicit in the DataFrame API.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cutoff")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(
+            hround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_dormant_balances",
+    oracle=f"""
+    WITH positive_avg AS (
+        SELECT AVG(c_acctbal) AS cutoff FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           {dround("SUM(c.c_acctbal)", 2)} AS total_bal
+    FROM customer c, positive_avg
+    WHERE c.c_acctbal > positive_avg.cutoff
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def tpch_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers who never ordered, by segment.
+
+    Two classic sub-plans in one query: a scalar subquery (global avg of
+    positive balances → 1-row broadcast crossJoin) gating the probe
+    side, then a left-anti join against orders for the NOT EXISTS.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    return (
+        customer.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
     )

@@ -137,3 +137,23 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (the real image decode is stubbed — operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@query("streaming_static_join")  # rows-only: streaming runtime
+def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (events stream ⋈ broadcast customer
+    dim) rolled up per market segment; batch equivalence asserted in
+    tests/test_streaming_multimodal.py."""
+    from ..streaming.event_windows import streaming_static_enrichment
+
+    return streaming_static_enrichment(spark, sf_dir)
+
+
+@query("streaming_dedup_watermark")  # rows-only: micro-batch/watermark timing
+def streaming_dedup_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a doubled event stream —
+    bounded-state streaming dedup; collapses the 2× union back to the
+    batch distinct counts (asserted in tests)."""
+    from ..streaming.event_windows import streaming_dedup_within_watermark
+
+    return streaming_dedup_within_watermark(spark, sf_dir)

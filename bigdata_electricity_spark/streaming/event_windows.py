@@ -227,3 +227,55 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the static input).
     _run_to_completion(agg, name, mode="append")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (user_id → c_custkey), rolled up per segment.
+
+    The static side is planned per micro-batch and broadcast — the
+    canonical stream⋈dim pattern (no state, unlike stream-stream joins).
+    Batch equivalence asserted in tests/test_streaming_multimodal.py.
+    """
+    from ..sources.loaders import load_table  # late import to avoid cycle
+
+    name = f"stream_enrich_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    _run_to_completion(joined, name, mode="complete")
+    return spark.table(name).orderBy("segment")
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: two branches of the same source unioned (every
+    event arrives twice) → ``dropDuplicatesWithinWatermark`` on event_id
+    collapses them back to one.
+
+    WithinWatermark-dedup keys expire once the watermark passes them —
+    bounded state, unlike plain streaming dropDuplicates whose key set
+    grows forever. The per-type rollup equals the batch distinct counts
+    (asserted in tests); registered rows-only because emission depends
+    on micro-batch/watermark timing.
+    """
+    name = f"stream_dedup_{next(_COUNTER)}"
+    doubled = _read_events_stream(spark, sf_dir).union(_read_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    _run_to_completion(deduped, name, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

@@ -63,3 +63,28 @@ def test_write_parquet_roundtrip(spark, tmp_path):
     write_parquet(df, out, partition_by=["part"])
     back = spark.read.parquet(out)
     assert back.count() == 2
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # Hive-style partitioned layout + a partition-key predicate must show
+    # up as PartitionFilters (directory pruning — at 100 TB this is the
+    # difference between scanning one day and scanning the lake).
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_parquet(events, out, partition_by=["event_date"])
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == back.agg(F.min("event_date")).first()[0])
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan[:800]
+    # The data filter moved entirely into partition pruning — no pushed
+    # row-group filter remains on event_date.
+    assert one_day.count() > 0
+    n_dirs = len([p for p in __import__("os").listdir(out) if p.startswith("event_date=")])
+    assert n_dirs > 1

@@ -114,3 +114,42 @@ def test_multimodal_frame_sampling(spark):
     raw = text.encode()
     assert frames[0]["frame_checksum"] == hashlib.md5(raw[0:16]).hexdigest()
     assert frames[1]["frame_checksum"] == hashlib.md5(raw[64:80]).hexdigest()
+
+
+def test_streaming_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.streaming.event_windows import streaming_static_enrichment
+
+    stream = streaming_static_enrichment(spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    batch = (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
+    assert stream.count() > 0
+
+
+def test_streaming_dedup_collapses_doubled_stream(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.streaming.event_windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    got = {tuple(r) for r in streaming_dedup_within_watermark(spark, SF_DIR).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    # The 2× unioned stream must dedup back to exactly the batch counts.
+    assert got == want

@@ -95,3 +95,34 @@ def pairwise_near_dups(embeddings: DataFrame, threshold: float,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def brute_force_topk_batch(embeddings: DataFrame, query_ids: list[int], k: int = 3,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbours for a BATCH of query vectors in one pass.
+
+    The query rows (tiny: a search request batch) broadcast against the
+    candidate table, so the table is scanned once for all queries —
+    queries × candidates scoring happens map-side, then one
+    per-query-partitioned window takes the top k. This is the serving
+    shape: N concurrent searches amortize a single corpus scan.
+    """
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -191,3 +191,61 @@ def join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+@query(
+    "join_outer_hourly_alignment",
+    oracle="""
+    WITH views AS (
+        SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), purchases AS (
+        SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(COALESCE(v.hr, p.hr), '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(v.n_views, 0) AS n_views,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           CASE WHEN v.hr IS NULL THEN 'purchase_only'
+                WHEN p.hr IS NULL THEN 'view_only'
+                ELSE 'both' END AS coverage
+    FROM views v FULL OUTER JOIN purchases p ON v.hr = p.hr
+    ORDER BY hour
+    """,
+)
+def join_outer_hourly_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer alignment of two sparse hourly series (views vs
+    purchases): hours where either side is missing survive with
+    coalesced zeros — the outer-join shape for reconciling independently
+    aggregated fact streams.
+
+    Both inputs pre-aggregate BEFORE the join (hours ≪ events), so the
+    full-outer join runs on two small keyed sides; at scale both sides
+    hash-partition on the hour key — no broadcast (full outer cannot
+    broadcast either side).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(hr.alias("v_hr"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(hr.alias("p_hr"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        views.join(purchases, views.v_hr == purchases.p_hr, "full_outer")
+        .select(
+            F.date_format(F.coalesce("v_hr", "p_hr"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.when(F.col("v_hr").isNull(), "purchase_only")
+            .when(F.col("p_hr").isNull(), "view_only")
+            .otherwise("both")
+            .alias("coverage"),
+        )
+        .orderBy("hour")
+    )

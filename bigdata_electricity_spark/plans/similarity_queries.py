@@ -96,3 +96,36 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space dedup verifier."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_near_dups(emb, threshold=0.3)
+
+
+@query(
+    "sim_topk_batch",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a='e.embedding', b='q.qv')} AS c
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id,
+           floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving shape: top-3 cosine neighbours for 5 query
+    vectors in ONE corpus scan (broadcast query batch, map-side scoring,
+    per-query window top-k)."""
+    from ..operators.similarity import brute_force_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_batch(emb, query_ids=[0, 1, 2, 3, 4], k=3)

@@ -153,3 +153,43 @@ def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(one("except", building.exceptAll(rich).distinct()))
         .orderBy("op")
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+    WITH long AS (
+        SELECT 'l_discount' AS measure, l_discount AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           COUNT(*) AS n_values,
+           {dround("SUM(value)", 2)} AS total,
+           {dround("AVG(value)", 6)} AS mean
+    FROM long
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: unpivot four lineitem measures into
+    (measure, value) rows, then profile each measure in one grouped pass.
+
+    ``DataFrame.unpivot`` plans as an Expand (each input row emits 4
+    output rows map-side) — no shuffle until the final per-measure
+    aggregate, so the reshape itself is scan-local at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    return (
+        li.unpivot([], measures, "measure", "value")
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            hround(F.sum("value"), 2).alias("total"),
+            hround(F.avg("value"), 6).alias("mean"),
+        )
+        .orderBy("measure")
+    )

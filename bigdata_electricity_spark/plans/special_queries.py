@@ -157,3 +157,15 @@ def streaming_dedup_watermark_query(spark: SparkSession, sf_dir: str) -> DataFra
     from ..streaming.event_windows import streaming_dedup_within_watermark
 
     return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@query("ml_kmeans_embeddings")  # rows-only: cluster ids/init are engine-specific
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded KMeans (k=8) over the embeddings — the coarse quantizer
+    that produces IVF buckets for the similarity queries; per-cluster
+    sizes. Iterative treeAggregate: no data shuffle, centroids broadcast
+    per iteration (ml/clustering.py)."""
+    from ..ml.clustering import kmeans_cluster_sizes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_sizes(emb, k=8, seed=42)

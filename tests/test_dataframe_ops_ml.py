@@ -70,3 +70,18 @@ def test_coefficient_report_recovers_slope(spark):
     )
     coefs = dict(coefficient_report(df, "y", ["x"]))
     assert coefs["x"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_kmeans_partitions_all_points(spark):
+    from bigdata_electricity_spark.ml.clustering import kmeans_cluster_sizes
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sizes = kmeans_cluster_sizes(emb, k=4, seed=42).collect()
+    # Every point lands in exactly one cluster; no empty clusters with
+    # k=4 over 4-ish natural label groups.
+    assert sum(r["n_points"] for r in sizes) == emb.count()
+    assert 1 <= len(sizes) <= 4
+    # Seeded run is reproducible within the engine.
+    again = kmeans_cluster_sizes(emb, k=4, seed=42).collect()
+    assert [tuple(r) for r in sizes] == [tuple(r) for r in again]

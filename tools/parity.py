@@ -4,7 +4,7 @@ Runs every REGISTRY query on Spark and its oracle on DuckDB at a given
 scale factor, compares row count, column names/order-insensitive values,
 and reports per-query PASS/FAIL with a diff sample. Use while iterating:
 
-    python tools/parity.py [sf_dir] [query ...]
+    python tools/parity.py [--time] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -73,7 +73,7 @@ def compare_one(spark, con, spec, sf_dir: str) -> str | None:
     return None
 
 
-def run(sf_dir: str, names: list[str] | None = None) -> int:
+def run(sf_dir: str, names: list[str] | None = None, timed: bool = False) -> int:
     unknown = set(names or []) - set(REGISTRY)
     if unknown:
         print(f"FAIL unknown query names: {sorted(unknown)}")
@@ -81,19 +81,23 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
     spark = get_spark("parity")
     con = oracle_connection(sf_dir)
     failures = 0
+    import time as _time
+
     for name, spec in REGISTRY.items():
         if names and name not in names:
             continue
+        t0 = _time.perf_counter()
         try:
             outcome = compare_one(spark, con, spec, sf_dir)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: error: {exc}")
             failures += 1
             continue
+        stamp = f"  [{_time.perf_counter() - t0:6.2f}s]" if timed else ""
         if outcome is None:
-            print(f"PASS {name}")
+            print(f"PASS {name}{stamp}")
         elif outcome.startswith("ok:"):
-            print(f"ok   {name}: {outcome[3:]}")
+            print(f"ok   {name}: {outcome[3:]}{stamp}")
         else:
             print(f"FAIL {name}: {outcome}")
             failures += 1
@@ -103,6 +107,8 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    timed = "--time" in args
+    args = [a for a in args if a != "--time"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or None
-    sys.exit(1 if run(sf_dir, names) else 0)
+    sys.exit(1 if run(sf_dir, names, timed=timed) else 0)

@@ -236,11 +236,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         tokens.alias("toks"),
-    )
+    ).withColumn("__n", F.size("toks"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # Size-ratio prune (semantics-preserving): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose token-set sizes are too lopsided can never reach the
+    # threshold — skip the O(|A|+|B|) intersect/union for them entirely.
+    cond = cond & (
+        F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+    )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jaccard = inter.cast("double") / union.cast("double")

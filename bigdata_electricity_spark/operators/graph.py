@@ -38,9 +38,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ``nodes``: one column ``id``; ``edges``: columns ``src``/``dst``
     (undirected, any orientation). Returns (id, component).
     """
+    # Materialize the symmetrized edge set ONCE: candidate-pair
+    # generation upstream (e.g. a blocked Jaccard self-join) is far more
+    # expensive than any propagation round, and without truncation every
+    # round's join would re-execute it from the scan.
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (

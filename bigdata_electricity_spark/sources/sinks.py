@@ -69,3 +69,26 @@ def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
     return table_name
+
+
+def export_corpus(df: DataFrame, out_dir: str, partition_col: str) -> DataFrame:
+    """Publish a curated corpus: parquet partitioned by ``partition_col``
+    (e.g. predicted language or source domain) plus a manifest DataFrame
+    — one row per partition value with its doc count, computed from the
+    written files themselves (not the input plan), so the manifest
+    certifies what actually landed on disk.
+
+    At scale the partition column doubles as the mixture-control handle:
+    a trainer reads `lang=en/` directories directly, and directory
+    pruning keeps unrelated partitions unscanned.
+    """
+    import pyspark.sql.functions as F
+
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+    spark = df.sparkSession
+    written = spark.read.parquet(out_dir)
+    return (
+        written.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(partition_col)
+    )

@@ -43,3 +43,39 @@ def test_long_chain_converges_within_diameter(spark):
     n = 8
     got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
     assert set(got.values()) == {0}
+
+
+def test_cc_matches_union_find_property(spark):
+    """Random graphs: distributed label propagation must equal a
+    driver-side union-find (the sequential ground truth)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.integers(2, 14),
+        st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=25),
+    )
+    def prop(n_nodes, raw_edges):
+        edges = [(a, b) for a, b in raw_edges if a < n_nodes and b < n_nodes and a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Min reachable id per node = min over the component's members.
+        comp_min = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in range(n_nodes)}
+        got = _cc(spark, list(range(n_nodes)), edges)
+        assert got == want
+
+    prop()

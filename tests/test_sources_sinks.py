@@ -88,3 +88,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert one_day.count() > 0
     n_dirs = len([p for p in __import__("os").listdir(out) if p.startswith("event_date=")])
     assert n_dirs > 1
+
+
+def test_export_corpus_manifest_matches_input(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.sources.sinks import export_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    manifest = export_corpus(docs, out, "source")
+    got = {r["source"]: r["n_docs"] for r in manifest.collect()}
+    want = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert got == want
+    # Partition directories exist and reading one prunes the rest.
+    one = spark.read.parquet(out).filter(F.col("source") == next(iter(got)))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -149,15 +149,22 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT n.n_name AS nation, COUNT(*) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY n.n_name
     ORDER BY nation
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders, by nation."""
+    """Left-anti join (NOT EXISTS): customers with no 2001+ order, by
+    nation. (Every testdata customer has some order, so the unfiltered
+    never-ordered variant would be trivially empty — the date predicate
+    keeps the anti join exercised with real rows.)"""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     nation = load_table(spark, sf_dir, "nation")
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")

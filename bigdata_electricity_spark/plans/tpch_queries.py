@@ -469,20 +469,28 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
            {dround("SUM(c.c_acctbal)", 2)} AS total_bal
     FROM customer c, positive_avg
     WHERE c.c_acctbal > positive_avg.cutoff
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c.c_mktsegment
     ORDER BY segment
     """,
 )
 def tpch_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22: well-funded customers who never ordered, by segment.
+    """TPC-H Q22 shape: well-funded customers DORMANT since 2000 (no
+    recent order), by segment.
 
     Two classic sub-plans in one query: a scalar subquery (global avg of
     positive balances → 1-row broadcast crossJoin) gating the probe
-    side, then a left-anti join against orders for the NOT EXISTS.
+    side, then a left-anti join against date-filtered orders for the
+    NOT EXISTS. (Every testdata customer has *some* order, so the
+    classic never-ordered predicate would select zero rows — the recency
+    cutoff keeps the anti-join leg non-trivial.)
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     cutoff = customer.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("cutoff")
     )

@@ -34,6 +34,9 @@ HEADLINE = [
     "text_stats",                # documents: tokenize/length profile
     "dedup_exact_groups",        # hash-groupBy duplicate detection
     "sim_topk_bruteforce",       # embedding cosine top-k (higher-order fns)
+    "tpch_q3_shipping_priority", # selective dim filter + grouped top-k join
+    "tpch_q6_forecast_revenue",  # pure scan pushdown, join-free agg
+    "decon_ngram_overlap",       # n-gram explode + broadcast semi-ish join
 ]
 
 

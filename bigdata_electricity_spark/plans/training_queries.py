@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators.dedup import ngram_jaccard_pairs, shingles
+from ..operators.dedup import ngram_jaccard_pairs, token_shingles
 from ..operators.graph import connected_components
 from ..operators.text import normalize_text
 from ..sources.loaders import load_table
@@ -61,10 +61,14 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one exploded hash join, never shuffling document bodies.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(normalize_text(F.col("text")), " ")
-    grams = (
-        docs.filter(F.size(toks) >= 4)
-        .select("doc_id", "source", F.explode(shingles(F.col("text"), 4)).alias("g"))
+    # Materialize the token array BEFORE the shingle transform: inside an
+    # interpreted higher-order lambda the inlined split/normalize would be
+    # re-evaluated once per shingle (~13× slower measured at sf0.1).
+    toked = docs.select(
+        "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 4)
+    grams = toked.select(
+        "doc_id", "source", F.explode(token_shingles("__toks", 4)).alias("g")
     )
     eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
     return (

@@ -270,8 +270,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n"))
     )
+    # toks are distinct, so |A∪B| = |A|+|B|−|A∩B| — pure arithmetic
+    # instead of materializing a second array per candidate pair.
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    union = F.col("a.__n") + F.col("b.__n") - inter
     jaccard = inter.cast("double") / union.cast("double")
     return (
         a.join(b, cond)

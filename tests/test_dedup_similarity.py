@@ -92,3 +92,21 @@ def test_bucketed_nn(vectors):
 def test_pairwise_near_dups_threshold(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in S.pairwise_near_dups(vectors, 0.9).collect()}
     assert pairs == {(1, 2), (4, 5)}
+
+
+def test_token_shingles_equals_shingles(spark):
+    # The fast path (materialized token array) must produce exactly the
+    # shingles of the slow path for docs with >= n tokens.
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.dedup import shingles, token_shingles
+    from bigdata_electricity_spark.operators.text import normalize_text
+
+    rows = [("a b c d e f",), ("x  Y z W",), ("one two three four five",)]
+    df = spark.createDataFrame(rows, "text string")
+    both = df.select(
+        shingles(F.col("text"), 3).alias("slow"),
+        token_shingles(F.split(normalize_text(F.col("text")), " "), 3).alias("fast"),
+    )
+    for r in both.collect():
+        assert r["slow"] == r["fast"]

@@ -224,3 +224,32 @@ def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
         .orderBy("source")
     )
+
+
+@query(
+    "normalize_zscore_by_source",
+    oracle="""
+    SELECT doc_id, source,
+           floor(((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                  / stddev_samp(n_chars) OVER (PARTITION BY source)) * 1000000.0 + 0.5)
+           / 1000000.0 AS z
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalize_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain z-score normalization of a per-doc statistic (n_chars)
+    — the mixture-control preprocessing step that makes quality scores
+    comparable across sources before global thresholding.
+
+    Built-in window aggregates (avg/stddev over PARTITION BY source) keep
+    it JVM-side; tests/test_dedup_similarity.py proves an applyInPandas
+    (grouped-map Arrow) implementation computes the same values — the
+    escape hatch exists, the declarative form wins on the hot path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    z = (F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_samp("n_chars").over(w)
+    from ..functions.rounding import hround
+
+    return docs.select("doc_id", "source", hround(z, 6).alias("z")).orderBy("doc_id")

@@ -110,3 +110,30 @@ def test_token_shingles_equals_shingles(spark):
     )
     for r in both.collect():
         assert r["slow"] == r["fast"]
+
+
+def test_applyinpandas_zscore_matches_builtin(spark):
+    # Grouped-map Arrow path (applyInPandas) must equal the built-in
+    # window-aggregate z-score — demonstrating the escape hatch computes
+    # the same thing the declarative hot path does.
+    from bigdata_electricity_spark.plans import REGISTRY
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.001"
+    builtin = {r["doc_id"]: r["z"] for r in REGISTRY["normalize_zscore_by_source"].fn(spark, sf).collect()}
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+
+    def zscore(pdf):
+        import math
+
+        mu = pdf.n_chars.mean()
+        sd = pdf.n_chars.std()  # pandas default ddof=1 == stddev_samp
+        z = (pdf.n_chars - mu) / sd
+        return pdf.assign(z=(z * 1e6 + 0.5).apply(math.floor) / 1e6)[["doc_id", "z"]]
+
+    arrow = {
+        r["doc_id"]: r["z"]
+        for r in docs.groupBy("source").applyInPandas(zscore, "doc_id long, z double").collect()
+    }
+    assert arrow == builtin

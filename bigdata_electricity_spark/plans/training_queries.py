@@ -161,10 +161,11 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks, assign each doc to the chunk containing its start offset.
 
     The running offset is a prefix sum over the global doc order — here a
-    single-partition window (fine at test SF). The 100 TB shape is the
-    classic two-phase scan: per-partition token subtotals → driver-side
-    cumulative offsets (one tiny row per partition) → broadcast back and
-    add to per-partition prefix sums; same result, no global shuffle.
+    single-partition window (fine at test SF). The 100 TB shape — range
+    repartition → per-partition subtotals → broadcast base offsets →
+    per-partition windows — is implemented in operators/packing.py
+    (`running_offsets_scalable`) and proven bit-identical to this window
+    by tests/test_transform_reduction.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(

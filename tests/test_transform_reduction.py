@@ -111,3 +111,52 @@ def test_transform_pipeline_schema(hourly):
               "total_sub_metering", "avg_Global_active_power_scaled",
               "total_sub_metering_scaled"]:
         assert c in cols, c
+
+
+def test_scalable_packing_offsets_match_global_window(spark):
+    # The two-phase per-partition prefix sum must be bit-identical to the
+    # single-partition global window it replaces at scale.
+    from pyspark.sql import Window, functions as F
+
+    from bigdata_electricity_spark.operators.packing import running_offsets_scalable
+    from bigdata_electricity_spark.operators.text import normalize_text
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]: r["o"]
+        for r in sized.withColumn("o", F.sum("n_tokens").over(w) - F.col("n_tokens")).collect()
+    }
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in running_offsets_scalable(sized, n_partitions=7).collect()
+    }
+    assert got == want
+    # And with Spark-chosen partitioning too.
+    got_default = {
+        r["doc_id"]: r["start_offset"] for r in running_offsets_scalable(sized).collect()
+    }
+    assert got_default == want
+
+
+def test_scalable_packing_has_no_single_partition_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.packing import running_offsets_scalable
+    from bigdata_electricity_spark.operators.text import normalize_text
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens")
+    )
+    out = running_offsets_scalable(sized, n_partitions=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The window sorts WITHIN partitions; the only exchange is the range
+    # repartition — never a funnel through one partition.
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
+    assert "rangepartitioning" in plan.lower()

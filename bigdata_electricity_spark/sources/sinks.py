@@ -92,3 +92,34 @@ def export_corpus(df: DataFrame, out_dir: str, partition_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(partition_col)
     )
+
+
+def compact_parquet(spark, in_dir: str, out_dir: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) evenly-sized files. Returns the file count.
+
+    The lakehouse maintenance op streaming/incremental writers make
+    necessary — thousands of KB-sized part files turn scan planning and
+    task scheduling into the bottleneck. Sizing from the actual on-disk
+    bytes (not row counts) keeps output files near the row-group sweet
+    spot regardless of schema width. The rewrite is one round-robin
+    repartition — no key skew, fully parallel.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(p)
+    ) or sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(in_dir)
+        for f in fs
+        if f.startswith("part-")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_dir).repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files

@@ -106,3 +106,22 @@ def test_export_corpus_manifest_matches_input(spark, tmp_path):
     one = spark.read.parquet(out).filter(F.col("source") == next(iter(got)))
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.sources.sinks import compact_parquet
+
+    events = load_table(spark, SF_DIR, "events")
+    fragmented = str(tmp_path / "fragmented")
+    events.repartition(32).write.parquet(fragmented)
+    n_before = len([f for f in os.listdir(fragmented) if f.endswith(".parquet")])
+    assert n_before == 32
+
+    compacted = str(tmp_path / "compacted")
+    # Tiny target: everything fits in one file.
+    n_planned = compact_parquet(spark, fragmented, compacted, target_file_bytes=1 << 30)
+    n_after = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_planned == n_after == 1
+    # Content-preserving.
+    assert spark.read.parquet(compacted).count() == events.count()

@@ -8,6 +8,8 @@ exercises a distinct planner capability:
 - Q3: selective dim filter → fact join → grouped top-k (TakeOrderedAndProject)
 - Q4: EXISTS via left-semi join (no row duplication)
 - Q6: pure scan-side predicate pushdown, no join, single-row agg
+- Q7: one dimension joined twice under different aliases (both broadcast)
+- Q9: five-way join, build-side filter pruned before broadcast
 - Q10: group-by-customer revenue with broadcast nation, top 20
 - Q12: interval arithmetic + two-tier conditional aggregation
 - Q14: conditional-sum ratio over a broadcast part join
@@ -504,4 +506,98 @@ def tpch_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
         .orderBy("segment")
+    )
+
+
+@query(
+    "tpch_q7_nation_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           {dround("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY sn.n_name, cn.n_name, 3
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per year, in both
+    directions. The nation table joins TWICE under different aliases
+    (supplier side and customer side) — both broadcast; the disjunctive
+    nation-pair predicate evaluates after both probes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           {dround("SUM(l.l_extendedprice * (1 - l.l_discount) - l.l_quantity * p.p_retailprice * 0.6)", 2)} AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, 2
+    ORDER BY nation, order_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation-per-year profit on one product line
+    (revenue minus a 60%-of-retail cost proxy — the testdata has no
+    partsupp cost table). Five-way join where only lineitem⋈orders
+    shuffles; part/supplier/nation broadcast, the p_type filter prunes
+    the build side before broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.6)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
+        .agg(hround(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("order_year"))
     )

@@ -73,3 +73,25 @@ def test_pipeline_ml_metrics(result):
     assert set(metrics) == {"rmse", "mae", "r2"}
     # Power ~ intensity is near-linear in the fixture: model must beat baseline.
     assert metrics["rmse"]["model"] < metrics["rmse"]["baseline"]
+
+
+def test_observe_metrics_single_action(spark):
+    # Stage metrics must arrive as a side effect of the ONE action the
+    # pipeline already runs — no extra count() jobs (SURVEY §4.3.2).
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.observability import observe_stage
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    staged, obs_in = observe_stage(
+        docs, "ingest",
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n_chars").alias("n_chars"),
+    )
+    kept = staged.filter(F.col("n_chars") >= 100)
+    kept, obs_out = observe_stage(kept, "kept")
+
+    n_kept_action = kept.count()  # the single action
+    assert obs_out.get["n_rows"] == n_kept_action
+    assert obs_in.get["n_rows"] == docs.count()
+    assert obs_in.get["n_chars"] == docs.agg(F.sum("n_chars")).first()[0]

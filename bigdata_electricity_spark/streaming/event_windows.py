@@ -279,3 +279,39 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+def streaming_foreach_batch_export(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: each micro-batch of a per-type rollup is
+    APPENDED to a parquet directory with its batch id stamped on.
+
+    foreachBatch is the production write path for sinks without native
+    streaming support (JDBC, lakehouse tables): the batch DataFrame is a
+    normal DataFrame inside the callback, so any batch writer works, and
+    the (batch_id, epoch) pair gives exactly-once bookkeeping on
+    replayable sources. Returns the number of micro-batches written.
+    """
+    from pyspark.sql import functions as F
+
+    events = _read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    seen: list[int] = []
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        seen.append(batch_id)
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return len(seen)

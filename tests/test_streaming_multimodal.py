@@ -153,3 +153,26 @@ def test_streaming_dedup_collapses_doubled_stream(spark):
     }
     # The 2× unioned stream must dedup back to exactly the batch counts.
     assert got == want
+
+
+def test_foreach_batch_export_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.streaming.event_windows import (
+        streaming_foreach_batch_export,
+    )
+
+    out = str(tmp_path / "stream_export")
+    n_batches = streaming_foreach_batch_export(spark, SF_DIR, out)
+    assert n_batches >= 1
+    # The LAST batch (complete mode) must equal the batch aggregate.
+    written = spark.read.parquet(out)
+    last = written.filter(F.col("batch_id") == n_batches - 1).drop("batch_id")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}

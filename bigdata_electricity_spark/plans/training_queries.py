@@ -254,3 +254,103 @@ def normalize_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import hround
 
     return docs.select("doc_id", "source", hround(z, 6).alias("z")).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+        FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ), per_gram AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           floor((MAX(c) * 1.0 / SUM(c)) * 1000000.0 + 0.5) / 1000000.0
+             AS top_bigram_frac,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher-style): fraction of a doc's bigram mass
+    taken by its single most-repeated bigram — high values flag looping
+    or boilerplate text.
+
+    Per-doc grouping keys on (doc_id, gram), so the shuffle carries
+    gram-count pairs, never text; the bigrams come off a materialized
+    token array (the interpreted-HOF CSE trap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    grams = toked.select("doc_id", F.explode(token_shingles("__toks", 2)).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    from ..functions.rounding import hround
+
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            hround(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_bigram_frac"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS c FROM words GROUP BY tok
+    ), total AS (
+        SELECT SUM(c) AS n FROM vocab
+    )
+    SELECT w.source AS source,
+           floor((AVG(-ln(v.c / total.n))) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_neg_logprob,
+           COUNT(*) AS n_tokens
+    FROM words w, total
+    JOIN vocab v ON w.tok = v.tok
+    GROUP BY w.source
+    ORDER BY source
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score: average negative log-probability
+    of each source's tokens under the whole-corpus unigram distribution
+    (the simplest KenLM-style quality signal — outlier sources read as
+    high 'perplexity').
+
+    Two passes over the exploded tokens: one tiny vocab aggregate (the
+    LM — broadcast back), then a broadcast join + per-source average.
+    The vocabulary, not the corpus, bounds the broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    vocab = words.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    from ..functions.rounding import hround
+
+    return (
+        words.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            hround(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

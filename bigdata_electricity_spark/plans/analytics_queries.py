@@ -6,7 +6,7 @@ SURVEY §2.7), establishing the engine as a general analytics layer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.loaders import load_table
 from ..functions.rounding import dround, hround
@@ -192,4 +192,44 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.avg("value"), 6).alias("mean"),
         )
         .orderBy("measure")
+    )
+
+
+@query(
+    "binning_equal_frequency",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           {dround("MIN(o_totalprice)", 2)} AS lo,
+           {dround("MAX(o_totalprice)", 2)} AS hi
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def binning_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: decile bins of order value via
+    NTILE, with per-bin boundaries — the quantile-binning feature
+    transform (complement of the fixed-width histogram query).
+
+    Tie-broken on the unique orderkey so bin assignment is deterministic
+    across engines. NTILE needs a global order (single-partition window
+    at scale) — the scalable alternative is approx-quantile cut points
+    (clean_outlier_iqr shows that path); this query is the exact variant.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.min("o_totalprice"), 2).alias("lo"),
+            hround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
     )

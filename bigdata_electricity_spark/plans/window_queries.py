@@ -172,3 +172,46 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_user_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 AS gap_sec
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           SUM(CASE WHEN gap_sec > 3600.0 THEN 1 ELSE 0 END) AS n_gaps_over_1h,
+           CAST(floor(MAX(gap_sec)) AS BIGINT) AS max_gap_sec
+    FROM gaps
+    WHERE gap_sec IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cadence gaps: lag over (PARTITION BY user_id ORDER BY ts)
+    — the scalable shape of the reference's gap detection
+    (Cleaning.scala:68-79 runs the same lag over a GLOBAL order, a
+    single-partition funnel; partitioning by the entity key is the 100 TB
+    fix, SURVEY §4.3.3). Tie-broken on event_id for determinism.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ→ts is tz-free under UTC
+    gap = epoch - F.lag(epoch, 1).over(w)
+    return (
+        events.select("user_id", gap.alias("gap_sec"))
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(F.when(F.col("gap_sec") > 3600.0, 1).otherwise(0)).alias("n_gaps_over_1h"),
+            F.floor(F.max("gap_sec")).cast("bigint").alias("max_gap_sec"),
+        )
+        .orderBy("user_id")
+    )

@@ -215,3 +215,48 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_twap_by_user",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, value,
+               EXTRACT(EPOCH FROM
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts)
+                 AS dt
+        FROM events
+    )
+    SELECT user_id,
+           floor((SUM(value * dt) / SUM(dt)) * 1000000.0 + 0.5) / 1000000.0
+             AS twap,
+           COUNT(*) AS n_spans
+    FROM spans
+    WHERE dt IS NOT NULL AND dt > 0.0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading is weighted by
+    how long it was 'current' (until the next event) — the correct
+    average for irregularly-sampled telemetry, where a plain AVG
+    over-weights bursts.
+
+    One lead window partitioned by user (entity-parallel, no global
+    sort), then a plain grouped ratio-of-sums.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    dt = F.lead(epoch, 1).over(w) - epoch
+    return (
+        events.select("user_id", "value", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull() & (F.col("dt") > 0.0))
+        .groupBy("user_id")
+        .agg(
+            hround(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .orderBy("user_id")
+    )

@@ -169,3 +169,13 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_cluster_sizes(emb, k=8, seed=42)
+
+
+@query("streaming_stream_stream_join")  # rows-only: join-state emission timing
+def streaming_stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views ⋈ purchases within 1h, both
+    sides watermarked — bounded join state); per-user pair counts.
+    Batch equivalence asserted in tests/test_streaming_multimodal.py."""
+    from ..streaming.event_windows import streaming_stream_stream_join
+
+    return streaming_stream_stream_join(spark, sf_dir)

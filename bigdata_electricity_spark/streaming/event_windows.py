@@ -315,3 +315,40 @@ def streaming_foreach_batch_export(spark: SparkSession, sf_dir: str, out_dir: st
     finally:
         query.stop()
     return len(seen)
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views joined to the same user's
+    purchases within the following hour, both sides watermarked.
+
+    The hardest streaming op: both sides buffer state, and the interval
+    condition + watermarks bound how long each view/purchase is held
+    (without them the join state grows forever). Per-user counts of
+    converted views come out; batch equivalence is asserted in tests.
+    """
+    name = f"stream_ssjoin_{next(_COUNTER)}"
+    views = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("v_user").alias("user_id"), "v_ts", "p_ts")
+    _run_to_completion(joined, name, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+        .orderBy("user_id")
+    )

@@ -176,3 +176,34 @@ def test_foreach_batch_export_matches_batch(spark, tmp_path):
              F.round(F.sum("value"), 2).alias("total_value"))
     )
     assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.streaming.event_windows import (
+        streaming_stream_stream_join,
+    )
+
+    got = {tuple(r) for r in streaming_stream_stream_join(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        tuple(r)
+        for r in views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -179,3 +179,17 @@ def streaming_stream_stream_join_query(spark: SparkSession, sf_dir: str) -> Data
     from ..streaming.event_windows import streaming_stream_stream_join
 
     return streaming_stream_stream_join(spark, sf_dir)
+
+
+@query("ml_logreg_labels")  # rows-only: solver floats are engine-specific
+def ml_logreg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial logistic regression label←embedding with train/test
+    accuracy vs majority baseline (ml/classification.py). The synthetic
+    labels are uncorrelated with the embeddings (measured: intra-label
+    mean dot ≈ inter-label ≈ 0), so accuracies here sit at chance — the
+    pipeline's learning ability is asserted in tests on planted
+    separable clusters instead."""
+    from ..ml.classification import logreg_label_accuracy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return logreg_label_accuracy(emb, seed=42)

@@ -85,3 +85,30 @@ def test_kmeans_partitions_all_points(spark):
     # Seeded run is reproducible within the engine.
     again = kmeans_cluster_sizes(emb, k=4, seed=42).collect()
     assert [tuple(r) for r in sizes] == [tuple(r) for r in again]
+
+
+def test_logreg_learns_planted_clusters(spark):
+    # The testdata embeddings carry random labels (chance-level by
+    # construction), so learnability is asserted on PLANTED separable
+    # clusters: label k lives around unit axis k.
+    from bigdata_electricity_spark.ml.classification import logreg_label_accuracy
+
+    rows = []
+    for k in range(3):
+        for i in range(40):
+            vec = [0.0] * 8
+            vec[k] = 1.0
+            vec[(k + i) % 8] += 0.1 * ((i % 7) - 3)  # deterministic jitter
+            rows.append((k, vec))
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    row = logreg_label_accuracy(df, seed=42).first()
+    assert row["acc_test"] > row["acc_majority_baseline"] + 0.3
+    assert row["acc_test"] > 0.9
+
+
+def test_logreg_registry_query_runs(spark):
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    row = REGISTRY["ml_logreg_labels"].fn(spark, "/root/testdata/sf0.001").first()
+    assert 0.0 <= row["acc_test"] <= 1.0
+    assert 0.0 <= row["acc_majority_baseline"] <= 1.0

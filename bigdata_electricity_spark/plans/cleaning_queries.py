@@ -224,25 +224,25 @@ def reduction_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transform_onehot",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 1 THEN 1.0 ELSE 0.0 END AS dow_1,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 2 THEN 1.0 ELSE 0.0 END AS dow_2,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 3 THEN 1.0 ELSE 0.0 END AS dow_3,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 4 THEN 1.0 ELSE 0.0 END AS dow_4,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 5 THEN 1.0 ELSE 0.0 END AS dow_5,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 6 THEN 1.0 ELSE 0.0 END AS dow_6,
-           CASE WHEN dayofweek(o_orderdate) + 1 = 7 THEN 1.0 ELSE 0.0 END AS dow_7,
-           CASE WHEN month(o_orderdate) = 1 THEN 1.0 ELSE 0.0 END AS month_1,
-           CASE WHEN month(o_orderdate) = 2 THEN 1.0 ELSE 0.0 END AS month_2,
-           CASE WHEN month(o_orderdate) = 3 THEN 1.0 ELSE 0.0 END AS month_3,
-           CASE WHEN month(o_orderdate) = 4 THEN 1.0 ELSE 0.0 END AS month_4,
-           CASE WHEN month(o_orderdate) = 5 THEN 1.0 ELSE 0.0 END AS month_5,
-           CASE WHEN month(o_orderdate) = 6 THEN 1.0 ELSE 0.0 END AS month_6,
-           CASE WHEN month(o_orderdate) = 7 THEN 1.0 ELSE 0.0 END AS month_7,
-           CASE WHEN month(o_orderdate) = 8 THEN 1.0 ELSE 0.0 END AS month_8,
-           CASE WHEN month(o_orderdate) = 9 THEN 1.0 ELSE 0.0 END AS month_9,
-           CASE WHEN month(o_orderdate) = 10 THEN 1.0 ELSE 0.0 END AS month_10,
-           CASE WHEN month(o_orderdate) = 11 THEN 1.0 ELSE 0.0 END AS month_11,
-           CASE WHEN month(o_orderdate) = 12 THEN 1.0 ELSE 0.0 END AS month_12
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 1 THEN 1 ELSE 0 END AS DOUBLE) AS dow_1,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 2 THEN 1 ELSE 0 END AS DOUBLE) AS dow_2,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 3 THEN 1 ELSE 0 END AS DOUBLE) AS dow_3,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 4 THEN 1 ELSE 0 END AS DOUBLE) AS dow_4,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 5 THEN 1 ELSE 0 END AS DOUBLE) AS dow_5,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 6 THEN 1 ELSE 0 END AS DOUBLE) AS dow_6,
+           CAST(CASE WHEN dayofweek(o_orderdate) + 1 = 7 THEN 1 ELSE 0 END AS DOUBLE) AS dow_7,
+           CAST(CASE WHEN month(o_orderdate) = 1 THEN 1 ELSE 0 END AS DOUBLE) AS month_1,
+           CAST(CASE WHEN month(o_orderdate) = 2 THEN 1 ELSE 0 END AS DOUBLE) AS month_2,
+           CAST(CASE WHEN month(o_orderdate) = 3 THEN 1 ELSE 0 END AS DOUBLE) AS month_3,
+           CAST(CASE WHEN month(o_orderdate) = 4 THEN 1 ELSE 0 END AS DOUBLE) AS month_4,
+           CAST(CASE WHEN month(o_orderdate) = 5 THEN 1 ELSE 0 END AS DOUBLE) AS month_5,
+           CAST(CASE WHEN month(o_orderdate) = 6 THEN 1 ELSE 0 END AS DOUBLE) AS month_6,
+           CAST(CASE WHEN month(o_orderdate) = 7 THEN 1 ELSE 0 END AS DOUBLE) AS month_7,
+           CAST(CASE WHEN month(o_orderdate) = 8 THEN 1 ELSE 0 END AS DOUBLE) AS month_8,
+           CAST(CASE WHEN month(o_orderdate) = 9 THEN 1 ELSE 0 END AS DOUBLE) AS month_9,
+           CAST(CASE WHEN month(o_orderdate) = 10 THEN 1 ELSE 0 END AS DOUBLE) AS month_10,
+           CAST(CASE WHEN month(o_orderdate) = 11 THEN 1 ELSE 0 END AS DOUBLE) AS month_11,
+           CAST(CASE WHEN month(o_orderdate) = 12 THEN 1 ELSE 0 END AS DOUBLE) AS month_12
     FROM orders
     """,
 )

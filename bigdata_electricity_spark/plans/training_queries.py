@@ -148,7 +148,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM placed
@@ -197,7 +197,7 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 15 ELSE 5 END AS quota
         FROM documents
     )
-    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM ranked WHERE rn <= quota
     GROUP BY source
     ORDER BY source

@@ -185,7 +185,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_gaps,
-           SUM(CASE WHEN gap_sec > 3600.0 THEN 1 ELSE 0 END) AS n_gaps_over_1h,
+           CAST(SUM(CASE WHEN gap_sec > 3600.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1h,
            CAST(floor(MAX(gap_sec)) AS BIGINT) AS max_gap_sec
     FROM gaps
     WHERE gap_sec IS NOT NULL

@@ -438,20 +438,27 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost by never filling small orders of one brand.
 
-    The correlated per-part AVG subquery is decorrelated by hand: one
-    grouped aggregate over lineitem (all parts — cheap, it shuffles only
-    (partkey, sum, count)), broadcast-joined back on partkey. This is
-    exactly the rewrite Catalyst performs for correlated scalar
-    subqueries, made explicit in the DataFrame API.
+    The correlated per-part AVG subquery is decorrelated by hand, but the
+    aggregate is computed only over the lineitems of the brand-filtered
+    parts: lineitem is first semi-joined to the (small, broadcast) part
+    subset, then the per-part cutoff is aggregated over that subset.
+    The cutoff aggregate is therefore |brand parts|-proportional — NOT
+    |all parts|-proportional — so broadcasting it stays safe at any
+    corpus scale. (The earlier revision grouped over ALL lineitem
+    partkeys and force-broadcast the result: |part|-proportional driver
+    memory, an OOM at the 100 TB target. tests/test_physical_plans.py
+    asserts the all-parts aggregate never feeds a BroadcastExchange.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+    # Restrict lineitem to brand parts ONCE; both the cutoff aggregate
+    # and the probe side reuse this filtered plan.
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part_avg = brand_li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cutoff")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
+        brand_li.join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(
             hround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),

@@ -116,6 +116,22 @@ def test_tpch_q6_is_join_free_scan_agg(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_tpch_q17_broadcast_aggregate_is_brand_bounded(spark):
+    # The per-part qty cutoff is broadcast — legal ONLY because it is
+    # aggregated over the brand-filtered lineitem subset (|brand parts|
+    # rows), never over all partkeys (|part| rows — an OOM at 100 TB).
+    # The cutoff aggregate prints its subtree after itself, so the brand
+    # pushdown filter must appear BELOW (after) the aggregate node.
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    agg_pos = plan.find("output=[avg_partkey")
+    assert agg_pos != -1, plan[:2000]
+    subtree = plan[agg_pos:]
+    assert "EqualTo(p_brand,Brand#3)" in subtree, subtree[:2000]
+    # And the cutoff side still broadcasts (the point of the rewrite).
+    cutoff_build = plan.rfind("BroadcastExchange", 0, agg_pos)
+    assert cutoff_build != -1
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The eval-source gram set must broadcast — the training side (the
     # 100 TB side) streams through the join without shuffling.

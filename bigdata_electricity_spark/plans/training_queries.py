@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.dedup import ngram_jaccard_pairs, token_shingles
 from ..operators.graph import connected_components
+from ..operators.packing import running_offsets_scalable
 from ..operators.text import normalize_text
 from ..sources.loaders import load_table
 from .registry import query
@@ -160,19 +161,19 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate docs in id order, cut into 512-token
     chunks, assign each doc to the chunk containing its start offset.
 
-    The running offset is a prefix sum over the global doc order — here a
-    single-partition window (fine at test SF). The 100 TB shape — range
-    repartition → per-partition subtotals → broadcast base offsets →
-    per-partition windows — is implemented in operators/packing.py
-    (`running_offsets_scalable`) and proven bit-identical to this window
-    by tests/test_transform_reduction.py.
+    The running offset is a global prefix sum in doc_id order, computed
+    the 100 TB way (operators/packing.py `running_offsets_scalable`):
+    range repartition on doc_id → per-partition token subtotals (one row
+    per partition to the driver) → broadcast base offsets → windows
+    partitioned BY partition id. No single-partition global window
+    anywhere in the plan; bit-identity with the naive global window is
+    asserted by tests/test_transform_reduction.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    placed = sized.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    placed = running_offsets_scalable(sized, id_col="doc_id", size_col="n_tokens")
     return (
         placed.groupBy(
             F.floor(F.col("start_offset") / F.lit(512.0)).cast("bigint").alias("chunk_id")

@@ -132,6 +132,16 @@ def test_tpch_q17_broadcast_aggregate_is_brand_bounded(spark):
     assert cutoff_build != -1
 
 
+def test_packing_prefix_sum_has_no_global_window(spark):
+    # The registry entry must run the scalable two-phase prefix sum:
+    # every window partitioned by the range-partition id, and no
+    # single-partition exchange anywhere (the naive global-order window
+    # would plan Exchange SinglePartition -> Window over all rows).
+    plan = plan_of(spark, "pack_sequences_chunked")
+    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The eval-source gram set must broadcast — the training side (the
     # 100 TB side) streams through the join without shuffling.

@@ -218,14 +218,73 @@ def binning_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie-broken on the unique orderkey so bin assignment is deterministic
     across engines. NTILE needs a global order (single-partition window
-    at scale) — the scalable alternative is approx-quantile cut points
-    (clean_outlier_iqr shows that path); this query is the exact variant.
+    at scale) — this query is the exact small-data variant; the 100 TB
+    twin is `binning_equal_frequency_approx` below (quantile cut points,
+    no global sort anywhere in the plan).
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
         .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.min("o_totalprice"), 2).alias("lo"),
+            hround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "binning_equal_frequency_approx",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice,
+            [CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+             CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+             CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS cs
+        FROM orders
+    ), binned AS (
+        SELECT o_totalprice,
+               CAST(1 + len(list_filter(cs, c -> o_totalprice > c)) AS BIGINT) AS decile
+        FROM orders, cuts
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           {dround("MIN(o_totalprice)", 2)} AS lo,
+           {dround("MAX(o_totalprice)", 2)} AS hi
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def binning_equal_frequency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency deciles the 100 TB way: 9 interpolated quantile
+    cut points (one aggregate — F.percentile ≡ DuckDB quantile_cont, the
+    clean_outlier_iqr parity trick), broadcast back, decile = 1 + number
+    of cut points strictly below the value.
+
+    No NTILE, no global sort: the plan is agg → broadcast → map-side bin
+    assignment → grouped agg. Bin populations can deviate from exact
+    NTILE only where duplicate values straddle a boundary (ties all land
+    in the lower bin on both engines, so parity is exact). The
+    production path swaps F.percentile for approxQuantile when the
+    Greenwald-Khanna error bound is acceptable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [i / 10.0 for i in range(1, 10)]
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in probs])).alias("cs")
+    )
+    binned = orders.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c))
+        ).cast("bigint").alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             hround(F.min("o_totalprice"), 2).alias("lo"),

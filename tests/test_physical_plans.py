@@ -142,6 +142,17 @@ def test_packing_prefix_sum_has_no_global_window(spark):
     assert "Exchange SinglePartition" not in plan, plan[:2000]
 
 
+def test_approx_binning_has_no_global_window(spark):
+    # The scalable binning twin must assign deciles from broadcast cut
+    # points — no NTILE, no window at all, so no full-data global sort.
+    # (The 1-row percentile aggregate's SinglePartition final agg is the
+    # only funnel and carries 9 doubles, not the data.)
+    plan = plan_of(spark, "binning_equal_frequency_approx")
+    assert "Window" not in plan, plan[:2000]
+    assert "ntile(10)" not in plan  # ("percentile" contains "ntile")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The eval-source gram set must broadcast — the training side (the
     # 100 TB side) streams through the join without shuffling.

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.skew import salted_join
 from ..sources.loaders import load_table
+from ..sources.sinks import write_bucketed_table
 from ..functions.rounding import dround, hround
 from .registry import query
 
@@ -255,4 +257,90 @@ def join_outer_hourly_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage"),
         )
         .orderBy("hour")
+    )
+
+
+@query(
+    "join_skew_salted_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {dround("SUM(o.o_totalprice)", 2)} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join: orders salted on custkey across 8
+    buckets, customer replicated ×8, joined on (custkey, salt) — then
+    revenue per market segment.
+
+    The salt splits any pathological hot customer across 8 tasks instead
+    of one straggler; result-identity with the plain join is the oracle
+    check here plus tests/test_skew.py's planted-hot-key property. This
+    is the declarative fallback for skew AQE's runtime splitting can't
+    fix (e.g. a hot key inside a broadcast-ineligible join).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on="custkey", salt_buckets=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "join_bucketed_colocated_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lineitems,
+           {dround("SUM(l.l_quantity)", 2)} AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def join_bucketed_colocated_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located large⋈large join: lineitem and orders bucketed ×8 on
+    the order key at write time, then joined shuffle-free and rolled up
+    by order priority.
+
+    The bucketed write IS the query's point — pay the partitioning once,
+    then every orderkey equi-join between the two tables plans
+    SortMergeJoin with no Exchange (asserted under broadcast demotion in
+    tests/test_physical_plans.py; bucket files pinned under the repo's
+    spark-warehouse so a driver session's cwd doesn't matter).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed_table(
+        li, "colo_lineitem_bkt", "l_orderkey", 8, sort_col="l_orderkey",
+        path="/root/repo/spark-warehouse/colo_lineitem_bkt",
+    )
+    write_bucketed_table(
+        orders, "colo_orders_bkt", "l_orderkey", 8, sort_col="l_orderkey",
+        path="/root/repo/spark-warehouse/colo_orders_bkt",
+    )
+    joined = spark.table("colo_lineitem_bkt").join(
+        spark.table("colo_orders_bkt"), "l_orderkey"
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            hround(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("priority")
     )

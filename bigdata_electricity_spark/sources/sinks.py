@@ -52,7 +52,8 @@ def write_parquet(df: DataFrame, out_dir: str, partition_by: list[str] | None = 
 
 def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
                          n_buckets: int = 16,
-                         sort_col: str | None = None) -> str:
+                         sort_col: str | None = None,
+                         path: str | None = None) -> str:
     """Bucketed managed-table sink: pre-shuffles ONCE at write time so
     every later equi-join/aggregation on ``bucket_col`` between
     co-bucketed tables runs shuffle-free (SortMergeJoin without
@@ -63,10 +64,19 @@ def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
     via ``saveAsTable`` (the bucket metadata lives in the catalog).
     tests/test_bucketing.py asserts the co-located join plan contains no
     shuffle exchange.
+
+    ``path`` pins the table files to an explicit location (external
+    table) — pass it when the session's warehouse dir (defaults to
+    cwd/spark-warehouse) is not a place you control.
     """
+    # saveAsTable cannot redefine an existing EXTERNAL table's layout in
+    # one step on every catalog; drop first so overwrite is total.
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
     return table_name
 

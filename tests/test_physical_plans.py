@@ -153,6 +153,34 @@ def test_approx_binning_has_no_global_window(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_salted_join_entry_joins_on_salt(spark):
+    # The skew entry must actually join on (custkey, __salt) with the
+    # dimension side exploded — otherwise it silently degenerates to the
+    # plain join and the salting demo is a no-op.
+    plan = plan_of(spark, "join_skew_salted_segment_revenue")
+    assert "__salt" in plan, plan[:2000]
+    assert "Generate explode" in plan or "explode" in plan, plan[:2000]
+
+
+def test_bucketed_join_entry_is_shuffle_free(spark):
+    # Under broadcast demotion the co-bucketed join must plan
+    # SortMergeJoin with NO exchange in its subtree — the bucketed
+    # layout replaces the shuffle. (Exchanges above the join — the
+    # rollup and final sort — are expected and cheap.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed_colocated_priority")
+        smj = plan.find("SortMergeJoin")
+        assert smj != -1, plan[:2000]
+        assert "Exchange" not in plan[smj:], plan[smj : smj + 2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS colo_lineitem_bkt")
+        spark.sql("DROP TABLE IF EXISTS colo_orders_bkt")
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The eval-source gram set must broadcast — the training side (the
     # 100 TB side) streams through the join without shuffling.

@@ -198,7 +198,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            o_orderkey,
-           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
            LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
            LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
            CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile,
@@ -583,7 +583,7 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     oracle=f"""
     SELECT label,
-           pos,
+           CAST(pos AS INT) AS pos,
            {dround('AVG(v)', 6)} AS centroid
     FROM (
         SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos

@@ -200,7 +200,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ranked AS (
         SELECT o_totalprice,
-               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
         FROM orders
     )
     SELECT decile, COUNT(*) AS n_orders,

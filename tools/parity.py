@@ -5,6 +5,18 @@ scale factor, compares row count, column names/order-insensitive values,
 and reports per-query PASS/FAIL with a diff sample. Use while iterating:
 
     python tools/parity.py [--time] [sf_dir] [query ...]
+
+`--schemas` runs the arrow-type lint instead of the value compare: the
+value compare stringifies cells, so a DuckDB DECIMAL/HUGEINT oracle
+column is locally indistinguishable from a Spark DOUBLE/BIGINT — but the
+driver's hash is type-sensitive, so that divergence fails its gate (the
+exact class that shipped in round 1). The lint maps the Spark result
+schema and the DuckDB arrow result schema to common tags and FAILs on:
+DECIMAL/HUGEINT anywhere in the oracle output (CAST to BIGINT/DOUBLE),
+int-width mismatches (int32 vs int64), DATE vs TIMESTAMP vs string
+divergence, and any other category mismatch.
+
+    python tools/parity.py --schemas [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -73,6 +85,119 @@ def compare_one(spark, con, spec, sf_dir: str) -> str | None:
     return None
 
 
+def _spark_type_tag(dt) -> str:
+    """Collapse a Spark DataType to a comparable tag."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, (T.ShortType, T.ByteType)):
+        return "int16"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp_tz"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_tag(dt.elementType)}>"
+    return f"other:{dt.simpleString()}"
+
+
+def _arrow_type_tag(t) -> str:
+    """Collapse a pyarrow DataType (DuckDB result) to a comparable tag."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"  # includes HUGEINT results surfaced as decimal128
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_integer(t):  # int8/16, uints, and int128 fallbacks
+        return "int16" if t.bit_width <= 16 else f"int{t.bit_width}"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp_tz" if t.tz else "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_tag(t.value_type)}>"
+    return f"other:{t}"
+
+
+def lint_schemas(sf_dir: str, names: list[str] | None = None) -> int:
+    """Arrow-type lint over every oracle'd query. Returns #failures.
+
+    Spark side is schema-only (no job runs); the DuckDB oracle executes
+    (cheap at sf0.001) because output types aren't known without it.
+    """
+    spark = get_spark("parity-schemas")
+    con = oracle_connection(sf_dir)
+    failures = 0
+    checked = 0
+    for name, spec in REGISTRY.items():
+        if names and name not in names:
+            continue
+        if spec.oracle is None:
+            continue
+        checked += 1
+        try:
+            s_tags = {
+                f.name: _spark_type_tag(f.dataType)
+                for f in spec.fn(spark, sf_dir).schema.fields
+            }
+            tbl = con.execute(spec.oracle).arrow()
+            d_tags = {f.name: _arrow_type_tag(f.type) for f in tbl.schema}
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: error: {exc}")
+            failures += 1
+            continue
+        probs = []
+        for col in sorted(set(s_tags) | set(d_tags)):
+            st, dt = s_tags.get(col), d_tags.get(col)
+            if st is None or dt is None:
+                probs.append(f"{col}: only on {'duck' if st is None else 'spark'} side")
+                continue
+            if "decimal" in dt or "int128" in dt:
+                probs.append(f"{col}: oracle emits {dt} — CAST to BIGINT/DOUBLE")
+            if "decimal" in st:
+                probs.append(f"{col}: spark emits {st} — cast to bigint/double")
+            if st != dt and "decimal" not in (st, dt):
+                probs.append(f"{col}: spark={st} duck={dt}")
+        if probs:
+            print(f"FAIL {name}: " + "; ".join(probs))
+            failures += 1
+        else:
+            print(f"PASS {name}")
+    print(f"-- schema lint: {checked} oracles checked, {failures} failed")
+    spark.stop()
+    return failures
+
+
 def run(sf_dir: str, names: list[str] | None = None, timed: bool = False) -> int:
     unknown = set(names or []) - set(REGISTRY)
     if unknown:
@@ -108,7 +233,10 @@ def run(sf_dir: str, names: list[str] | None = None, timed: bool = False) -> int
 if __name__ == "__main__":
     args = sys.argv[1:]
     timed = "--time" in args
-    args = [a for a in args if a != "--time"]
+    schemas = "--schemas" in args
+    args = [a for a in args if a not in ("--time", "--schemas")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or None
+    if schemas:
+        sys.exit(1 if lint_schemas(sf_dir, names) else 0)
     sys.exit(1 if run(sf_dir, names, timed=timed) else 0)

@@ -25,9 +25,14 @@ def load_rounds(root: str) -> list[tuple[int, dict]]:
             continue
         try:
             with open(path) as fh:
-                rounds.append((int(m.group(1)), json.load(fh)))
+                data = json.load(fh)
         except (json.JSONDecodeError, OSError) as exc:
             print(f"warn: skipping {path}: {exc}", file=sys.stderr)
+            continue
+        # The driver nests bench.py's JSON line under "parsed".
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        rounds.append((int(m.group(1)), data))
     return sorted(rounds)
 
 

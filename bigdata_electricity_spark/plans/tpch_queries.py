@@ -18,6 +18,20 @@ exercises a distinct planner capability:
 - Q18: having-filter on a grouped fact, joined back to dimensions
 - Q19: disjunctive cross-side predicate evaluated post-probe
 - Q22: scalar-subquery cutoff + NOT EXISTS anti join
+- Q5: region-gated 6-way star with the customer-nation = supplier-nation
+  equality (the classic "local supplier" join cycle)
+- Q8: market share — one dimension (nation) joined twice, conditional
+  share ratio per year
+- Q13: left-outer join with an ON-clause filter + two-level aggregation
+  (the canonical count-distribution query)
+- Q16-shape: NOT IN supplier exclusion + COUNT DISTINCT rollup
+  (partsupp does not exist in the testdata; lineitem supplies the
+  part↔supplier pairs)
+- Q20-shape: nested semi-join chain — suppliers shipping >1.5× the
+  per-part average of a name-filtered part family (quantity cutoff
+  aggregated over the filtered subset ONLY, the q17 lesson)
+- Q21-shape: sole-latest-shipper per multi-supplier order (lineitem has
+  only shipdate, so "kept waiting" is re-expressed as "uniquely latest")
 
 Scale notes (100 TB tier): every dim side is explicitly broadcast;
 lineitem⋈orders shuffles on the shared key so AQE can split skew; all
@@ -607,4 +621,331 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
         .agg(hround(F.sum(profit), 2).alias("profit"))
         .orderBy("nation", F.desc("order_year"))
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {dround("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where customer and supplier share a
+    nation, for one region and a 2-year window.
+
+    The join cycle (customer→orders→lineitem→supplier plus
+    c_nationkey = s_nationkey) is expressed as an extra equality on the
+    supplier join — Catalyst keeps it a hash-join key pair, no
+    post-filter. All dims broadcast; lineitem⋈orders is the only
+    shuffle. The region gate prunes nation before it ever reaches the
+    fact side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {dround("SUM(CASE WHEN n2.n_name = 'NATION_12' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) / SUM(l.l_extendedprice * (1 - l.l_discount))", 6)} AS mkt_share,
+           COUNT(*) AS n_lineitems
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_12's share of ECONOMY-part revenue sold into the
+    ASIA market, per order year.
+
+    nation joins twice under different roles — the customer side gated
+    through region, the supplier side carried into a conditional sum.
+    The share is one grouped pass: sum(case)/sum, rounded at 1e-6 on
+    both engines so partial-agg order can't flip the hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").alias("n1")
+    n_supp = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            hround(
+                F.sum(F.when(F.col("n2.n_name") == "NATION_12", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed 0, 1, 2, … non-urgent orders.
+
+    The priority predicate lives in the JOIN condition, not a WHERE —
+    customers whose only orders are urgent must still appear with
+    count 0, which a post-join filter would silently drop. Two
+    aggregations: per-customer count (shuffles on custkey — COUNT(col)
+    skips the nulls the outer join manufactures), then the tiny
+    distribution rollup.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy("c_count")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY brand, type, size
+    ORDER BY brand, type, size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) slice,
+    excluding low-balance suppliers. (The testdata has no partsupp;
+    lineitem supplies the observed part↔supplier pairs.)
+
+    The NOT IN becomes a left-anti join against the (tiny, broadcast)
+    excluded-supplier set — null-safe here because s_suppkey is a
+    non-null key. COUNT DISTINCT plans as the two-level expand Spark
+    uses for distinct aggregates; the part filters prune at the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy("brand", "type", "size")
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%widget%'
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), cutoff AS (
+        SELECT l_partkey AS cutoff_partkey, 1.5 * AVG(qty) AS qty_max
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_name AS name, {dround("s.s_acctbal", 2)} AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sh.l_suppkey FROM shipped sh
+        JOIN cutoff c ON sh.l_partkey = c.cutoff_partkey
+        WHERE sh.qty > c.qty_max)
+    ORDER BY name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 1.5× the
+    per-part average quantity of the widget part family in 1998.
+    (No partsupp in the testdata — "available quantity" becomes the
+    per-part average shipped quantity.)
+
+    Nested semi-join chain: the shipped aggregate is computed ONCE over
+    the name-filtered part family (broadcast — |widget parts|-bounded,
+    the q17 discipline), its per-part cutoff re-aggregated from it, and
+    supplier is left-semi-joined to the qualifying suppkeys.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cutoff = shipped.groupBy(F.col("l_partkey").alias("cutoff_partkey")).agg(
+        (F.lit(1.5) * F.avg("qty")).alias("qty_max")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(cutoff), shipped.l_partkey == cutoff.cutoff_partkey)
+        .filter(F.col("qty") > F.col("qty_max"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select(F.col("s_name").alias("name"), hround("s_acctbal", 2).alias("acctbal"))
+        .orderBy("name")
+    )
+
+
+@query(
+    "tpch_q21_sole_late_shipper",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+               COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem GROUP BY l_orderkey
+    ), sole AS (
+        SELECT l.l_orderkey, MIN(l.l_suppkey) AS suppkey
+        FROM lineitem l
+        JOIN per_order p
+          ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
+        WHERE p.n_supp >= 2
+        GROUP BY l.l_orderkey
+        HAVING COUNT(DISTINCT l.l_suppkey) = 1
+    )
+    SELECT s.s_name AS name, COUNT(*) AS numwait
+    FROM sole JOIN supplier s ON sole.suppkey = s.s_suppkey
+    GROUP BY name
+    ORDER BY name
+    """,
+)
+def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, the number of multi-supplier orders
+    where that supplier alone shipped last. (lineitem carries only
+    l_shipdate, so Q21's receipt-vs-commit lateness becomes
+    "uniquely latest ship date in the order".)
+
+    The EXISTS / NOT EXISTS pair of the original decorrelates into one
+    grouped pass over lineitem (max ship date + distinct-supplier count
+    per order), a self-join back on (orderkey, max ship), and a
+    HAVING that keeps orders whose latest shipment came from exactly
+    one supplier. Both shuffles key on l_orderkey — AQE can reuse the
+    exchange; supplier is broadcast at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    sole = (
+        li.join(
+            per_order,
+            (li.l_orderkey == per_order.po_orderkey)
+            & (li.l_shipdate == per_order.max_ship),
+        )
+        .filter(F.col("n_supp") >= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("suppkey"),
+            F.count_distinct("l_suppkey").alias("n_late_supp"),
+        )
+        .filter(F.col("n_late_supp") == 1)
+    )
+    return (
+        sole.join(F.broadcast(supplier), sole.suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy("name")
     )

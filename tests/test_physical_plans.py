@@ -181,6 +181,40 @@ def test_bucketed_join_entry_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS colo_orders_bkt")
 
 
+def test_tpch_q5_broadcasts_all_dims(spark):
+    # The Q5 join cycle must stay broadcast-heavy: customer, supplier,
+    # nation, region all build-side; the c_nationkey = s_nationkey
+    # equality is a join key, not a post-join filter (no cartesian).
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q20_cutoff_is_part_family_bounded(spark):
+    # Like q17: the qty cutoff broadcast must aggregate over the
+    # name-filtered part family only — the widget filter sits below the
+    # cutoff aggregate in its printed subtree.
+    plan = plan_of(spark, "tpch_q20_excess_shippers")
+    agg_pos = plan.find("output=[cutoff_partkey")
+    assert agg_pos != -1, plan[:2000]
+    assert "Contains(p_name,widget)" in plan[agg_pos:], plan[agg_pos : agg_pos + 2500]
+
+
+def test_tpch_q21_shuffles_on_orderkey_only(spark):
+    # Both the per-order aggregate and the self-join key on l_orderkey;
+    # supplier broadcasts. No shuffle on any other fact-side key.
+    plan = plan_of(spark, "tpch_q21_sole_late_shipper")
+    n_orderkey = plan.count("hashpartitioning(l_orderkey")
+    n_all = plan.count("Exchange hashpartitioning")
+    assert n_orderkey >= 2, plan[:2000]
+    # Remaining hash exchanges may only be the tiny post-agg rollups
+    # (suppkey/name grouping after the data has collapsed to per-order
+    # rows) — never a second fact-wide key.
+    assert n_all - n_orderkey <= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The eval-source gram set must broadcast — the training side (the
     # 100 TB side) streams through the join without shuffling.

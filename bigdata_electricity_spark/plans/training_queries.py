@@ -355,3 +355,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_shard_assignment",
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 32 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sharding: every doc hashes to one of 32
+    shards via an md5 prefix — the reproducible global shuffle a
+    training pipeline runs before packing (same doc → same shard on any
+    cluster, any partitioning, any engine; Spark's built-in hash() is
+    seed/engine-specific, md5 is not).
+
+    The per-shard rollup here verifies balance (the property that
+    matters at 100 TB: no hot shard). Downstream, in-shard order is
+    "sort by md5 within hash-partition(shard)" — fully parallel, no
+    global sort. Map-side: the md5 + modulus are pure projections.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+        F.lit(32),
+    ).alias("shard")
+    return (
+        docs.select(shard, "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

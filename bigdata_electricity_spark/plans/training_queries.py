@@ -403,3 +403,103 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_U01 = (
+    "CAST(CAST(('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)"
+    " / 16777216.0"
+)
+
+
+def _u01_spark() -> F.Column:
+    """Uniform-[0,1) from a salted md5 prefix — the engine-independent
+    "random" used for reproducible sampling/splitting (same doc → same
+    draw on Spark, DuckDB, or anything else with md5)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, n_chars, {_U01} AS u
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM scored
+    WHERE u < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                   THEN 0.5 ELSE 0.1 END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-domain downsampling: keep a doc iff its salted
+    md5 draw falls under the domain's rate (50% for even sources, 10%
+    for odd) — weighted domain sampling with none of the
+    engine-RNG nondeterminism that makes `sample_events` rows-only.
+
+    At 100 TB this is the standard mixture-control knob: pure map-side
+    projection + filter, no shuffle until the audit rollup, and
+    resumable/replayable because membership is content-addressed, not
+    seeded. The salt ('s') decorrelates the draw from
+    corpus_shard_assignment's md5.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.5)
+    ).otherwise(F.lit(0.1))
+    return (
+        docs.select("source", "n_chars", _u01_spark().alias("u"), rate.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "split_hash_deterministic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, {_U01} AS u
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def split_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the same
+    salted-md5 draw: a doc's split never changes across runs, engines,
+    or repartitions — the property that keeps eval sets stable while a
+    100 TB corpus is rebuilt incrementally (randomSplit re-rolls
+    membership whenever partitioning shifts; this never does).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = _u01_spark()
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("source", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )

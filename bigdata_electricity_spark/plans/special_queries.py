@@ -193,3 +193,31 @@ def ml_logreg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return logreg_label_accuracy(emb, seed=42)
+
+
+@query(
+    "export_corpus_manifest",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def export_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish the corpus as lang-partitioned parquet and certify the
+    result: the manifest counts come from reading BACK the written
+    files, not from the input plan — so a short write (lost partition,
+    failed task) shows up as a count mismatch against the oracle.
+
+    The partition column is the mixture-control handle at scale: a
+    trainer reads `lang=en/` directly and directory pruning keeps other
+    partitions unscanned. Output pinned under the repo warehouse so a
+    driver session's cwd is irrelevant.
+    """
+    from ..sources.sinks import export_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return export_corpus(
+        docs, "/root/repo/spark-warehouse/corpus_export", "lang"
+    ).select("lang", "n_docs")

@@ -1,0 +1,56 @@
+"""Spark-side-only timing of every registry query at a given SF.
+
+parity.py checks values at sf0.01; this runs ONLY the Spark side at a
+larger SF (default sf0.1, 10× the driver's correctness SF) and flags
+queries whose runtime scales pathologically — the local proxy for "would
+this survive the next 10×". No DuckDB, no value compare.
+
+    python tools/time_all.py [sf_dir] [--flag-sec N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bigdata_electricity_spark.plans import REGISTRY  # noqa: E402
+from bigdata_electricity_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    flag_sec = 10.0
+    if "--flag-sec" in args:
+        i = args.index("--flag-sec")
+        flag_sec = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    spark = get_spark("time-all")
+    timings: list[tuple[float, str]] = []
+    failures = 0
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            failures += 1
+            continue
+        dt = time.perf_counter() - t0
+        timings.append((dt, name))
+        print(f"{dt:7.2f}s  {n:>9} rows  {name}")
+    timings.sort(reverse=True)
+    print("\n-- slowest 10:")
+    for dt, name in timings[:10]:
+        mark = "  <-- FLAG" if dt > flag_sec else ""
+        print(f"{dt:7.2f}s  {name}{mark}")
+    flagged = [n for dt, n in timings if dt > flag_sec]
+    print(f"-- {len(timings)} ran, {failures} errors, {len(flagged)} over {flag_sec:.0f}s: {flagged}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

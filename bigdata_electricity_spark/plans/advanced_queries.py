@@ -610,3 +610,121 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(hround(F.avg("v"), 6).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events
+    )
+    SELECT user_id,
+           strftime(CAST(ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS last_ts,
+           event_type AS last_event_type,
+           {dround('value', 2)} AS last_value,
+           n_versions
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: collapse an append-only event log to the
+    latest row per key (CDC upsert materialization, latest-wins).
+
+    The scalable shape is ``max_by`` over a ``(ts, event_id)`` ordering
+    struct — ONE partial-aggregatable hash aggregate whose state is a
+    single row per key, so the map side already discards superseded
+    versions and the shuffle carries one candidate per key per
+    partition. A ROW_NUMBER window (the oracle's formulation) would
+    instead shuffle EVERY version and sort within each key — at a 100 TB
+    changelog the aggregate formulation is the difference between
+    carrying the live set and carrying the full history. ``event_id``
+    breaks timestamp ties deterministically on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("ts", "event_type", "value"), ord_key).alias("last"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(
+            "user_id",
+            F.date_format("last.ts", _TS_FMT_SPARK).alias("last_ts"),
+            F.col("last.event_type").alias("last_event_type"),
+            hround(F.col("last.value"), 2).alias("last_value"),
+            "n_versions",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_locf_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n, {dround('AVG(value)', 4)} AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ), calendar AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL '1 day')) AS DATE) AS day
+        FROM bounds
+    ), grid AS (
+        SELECT u.user_id, c.day
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN calendar c
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(d.n, 0) AS n_events,
+           last_value(d.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+)
+def events_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily series densified onto a full calendar with
+    last-observation-carried-forward imputation of the daily mean.
+
+    Gap filling for downstream feature windows: the date spine comes from
+    one 1-row bounds aggregate exploded via ``sequence`` and is
+    cross-joined (broadcast — |days| rows) onto the distinct keys, so the
+    grid build is map-side fan-out, never a shuffle of the fact table.
+    LOCF is ``last(ignorenulls)`` over a per-user running frame — state
+    is one value per key, and the window partitions by user so no global
+    sort exists. Days before a user's first observation stay NULL
+    (nothing to carry). The daily mean is rounded BEFORE the carry so
+    both engines propagate bit-identical values.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = events.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("n"), hround(F.avg("value"), 4).alias("v")
+    )
+    spine = (
+        events.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    grid = events.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -258,3 +258,63 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_QUALITY = """floor((LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+                      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 0.5) * 1000000.0 + 0.5) / 1000000.0"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_DUCK_PREFIX_FP} AS fp, {_DUCK_QUALITY} AS q
+        FROM documents
+    ), ranked AS (
+        SELECT fp, doc_id, q,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY fp) AS n_members
+        FROM scored
+    )
+    SELECT fp, doc_id AS keep_doc_id, q AS keep_quality, n_members
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    ORDER BY fp
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (prefix fingerprint — md5 of the first 8 normalized tokens), keep the
+    HIGHEST-quality document instead of the arbitrary lowest id.
+
+    The curation refinement on top of `dedup_exact_groups`: dedup should
+    discard the worse copies, not a random one. One shuffle on the
+    16-byte fingerprint serves both the rank and the member count
+    (same window partitioning → single Exchange); bodies never shuffle —
+    only (fp, doc_id, q). Ties on the rounded score break to the lowest
+    doc_id so both engines pick the same winner. Only multi-member
+    clusters surface (singletons are no-ops for dedup).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8))
+    ).alias("fp")
+    scored = docs.select("doc_id", fp, hround(quality_score(F.col("text")), 6).alias("q"))
+    w_rank = Window.partitionBy("fp").orderBy(F.col("q").desc(), "doc_id")
+    w_fp = Window.partitionBy("fp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_fp))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "fp",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("q").alias("keep_quality"),
+            "n_members",
+        )
+        .orderBy("fp")
+    )

@@ -221,3 +221,31 @@ def export_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_corpus(
         docs, "/root/repo/spark-warehouse/corpus_export", "lang"
     ).select("lang", "n_docs")
+
+
+@query("sketch_shard_merge")  # rows-only: HLL estimates are implementation-specific
+def sketch_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: one HLL sketch of user_id PER DAY, then a
+    lossless union across days vs a direct sketch over all events.
+
+    The pattern behind incremental distinct counts at 100 TB: store a
+    fixed-size (~KB) sketch per partition/day at ingest, answer any
+    rollup later by UNIONING sketches — the raw data is never re-scanned
+    and the merge input is |days|·KB regardless of row count. Datasketches
+    HLL union is exact over sub-sketches, so the merged estimate EQUALS
+    the direct single-pass estimate (asserted in tests/test_sketches.py);
+    both are implementation-specific estimates → rows-only check.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_distinct_users"),
+        F.countDistinct("user_id").alias("exact_distinct_users"),
+    )
+    return merged.crossJoin(F.broadcast(direct))

@@ -220,3 +220,34 @@ def test_decontamination_broadcasts_eval_grams(spark):
     # 100 TB side) streams through the join without shuffling.
     plan = plan_of(spark, "decon_ngram_overlap")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_latest_state_is_one_aggregate_no_window(spark):
+    """Changelog compaction must plan as a partial-aggregatable max_by —
+    one hash shuffle on the key, no Window (a window formulation would
+    shuffle and sort EVERY version instead of one candidate per key per
+    partition)."""
+    plan = plan_of(spark, "cdc_latest_state")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_keep_best_windows_share_one_exchange(spark):
+    """Rank and member-count windows both partition on the fingerprint,
+    so they must reuse a single Exchange; only (fp, doc_id, q) shuffles,
+    never document bodies."""
+    plan = plan_of(spark, "dedup_keep_best_quality")
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    hash_ex = plan.split("Exchange hashpartitioning", 1)[1][:80]
+    assert "fp#" in hash_ex
+    assert "text" not in hash_ex
+
+
+def test_locf_single_partition_only_for_bounds(spark):
+    """The date spine comes from a 1-row bounds aggregate (the only
+    SinglePartition allowed); the fact table itself never collapses to
+    one partition and the spine reaches the grid via broadcast."""
+    plan = plan_of(spark, "events_locf_gap_fill")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -24,3 +24,15 @@ def test_approx_within_bounds(spark):
     # KLL accuracy=10000 → rank error ~1e-4; compare by value within 1%.
     for approx, true in zip(got["price_quantiles"], exact["q"]):
         assert abs(approx - true) <= 0.01 * abs(true)
+
+
+def test_shard_merge_union_equals_direct(spark):
+    """HLL union over per-day sub-sketches must equal the direct
+    single-pass sketch (lossless mergeability — the property that makes
+    pre-aggregated daily sketches usable for arbitrary later rollups)."""
+    got = REGISTRY["sketch_shard_merge"].fn(spark, SF_DIR).first()
+    assert got["merged_distinct_users"] == got["direct_distinct_users"]
+    assert got["n_daily_sketches"] >= 1
+    # Default lgConfigK=12 on ~15 distinct keys: estimate is near-exact.
+    exact = got["exact_distinct_users"]
+    assert abs(got["merged_distinct_users"] - exact) <= max(1, 0.05 * exact)

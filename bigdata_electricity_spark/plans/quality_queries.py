@@ -1,0 +1,349 @@
+"""Data-quality / robust-statistics queries (training-pipeline extension).
+
+Robust outlier profiling (median/MAD), winsorization, a single-pass
+constraint audit, per-document token entropy, and temperature-flattened
+language mixing — the quality-control stages of a large-corpus pipeline.
+All five are oracle-checked: every statistic is either exact-integer or
+an interpolated percentile / deterministic hash draw that both engines
+compute identically (registry determinism rules, SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+# 3.5 × 1.4826 (the normal-consistency constant): pre-multiplied so both
+# engines compare against the same literal, not their own float product.
+_MAD_K = "5.1891"
+
+# Salted md5 → uniform[0,1) draw keyed on doc_id. Salt 't' decorrelates
+# from sample_hash_bernoulli ('s') and corpus_shard_assignment (unsalted).
+_U01T = (
+    "CAST(CAST(('0x' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)"
+    " / 16777216.0"
+)
+
+
+def _u01t_spark() -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("t"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+
+
+@query(
+    "clean_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS med,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+        SELECT l.l_returnflag,
+               abs(l.l_extendedprice - m.med) AS adev,
+               m.med, m.n_rows
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           {dround('any_value(d.med)', 6)} AS med,
+           {dround('any_value(ma.mad)', 6)} AS mad,
+           any_value(d.n_rows) AS n_rows,
+           CAST(SUM(CASE WHEN d.adev > CAST({_MAD_K} AS DOUBLE) * ma.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ma USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def clean_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per return flag — the
+    heavy-tail-safe sibling of `clean_outlier_iqr` (reference
+    Cleaning.scala's IQR filter generalized to the robust-z rule
+    |x − med| > 3.5·1.4826·MAD).
+
+    Scale shape: two grouped exact-percentile aggregates over a
+    3-group key, each result broadcast back — lineitem is scanned
+    three times but never shuffled on anything wider than
+    l_returnflag, and the broadcast sides are |distinct flags| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    out = (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .filter(F.col("adev") > F.lit(float(_MAD_K)) * F.col("mad"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(out, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            hround("med", 6).alias("med"),
+            hround("mad", 6).alias("mad"),
+            "n_rows",
+            F.coalesce(F.col("n_outliers"), F.lit(0).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "transform_winsorize",
+    oracle=f"""
+    WITH q AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+    ), c AS (
+        SELECT l.l_returnflag,
+               l.l_extendedprice AS raw,
+               least(greatest(l.l_extendedprice, q.p01), q.p99) AS w,
+               CASE WHEN l.l_extendedprice < q.p01 OR l.l_extendedprice > q.p99
+                    THEN 1 ELSE 0 END AS clip
+        FROM lineitem l CROSS JOIN q
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dround('avg(raw)', 4)} AS avg_raw,
+           {dround('avg(w)', 4)} AS avg_winsor,
+           CAST(SUM(clip) AS BIGINT) AS n_clipped
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def transform_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize l_extendedprice at global p01/p99 and report per-flag
+    raw-vs-clipped means — the tail-clipping normalization stage
+    (extends reference Transformation.scala's min-max scale, P13/M7).
+
+    Scale shape: one global exact-percentile aggregate (a 2-double
+    result) broadcast via crossJoin, then a map-side clip and one
+    grouped aggregate — no extra shuffle of the fact table. At 100 TB
+    swap F.percentile for percentile_approx; exact is used here so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))).alias("qs")
+    ).select(F.col("qs")[0].alias("p01"), F.col("qs")[1].alias("p99"))
+    price = F.col("l_extendedprice")
+    clipped = li.crossJoin(F.broadcast(q)).select(
+        "l_returnflag",
+        price.alias("raw"),
+        F.least(F.greatest(price, F.col("p01")), F.col("p99")).alias("w"),
+        F.when((price < F.col("p01")) | (price > F.col("p99")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("clip"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            hround(F.avg("raw"), 4).alias("avg_raw"),
+            hround(F.avg("w"), 4).alias("avg_winsor"),
+            F.sum("clip").cast("long").alias("n_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "validate_constraints",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS rows_total,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_quantity,
+               SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS discount_out_of_range,
+               SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS tax_out_of_range,
+               SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_returnflag,
+               SUM(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS bad_linestatus,
+               SUM(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+                          OR l_shipdate >= TIMESTAMP '2031-01-01' THEN 1 ELSE 0 END) AS shipdate_out_of_range
+        FROM lineitem
+    )
+    SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+        SELECT 'rows_total' AS rule, rows_total AS violations FROM a
+        UNION ALL SELECT 'null_orderkey', null_orderkey FROM a
+        UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity FROM a
+        UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM a
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM a
+        UNION ALL SELECT 'tax_out_of_range', tax_out_of_range FROM a
+        UNION ALL SELECT 'bad_returnflag', bad_returnflag FROM a
+        UNION ALL SELECT 'bad_linestatus', bad_linestatus FROM a
+        UNION ALL SELECT 'shipdate_out_of_range', shipdate_out_of_range FROM a
+    )
+    ORDER BY rule
+    """,
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass declarative constraint audit over lineitem (nullity,
+    ranges, domain membership, date sanity) unpivoted to (rule,
+    violations) rows — the expectation-suite pattern (deequ-style)
+    expressed as ONE aggregate job.
+
+    Scale shape: every rule is a conditional-count inside a single
+    partial+final aggregate, so auditing N rules costs exactly one scan
+    and one 1-row shuffle regardless of N — the observability pattern
+    `observe`-based stage metrics also use (operators/observability.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    agged = li.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        viol(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        viol(F.col("l_quantity") <= 0).alias("nonpositive_quantity"),
+        viol(F.col("l_extendedprice") <= 0).alias("nonpositive_price"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("discount_out_of_range"),
+        viol((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).alias("tax_out_of_range"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_returnflag"),
+        viol(~F.col("l_linestatus").isin("O", "F")).alias("bad_linestatus"),
+        viol(
+            (F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("2031-01-01").cast("timestamp"))
+        ).alias("shipdate_out_of_range"),
+    )
+    rules = [
+        "rows_total",
+        "null_orderkey",
+        "nonpositive_quantity",
+        "nonpositive_price",
+        "discount_out_of_range",
+        "tax_out_of_range",
+        "bad_returnflag",
+        "bad_linestatus",
+        "shipdate_out_of_range",
+    ]
+    stack_args = ", ".join(f"'{r}', {r}" for r in rules)
+    return agged.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, violations)"
+    ).orderBy("rule")
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           {dround('entropy(tok)', 6)} AS token_entropy
+    FROM toks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the whitespace-token
+    distribution — a repetition/diversity quality signal that, unlike
+    text_repetition's top-fraction heuristic, sees the whole
+    distribution. H = log2(N) − Σ c·log2(c)/N over token counts c.
+
+    Scale shape: explode → two grouped aggregates, first keyed
+    (doc_id, tok) then doc_id. Entropy in this decomposed form is
+    algebraic over token counts, so both aggregates get map-side
+    partial aggregation; nothing ever materializes a per-doc token
+    map in one task's memory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        hround(F.log2(F.col("n_tokens")) - F.col("clog") / F.col("n_tokens"), 6).alias(
+            "token_entropy"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mix_lang_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ), m AS (
+        SELECT MIN(n_total) AS n_min FROM counts
+    ), rates AS (
+        SELECT c.lang, c.n_total,
+               sqrt(CAST(m.n_min AS DOUBLE) / c.n_total) AS keep_rate
+        FROM counts c CROSS JOIN m
+    ), scored AS (
+        SELECT d.lang, {_U01T} AS u FROM documents d
+    ), kept AS (
+        SELECT s.lang, COUNT(*) AS n_kept
+        FROM scored s JOIN rates r ON s.lang = r.lang
+        WHERE s.u < r.keep_rate
+        GROUP BY s.lang
+    )
+    SELECT r.lang, r.n_total,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           {dround('r.keep_rate', 6)} AS keep_rate
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    ORDER BY r.lang
+    """,
+)
+def mix_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing (α = 0.5): keep-rate per
+    language is sqrt(n_min/n_lang), so over-represented languages are
+    downsampled toward the α-tempered distribution (the multilingual
+    sampling rule from the XLM/mC4 lineage) while the rarest language
+    keeps 100%. Membership is a salted-md5 draw — deterministic,
+    replayable, and exactly reproducible by the DuckDB oracle, unlike
+    engine-RNG sampling.
+
+    Scale shape: the per-language rate table is |languages| rows
+    (broadcast); the fact scan is map-only projection + filter; the
+    only fact-table shuffle is the |languages|-key audit rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    minc = counts.agg(F.min("n_total").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(minc)).withColumn(
+        "keep_rate", F.sqrt(F.col("n_min").cast("double") / F.col("n_total"))
+    )
+    kept = (
+        docs.select("lang", _u01t_spark().alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            hround("keep_rate", 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

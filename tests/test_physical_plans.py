@@ -251,3 +251,38 @@ def test_locf_single_partition_only_for_bounds(spark):
     plan = plan_of(spark, "events_locf_gap_fill")
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_constraint_audit_is_one_scan_one_aggregate(spark):
+    # N rules cost one scan + a 1-row partial/final aggregate — adding a
+    # rule must never add a job or a shuffle.
+    plan = plan_of(spark, "validate_constraints")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_entropy_aggregates_are_partial_final(spark):
+    # Two grouped aggregates ((doc_id, tok) then doc_id), each with a
+    # map-side partial — and no global single-partition stage.
+    plan = plan_of(spark, "text_token_entropy")
+    assert plan.count("HashAggregate") >= 4
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lang_temperature_mix_joins_are_broadcast(spark):
+    # The fact table joins only against broadcast |languages|-row sides;
+    # nothing shuffles the corpus on lang.
+    plan = plan_of(spark, "mix_lang_temperature")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mad_outlier_joins_are_broadcast(spark):
+    # Median/MAD per-flag tables are broadcast back; the fact table is
+    # never shuffled on anything but l_returnflag aggregates.
+    plan = plan_of(spark, "clean_outlier_mad")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

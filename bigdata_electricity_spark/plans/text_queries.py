@@ -260,3 +260,149 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("token").alias("top_term"), "tfidf")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM toks
+    ), big AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), pair AS (
+        SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= 5
+    ), uni AS (
+        SELECT w, COUNT(*) AS n_w FROM pos GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n_w) AS DOUBLE) AS t_uni FROM uni
+    ), totb AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS t_pairs FROM big
+    )
+    SELECT p.w1, p.w2, p.n_pair,
+           {dround('log2((CAST(p.n_pair AS DOUBLE) / tb.t_pairs)'
+                   ' * (t.t_uni / ua.n_w) * (t.t_uni / ub.n_w))', 6)} AS pmi
+    FROM pair p
+    JOIN uni ua ON p.w1 = ua.w
+    JOIN uni ub ON p.w2 = ub.w
+    CROSS JOIN tot t CROSS JOIN totb tb
+    ORDER BY w1, w2
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram PMI: log2(p(a,b) / (p(a)·p(b))) over adjacent
+    whitespace-token pairs, reported for pairs seen ≥5 times — the
+    collocation-mining stage of corpus analysis (phrase detection,
+    tokenizer-merge candidates).
+
+    Scale shape: bigrams come from zipping the token array with its
+    own tail (map-side; the array is materialized ONCE before slicing —
+    the HOF-CSE trap), then two grouped counts and a pair↔unigram join
+    keyed on vocabulary terms. No broadcast is forced: at 100 TB the
+    vocabulary can exceed driver memory, so the join shuffles on the
+    term key and AQE may still demote it to broadcast when small. The
+    ≥5 support filter runs before the join, bounding the pair side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("l")
+    )
+    # Materialize the two shifted slices as real columns before zipping
+    # (higher-order functions are CodegenFallback with no CSE).
+    big = (
+        toks.filter(F.size("l") >= 2)
+        .select(
+            F.slice(F.col("l"), 1, F.size("l") - 1).alias("a1"),
+            F.slice(F.col("l"), 2, F.size("l") - 1).alias("a2"),
+        )
+        .select(F.explode(F.arrays_zip("a1", "a2")).alias("bg"))
+        .select(F.col("bg.a1").alias("w1"), F.col("bg.a2").alias("w2"))
+    )
+    pair = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("double").alias("t_uni"))
+    totb = big.agg(F.count(F.lit(1)).cast("double").alias("t_pairs"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    joined = (
+        pair.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+    )
+    pmi = F.log2(
+        (F.col("n_pair").cast("double") / F.col("t_pairs"))
+        * (F.col("t_uni") / F.col("n_a"))
+        * (F.col("t_uni") / F.col("n_b"))
+    )
+    return joined.select(
+        "w1", "w2", "n_pair", hround(pmi, 6).alias("pmi")
+    ).orderBy("w1", "w2")
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), per AS (
+        SELECT w, doc_id, COUNT(*) AS tf FROM pos GROUP BY w, doc_id
+    )
+    SELECT w AS token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(
+               (list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                     ORDER BY doc_id))[1:20], ' ') AS postings
+    FROM per GROUP BY w HAVING COUNT(*) >= 10 ORDER BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, collection
+    frequency, and the first 20 (doc_id:tf) postings in doc order —
+    the retrieval-side artifact of a corpus pipeline.
+
+    Scale shape: (token, doc) term frequencies and the per-token rollup
+    are both partial+final grouped aggregates; postings are capped at
+    20 entries so a stop-word's row stays bounded (a real index shards
+    long posting lists — the cap documents that boundary honestly
+    instead of materializing an unbounded collect_list).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))), 1, 20
+                    ),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"), F.lit(":"), s["tf"].cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+        .select(F.col("w").alias("token"), "df", "cf", "postings")
+        .orderBy("token")
+    )

@@ -503,3 +503,58 @@ def split_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+_U01K = (
+    "CAST(CAST(('0x' || substr(md5('k' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)"
+    " / 16777216.0"
+)
+
+
+@query(
+    "sample_fixed_n_per_group",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, doc_id, {_U01K} AS u FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def sample_fixed_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sampling (N=5 docs per language), chosen by
+    salted-md5 order — the deterministic replacement for per-group
+    reservoir sampling. Same docs every run, on every engine, under any
+    partitioning; `sampleBy` can only promise a *fraction* and drops
+    strata absent from its dict (ROUND_NOTES trap).
+
+    Scale shape: one shuffle on the stratum key, then a rank-and-filter
+    window per group. Spark's WindowGroupLimit pushes the rn<=5 limit
+    into the sort, so no group is ever fully sorted — per-task state is
+    O(N), not O(|group|). Salt 'k' decorrelates from the Bernoulli
+    sampler ('s'), the temperature mixer ('t') and the sharder.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("k"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        docs.withColumn("u", u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
+    )

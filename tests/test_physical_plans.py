@@ -286,3 +286,27 @@ def test_mad_outlier_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_fixed_n_sample_uses_window_group_limit(spark):
+    # The rn<=5 filter must push into the sort (partial + final
+    # WindowGroupLimit) so per-task state is O(N), not O(|group|).
+    plan = plan_of(spark, "sample_fixed_n_per_group")
+    assert plan.count("WindowGroupLimit") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_pmi_counts_before_joining(spark):
+    # The >=5 support filter runs inside the pair aggregate, before any
+    # join; the scalar totals are broadcast, never a shuffle barrier.
+    plan = plan_of(spark, "text_bigram_pmi")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # pair, uni, two totals — partial+final
+
+
+def test_inverted_index_postings_are_capped(spark):
+    # collect_list rides ObjectHashAggregate with a partial side; the
+    # slice(...) cap keeps the final row bounded.
+    plan = plan_of(spark, "text_inverted_index")
+    assert plan.count("ObjectHashAggregate") == 2  # partial + final
+    assert "SinglePartition" not in plan

@@ -292,3 +292,60 @@ def binning_equal_frequency_approx(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "stats_correlation_matrix",
+    oracle=f"""
+    WITH a AS (
+        SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+               corr(l_quantity, l_discount) AS qty_discount,
+               corr(l_quantity, l_tax) AS qty_tax,
+               corr(l_extendedprice, l_discount) AS price_discount,
+               corr(l_extendedprice, l_tax) AS price_tax,
+               corr(l_discount, l_tax) AS discount_tax
+        FROM lineitem
+    )
+    SELECT pair, {dround('r', 6)} AS r FROM (
+        SELECT 'qty_price' AS pair, qty_price AS r FROM a
+        UNION ALL SELECT 'qty_discount', qty_discount FROM a
+        UNION ALL SELECT 'qty_tax', qty_tax FROM a
+        UNION ALL SELECT 'price_discount', price_discount FROM a
+        UNION ALL SELECT 'price_tax', price_tax FROM a
+        UNION ALL SELECT 'discount_tax', discount_tax FROM a
+    )
+    ORDER BY pair
+    """,
+)
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures,
+    unpivoted to (pair, r) rows — feature-screening before model
+    training (extends stats_moments_lineitem to cross-moments).
+
+    Scale shape: all six correlations are co-moment accumulators in ONE
+    partial+final aggregate — one scan, one 1-row shuffle, regardless
+    of how many pairs are added.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agged = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price"),
+        F.corr("l_quantity", "l_discount").alias("qty_discount"),
+        F.corr("l_quantity", "l_tax").alias("qty_tax"),
+        F.corr("l_extendedprice", "l_discount").alias("price_discount"),
+        F.corr("l_extendedprice", "l_tax").alias("price_tax"),
+        F.corr("l_discount", "l_tax").alias("discount_tax"),
+    )
+    pairs = [
+        "qty_price",
+        "qty_discount",
+        "qty_tax",
+        "price_discount",
+        "price_tax",
+        "discount_tax",
+    ]
+    stack_args = ", ".join(f"'{p}', {p}" for p in pairs)
+    return (
+        agged.selectExpr(f"stack({len(pairs)}, {stack_args}) AS (pair, r_raw)")
+        .select("pair", hround(F.col("r_raw"), 6).alias("r"))
+        .orderBy("pair")
+    )

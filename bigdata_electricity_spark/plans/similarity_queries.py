@@ -129,3 +129,58 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk_batch(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+@query(
+    "sim_fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand FROM part
+    )
+    SELECT a.p_brand,
+           a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ORDER BY a_key, b_key
+    """,
+)
+def sim_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity self-join: near-identical part names
+    (edit distance 1-2, same brand) — the entity-resolution /
+    catalog-dedup primitive. Edit distance 0 is excluded: exact
+    duplicates belong to `dedup_exact_groups`.
+
+    Scale shape: the self-join is BLOCKED on p_brand, so each task
+    compares only its brand's |b|² candidates, and the length-band
+    predicate prunes before levenshtein (O(len²)) runs. At 100 TB
+    tighten the block to (brand, floor(len/4)) with ±1-band
+    replication — same plan, finer buckets; never all-pairs.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    lev = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "p_brand")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.length("a_name") - F.length("b_name")) <= 1)
+        )
+        .withColumn("edit_dist", lev)
+        .filter(F.col("edit_dist").between(1, 2))
+        .select("p_brand", "a_key", "b_key", "a_name", "b_name", "edit_dist")
+        .orderBy("a_key", "b_key")
+    )

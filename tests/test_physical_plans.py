@@ -310,3 +310,19 @@ def test_inverted_index_postings_are_capped(spark):
     plan = plan_of(spark, "text_inverted_index")
     assert plan.count("ObjectHashAggregate") == 2  # partial + final
     assert "SinglePartition" not in plan
+
+
+def test_fuzzy_pairs_block_on_brand(spark):
+    # The self-join must key on p_brand (blocked candidate generation),
+    # never a cartesian product; levenshtein runs post-join as a filter.
+    plan = plan_of(spark, "sim_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_correlation_matrix_is_one_aggregate(spark):
+    # Six co-moment accumulators share one scan + one partial/final agg.
+    plan = plan_of(spark, "stats_correlation_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2

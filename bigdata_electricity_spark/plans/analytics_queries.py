@@ -349,3 +349,113 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", hround(F.col("r_raw"), 6).alias("r"))
         .orderBy("pair")
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS support
+    FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 3
+    ORDER BY part_a, part_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket support ≥ 3):
+    the first iteration of Apriori/FP-growth candidate generation,
+    expressed as a blocked self-join.
+
+    Scale shape: pair generation is keyed on l_orderkey, so each task
+    enumerates only its order's |items|² pairs (baskets are small);
+    the support count is a partial+final aggregate on the pair key.
+    Never all-pairs across the catalog — the same blocking argument as
+    sim_fuzzy_name_pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy("part_a", "part_b")
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+               COUNT(*) AS frequency,
+               {dround('SUM(o_totalprice)', 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT quantile_cont(recency, 0.5) AS r_med,
+               quantile_cont(frequency, 0.5) AS f_med,
+               quantile_cont(monetary, 0.5) AS m_med
+        FROM cust
+    )
+    SELECT (CASE WHEN c.recency <= k.r_med THEN 'R+' ELSE 'R-' END ||
+            CASE WHEN c.frequency > k.f_med THEN 'F+' ELSE 'F-' END ||
+            CASE WHEN c.monetary > k.m_med THEN 'M+' ELSE 'M-' END) AS segment,
+           COUNT(*) AS n_customers,
+           {dround('avg(c.monetary)', 2)} AS avg_monetary
+    FROM cust c CROSS JOIN cuts k
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, split at the population median of each metric into 8
+    segments — the standard CRM rollup.
+
+    Scale shape: one grouped aggregate builds the per-customer metric
+    table; the three medians are ONE exact-percentile aggregate
+    broadcast back (a 3-double row); scoring is a map-side CASE chain.
+    Per-customer monetary is rounded to cents on both engines BEFORE
+    the median/cutoff comparison so partial-sum order can't flip a
+    boundary customer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    maxdate = orders.agg(F.max("o_orderdate").alias("global_max"))
+    cust = (
+        orders.crossJoin(F.broadcast(maxdate))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("global_max"), F.max("o_orderdate")).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            hround(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        F.percentile("recency", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency") <= F.col("r_med"), F.lit("R+")).otherwise(F.lit("R-")),
+        F.when(F.col("frequency") > F.col("f_med"), F.lit("F+")).otherwise(F.lit("F-")),
+        F.when(F.col("monetary") > F.col("m_med"), F.lit("M+")).otherwise(F.lit("M-")),
+    )
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .select(seg.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -558,3 +558,56 @@ def sample_fixed_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rn", "doc_id")
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               -ln(CAST(CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)
+                   / 16777216.0 + 5.9604644775390625e-08)
+               / n_chars AS es_key
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): per
+    language, the 5 docs with smallest -ln(u)/w, weight w = n_chars —
+    long documents proportionally more likely, yet fully deterministic
+    because u is a salted-md5 draw, not engine RNG. The u=0 corner is
+    shifted by half a draw-quantum (2^-24/2) so ln() never sees zero.
+
+    Scale shape: identical to sample_fixed_n_per_group — map-side key
+    computation, one shuffle on the stratum, WindowGroupLimit keeps
+    per-task state at O(N). This is the distributed form of the
+    standard one-pass weighted reservoir.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    es_key = -F.log(u + F.lit(5.9604644775390625e-08)) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        docs.withColumn("es_key", es_key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
+    )

@@ -260,3 +260,61 @@ def events_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, value,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN sd > 0 AND abs(value - mu) > 3 * sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly counts: per user, events whose value sits
+    more than 3 sample-stddevs from the trailing-20-event mean
+    (excluding the current row) — the telemetry outlier monitor.
+
+    Scale shape: one shuffle on user_id, then a bounded ROWS frame —
+    per-task state is the 20-row frame, independent of series length.
+    The trailing frame (not centered) is the streamable form: the same
+    statistic works incrementally under structured streaming.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    frame = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    flagged = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(frame).alias("mu"),
+        F.stddev_samp("value").over(frame).alias("sd"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("sd") > 0)
+                    & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

@@ -326,3 +326,36 @@ def test_correlation_matrix_is_one_aggregate(spark):
     plan = plan_of(spark, "stats_correlation_matrix")
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_basket_pairs_join_on_order_then_aggregate(spark):
+    # Pair generation keys on l_orderkey (per-basket |items|² only);
+    # support counting is partial+final on the pair key.
+    plan = plan_of(spark, "market_basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct + support, each partial+final
+
+
+def test_rfm_cutoffs_are_broadcast(spark):
+    # Median cut-offs are a 3-double broadcast; the customer table is
+    # never shuffled to a single partition for scoring.
+    plan = plan_of(spark, "rfm_segmentation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # scalar broadcasts
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    plan = plan_of(spark, "sample_weighted_topk")
+    assert plan.count("WindowGroupLimit") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_anomaly_frame_is_bounded(spark):
+    # One exchange on user_id; the window is a bounded ROWS frame (no
+    # unbounded running state), then a grouped rollup.
+    plan = plan_of(spark, "events_rolling_anomaly")
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+    assert "SinglePartition" not in plan
+    assert "specifiedwindowframe(RowFrame, -20, -1)" in plan

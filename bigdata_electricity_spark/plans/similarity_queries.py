@@ -155,32 +155,42 @@ def sim_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog-dedup primitive. Edit distance 0 is excluded: exact
     duplicates belong to `dedup_exact_groups`.
 
-    Scale shape: the self-join is BLOCKED on p_brand, so each task
-    compares only its brand's |b|² candidates, and the length-band
-    predicate prunes before levenshtein (O(len²)) runs. At 100 TB
-    tighten the block to (brand, floor(len/4)) with ±1-band
-    replication — same plan, finer buckets; never all-pairs.
+    Scale shape: levenshtein runs on the DISTINCT-NAME vocabulary, not
+    on row pairs — |vocab|² ≪ |rows|² whenever values repeat (64 names
+    vs 20k parts at sf0.1; brand-only row-pair blocking took 9s and was
+    flagged by tools/time_all.py; this shape is sub-second). The vocab
+    self-join is additionally banded on name length with the
+    |len_a − len_b| ≤ 1 predicate folded into the join key (left side
+    replicated to bands {len−1, len, len+1}), the surviving near-match
+    name pairs broadcast back, and the row-level expansion is a pair of
+    equi-joins keyed on (brand, name). At 100 TB the vocabulary table
+    is the thing you LSH/q-gram further; the fact table only ever does
+    hash joins.
     """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = p.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_name").alias("a_name"),
+    names = p.select("p_name").distinct()
+    nlen = F.length("p_name")
+    na = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(F.array(nlen - 1, nlen, nlen + 1)).alias("blk"),
     )
-    b = p.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
-    )
-    lev = F.levenshtein("a_name", "b_name")
-    return (
-        a.join(b, "p_brand")
-        .filter(
-            (F.col("a_key") < F.col("b_key"))
-            & (F.abs(F.length("a_name") - F.length("b_name")) <= 1)
-        )
-        .withColumn("edit_dist", lev)
+    nb = names.select(F.col("p_name").alias("name_b"), nlen.alias("blk"))
+    npairs = (
+        na.join(nb, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist").between(1, 2))
-        .select("p_brand", "a_key", "b_key", "a_name", "b_name", "edit_dist")
-        .orderBy("a_key", "b_key")
+        .select("name_a", "name_b", "edit_dist")
     )
+    x = p.select("p_brand", F.col("p_partkey").alias("x_key"), F.col("p_name").alias("name_a"))
+    y = p.select("p_brand", F.col("p_partkey").alias("y_key"), F.col("p_name").alias("name_b"))
+    expanded = x.join(F.broadcast(npairs), "name_a").join(y, ["p_brand", "name_b"])
+    first_is_a = F.col("x_key") < F.col("y_key")
+    return expanded.select(
+        "p_brand",
+        F.least("x_key", "y_key").alias("a_key"),
+        F.greatest("x_key", "y_key").alias("b_key"),
+        F.when(first_is_a, F.col("name_a")).otherwise(F.col("name_b")).alias("a_name"),
+        F.when(first_is_a, F.col("name_b")).otherwise(F.col("name_a")).alias("b_name"),
+        "edit_dist",
+    ).orderBy("a_key", "b_key")

@@ -312,13 +312,19 @@ def test_inverted_index_postings_are_capped(spark):
     assert "SinglePartition" not in plan
 
 
-def test_fuzzy_pairs_block_on_brand(spark):
-    # The self-join must key on p_brand (blocked candidate generation),
-    # never a cartesian product; levenshtein runs post-join as a filter.
+def test_fuzzy_pairs_compare_vocab_not_rows(spark):
+    # Levenshtein runs on the distinct-name vocabulary (post-distinct,
+    # length-banded), never on row pairs; the row-level expansion is
+    # broadcast + equi-join only.
     plan = plan_of(spark, "sim_fuzzy_name_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+    # vocabulary dedup (HashAggregate distinct) sits BELOW the distance
+    # computation — printed plans list parents first, so levenshtein
+    # must appear earlier in the string than the distinct aggregate.
+    assert "HashAggregate" in plan
+    assert 0 <= plan.find("levenshtein") < plan.find("HashAggregate")
 
 
 def test_correlation_matrix_is_one_aggregate(spark):

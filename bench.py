@@ -55,9 +55,32 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
 
-    # Warm the JVM/session on the smallest table so per-query timings
-    # measure the plan, not session spin-up.
+    # Warm the JVM/session so per-query timings measure the plan, not
+    # one-time class-loading/JIT. The 1-row ladder below exercises the
+    # expression-class families the headline set uses (regex, hash,
+    # window, join, explode, higher-order fns): first use of e.g.
+    # regexp_replace inside whole-stage codegen pays ~3-4 s of
+    # Janino/JIT warm-up that would otherwise land on whichever query
+    # hits it first. Each query's own Catalyst compile is still timed.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    one = spark.range(2).select(
+        F.col("id"),
+        F.lit("a b  c").alias("s"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("v"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    one.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("s"), r"\s+", " "))).alias("fp"),
+        F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("dot"),
+        F.explode(F.split("s", " ")).alias("tok"),
+    ).groupBy("fp").count().count()
+    one.withColumn("rn", F.row_number().over(
+        Window.partitionBy("s").orderBy("id"))).join(
+        one.select(F.col("id").alias("jid")), F.col("id") == F.col("jid")
+    ).groupBy(F.window("ts", "10 minutes")).count().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -120,3 +120,38 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         predict_language(c).alias("predicted_lang"),
         fingerprint(c).alias("fp"),
     )
+
+
+# PII redaction — ordered so structured classes win before the generic
+# digit-run class eats their digits (email's local part may itself hold
+# digits; card before phone before number). Patterns are intersection-of
+# Java-regex and RE2 syntax: no backrefs or lookaround, so the SAME
+# string runs on Spark (java.util.regex) and on RE2-based engines.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("card", r"\b\d{13,16}\b"),
+    ("phone", r"\+?\d[\d().\s-]{7,14}\d"),
+    ("number", r"\d+"),
+]
+
+
+def redact_pii(col: Column, classes: tuple[str, ...] | None = None) -> Column:
+    """Replace PII-shaped spans with ``<CLASS>`` placeholder tokens.
+
+    The pre-training scrub pass: emails, IPv4s, card-length digit runs,
+    phone-shaped sequences, then bare numbers — applied in that order as
+    chained ``regexp_replace`` (each a codegen'd JVM expression; the
+    chain is one projection, no extra pass over the data). Classes not
+    listed in ``classes`` are skipped, preserving relative order.
+
+    Redaction REPLACES rather than drops so token offsets stay roughly
+    aligned for downstream chunking, and the placeholder vocabulary is
+    closed (auditable with a regexp_count over the output).
+    """
+    out = col
+    for name, pat in PII_PATTERNS:
+        if classes is not None and name not in classes:
+            continue
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

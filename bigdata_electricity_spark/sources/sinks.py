@@ -133,3 +133,18 @@ def compact_parquet(spark, in_dir: str, out_dir: str,
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(in_dir).repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def export_jsonl(df: DataFrame, out_dir: str) -> DataFrame:
+    """Publish a corpus as JSON-Lines shards (the lingua franca of LLM
+    training-data interchange) and return the READ-BACK DataFrame.
+
+    ``df.write.json`` emits one JSON object per line per part file —
+    exactly the sharded .jsonl layout trainers consume, written in
+    parallel (one shard per task, no coalesce). The return value is
+    re-read from disk with the input's own schema pinned (schema
+    inference on read would widen/reorder fields), so any manifest
+    computed over it certifies the files that actually landed.
+    """
+    df.write.mode("overwrite").json(out_dir)
+    return df.sparkSession.read.schema(df.schema).json(out_dir)

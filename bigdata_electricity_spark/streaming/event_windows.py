@@ -31,13 +31,19 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
+    ts_type = dict(static.dtypes).get("ts")
+    if ts_type == "bigint":
         # Plain TIMESTAMP (not NTZ): watermarks require TIMESTAMP event
         # time; session tz is pinned UTC so wall-clock output matches.
         stream = stream.withColumn(
             "ts",
             F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
         )
+    elif ts_type == "timestamp_ntz":
+        # Spark ≥4.1 reads parquet TIMESTAMP(NANOS) natively as NTZ, but
+        # EventTimeWatermark still demands plain TIMESTAMP — cast is
+        # wall-clock-preserving under the UTC session tz configure() pins.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

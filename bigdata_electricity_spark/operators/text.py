@@ -127,12 +127,14 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # digits; card before phone before number). Patterns are intersection-of
 # Java-regex and RE2 syntax: no backrefs or lookaround, so the SAME
 # string runs on Spark (java.util.regex) and on RE2-based engines.
-PII_PATTERNS: list[tuple[str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("card", r"\b\d{13,16}\b"),
-    ("phone", r"\+?\d[\d().\s-]{7,14}\d"),
-    ("number", r"\d+"),
+# Placeholders are digit-free on purpose — a digit in a placeholder
+# (e.g. "<IPV4>") would be re-redacted by the later number pass.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", "<IPADDR>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("card", "<CARD>", r"\b\d{13,16}\b"),
+    ("phone", "<PHONE>", r"\+?\d[\d().\s-]{7,14}\d"),
+    ("number", "<NUMBER>", r"\d+"),
 ]
 
 
@@ -150,8 +152,8 @@ def redact_pii(col: Column, classes: tuple[str, ...] | None = None) -> Column:
     closed (auditable with a regexp_count over the output).
     """
     out = col
-    for name, pat in PII_PATTERNS:
+    for name, placeholder, pat in PII_PATTERNS:
         if classes is not None and name not in classes:
             continue
-        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+        out = F.regexp_replace(out, pat, placeholder)
     return out

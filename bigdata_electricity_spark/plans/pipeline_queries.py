@@ -1,0 +1,325 @@
+"""Training-corpus pipeline queries: PII redaction, chunking, embedding
+quantization, JSONL publishing, and partition-pruned scans.
+
+The ingestion/publishing half of an LLM data pipeline (the curation half
+lives in dedup_queries/training_queries/quality_queries). Everything is
+expression-level Spark — regex, array HOFs, sequence/explode — so the
+hot paths stay inside whole-stage codegen; the two sink-backed entries
+certify their manifests from files read BACK off disk.
+
+Determinism notes (registry rules, SURVEY §7.4): regex patterns are the
+Java-regex ∩ RE2 subset so the same string runs on both engines; float
+outputs cross the boundary hround/dround-rounded; DuckDB's ``list_zip``
+produces unnamed structs — elements are addressed ``p[1]``/``p[2]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import dround, hround
+from ..operators.text import normalize_text, redact_pii
+from ..sources.loaders import load_table
+from .registry import query
+
+# Token-window chunking grid: 32-token chunks, 8-token overlap → stride
+# 24. Chunk k covers tokens [1 + 24k, 24k + 32]; every token lands in
+# ≥1 chunk and consecutive chunks share exactly 8 tokens (last chunk may
+# run short).
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "redact_pii_props",
+    oracle="""
+    WITH red AS (
+        SELECT event_type,
+               props,
+               regexp_replace(props, '\\d+', '<NUMBER>', 'g') AS redacted,
+               length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN redacted <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           CAST(SUM(n_digits) AS BIGINT) AS digits_removed,
+           COUNT(DISTINCT redacted) AS n_templates
+    FROM red
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def redact_pii_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction audit over the one testdata column that contains
+    digit runs (events.props JSON payloads): scrub with
+    :func:`redact_pii`'s number class, then report per event type how
+    many payloads changed, how many digit chars were removed, and how
+    many distinct templates remain after redaction (the usual
+    cardinality-collapse check — redaction should shrink the payload
+    space to a near-closed template vocabulary).
+
+    The full class ladder (email/ipv4/card/phone/number, ordered so
+    structured classes win before the digit-run class eats their
+    digits) is exercised on planted fixtures in
+    tests/test_pipeline_ops.py — documents.text is digit-free, so only
+    the number class has signal in testdata.
+
+    Scale shape: one projection of chained regexp_replace (single pass,
+    codegen) + one groupBy on a 5-value key; COUNT(DISTINCT redacted)
+    is the only wide shuffle and it shuffles post-redaction templates,
+    not raw payloads.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    red = ev.select(
+        "event_type",
+        "props",
+        redact_pii(F.col("props"), classes=("number",)).alias("redacted"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace("props", r"[0-9]", ""))
+        ).alias("n_digits"),
+    )
+    return (
+        red.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("redacted") != F.col("props")).cast("long")).alias("n_redacted"),
+            F.sum("n_digits").cast("long").alias("digits_removed"),
+            F.countDistinct("redacted").alias("n_templates"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t), {_STRIDE})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, s, s + {_CHUNK} - 1)) AS INT) AS n_tokens,
+           md5(array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ')) AS chunk_fp
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the doc→training-sample
+    fan-out: normalize, tokenize, emit one row per 32-token window at
+    stride 24 (8-token overlap carries context across chunk
+    boundaries), each with its token count and content fingerprint.
+
+    Scale shape: tokens are materialized as a column ONCE before the
+    window fan-out (HOF expressions have no cross-expression CSE — the
+    r1 minhash trap), the explode is in-partition (no shuffle; output
+    stays on the input's partitioning), and chunk text never leaves the
+    row — downstream dedup joins on chunk_fp, 16 bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))).alias(
+            "chunk_idx", "s"
+        ),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), _CHUNK)
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), mm AS (
+        SELECT vec_id, label, v,
+               list_min(v) AS mn,
+               (list_max(v) - list_min(v)) / 255.0 AS sc
+        FROM v
+    ), q AS (
+        SELECT vec_id, label, v, mn, sc,
+               list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                   ELSE least(greatest(floor((x - mn) / sc + 0.5), 0), 255)
+               END) AS qv
+        FROM mm
+    ), e AS (
+        SELECT vec_id, label, mn, sc, qv,
+               list_transform(list_zip(v, qv), p ->
+                   abs(p[1] - (mn + p[2] * sc))) AS err
+        FROM q
+    )
+    SELECT vec_id, label,
+           CAST(list_min(qv) AS INT) AS q_lo,
+           CAST(list_max(qv) AS INT) AS q_hi,
+           {dround('list_max(err)', 9)} AS max_abs_err,
+           {dround('list_sum(err) / len(err)', 9)} AS mean_abs_err
+    FROM e
+    ORDER BY vec_id
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 (0..255) quantization audit — the storage
+    compression step before ANN serving: q = clamp(⌊(x−min)/scale+½⌋),
+    scale = (max−min)/255, plus the reconstruction-error profile
+    (max/mean |x − dequant(q)|) that tells you whether 8 bits suffice
+    for the corpus.
+
+    All math is double-accumulated array HOFs (no Arrow crossing);
+    each intermediate array is materialized in its own projection so
+    HOF results aren't recomputed per consumer (no cross-expression
+    CSE). Degenerate constant vectors quantize to 0 with zero error on
+    both engines. 4× smaller vectors at 100 TB means 4× more of the
+    index fits in executor memory; the op is embarrassingly parallel
+    (no shuffle at all).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    mm = v.select(
+        "vec_id", "label", "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("sc"),
+    )
+    q = mm.select(
+        "vec_id", "label", "v", "mn", "sc",
+        F.transform(
+            "v",
+            lambda x: F.when(F.col("sc") == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((x - F.col("mn")) / F.col("sc") + F.lit(0.5)),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(255).cast("long"),
+                )
+            ),
+        ).alias("qv"),
+    )
+    e = q.select(
+        "vec_id", "label", "qv",
+        F.zip_with(
+            "v", "qv",
+            lambda x, qi: F.abs(x - (F.col("mn") + qi * F.col("sc"))),
+        ).alias("err"),
+    )
+    return e.select(
+        "vec_id", "label",
+        F.array_min("qv").cast("int").alias("q_lo"),
+        F.array_max("qv").cast("int").alias("q_hi"),
+        hround(F.array_max("err"), 9).alias("max_abs_err"),
+        hround(
+            F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("err"),
+            9,
+        ).alias("mean_abs_err"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "export_corpus_jsonl",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def export_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish the corpus as sharded JSON-Lines (the trainer-facing
+    interchange format) and certify the export: the per-source manifest
+    is computed from the files read BACK off disk, so a lost shard or
+    truncated write shows up as a count/char mismatch against the
+    oracle, which reads the original table.
+
+    Shards are written in parallel (one per task — no coalesce); at
+    100 TB the same op lands behind a `repartition(n_shards)` sized to
+    the trainer's reader parallelism. Output pinned under the repo
+    warehouse so the driver session's cwd is irrelevant.
+    """
+    from ..sources.sinks import export_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    written = export_jsonl(docs, "/root/repo/spark-warehouse/corpus_jsonl")
+    return (
+        written.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "scan_partition_pruned_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-10'
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan — THE dominant cost lever at 100 TB: write
+    events date-partitioned (`day=.../`), then answer a 3-day query by
+    reading back with a partition-key predicate, so the scan plans only
+    3 of ~30 directories (PartitionFilters in the physical plan —
+    asserted in tests/test_pipeline_ops.py) and the other ~90% of the
+    data is never opened.
+
+    The oracle computes the same counts from the ORIGINAL table, so the
+    result also certifies the partitioned write was lossless for the
+    selected window. Day derives from the NTZ event time (timezone-free
+    — same civil date on both engines).
+    """
+    from ..sources.sinks import write_parquet
+
+    out_dir = "/root/repo/spark-warehouse/events_by_day"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_parquet(ev, out_dir, partition_by=["day"])
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(
+            F.col("day").between(F.lit("2024-01-08"), F.lit("2024-01-10"))
+        )
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )

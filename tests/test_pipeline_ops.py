@@ -1,0 +1,160 @@
+"""Pipeline-queries unit tests: PII redaction classes on planted
+fixtures, chunking coverage invariants, quantization error bounds,
+partition pruning in the physical plan, and JSONL round-trip fidelity.
+
+The registry entries these back are oracle-checked end-to-end by
+tools/parity.py; these tests pin the semantics the oracle can't see —
+PII classes absent from testdata, the pruning plan shape, and the
+chunk-overlap algebra.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_electricity_spark.operators.text import PII_PATTERNS, redact_pii
+from bigdata_electricity_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+PII_FIXTURE = [
+    # (raw, expected after full-ladder redaction)
+    ("mail me at jo.do+spam@ex-ample.org today",
+     "mail me at <EMAIL> today"),
+    ("server 10.0.255.3 refused", "server <IPADDR> refused"),
+    ("card 4111111111111111 declined", "card <CARD> declined"),
+    ("call +1 (415) 555-0199 now", "call <PHONE> now"),
+    ("call 415-555-0199 now", "call <PHONE> now"),
+    ("room 42 floor 7", "room <NUMBER> floor <NUMBER>"),
+    # Ordering: the email's digits must NOT be eaten by number/phone.
+    ("a1b2@x9.io plus 123", "<EMAIL> plus <NUMBER>"),
+    ("no pii here at all", "no pii here at all"),
+]
+
+
+def test_redact_pii_classes(spark):
+    df = spark.createDataFrame(
+        [(raw,) for raw, _ in PII_FIXTURE], ["raw"]
+    ).select("raw", redact_pii(F.col("raw")).alias("red"))
+    got = {r["raw"]: r["red"] for r in df.collect()}
+    for raw, want in PII_FIXTURE:
+        assert got[raw] == want, f"{raw!r} -> {got[raw]!r}, want {want!r}"
+
+
+def test_redact_pii_single_class_selection(spark):
+    df = spark.createDataFrame(
+        [("ip 10.0.0.1 and 77 sheep",)], ["raw"]
+    ).select(redact_pii(F.col("raw"), classes=("ipv4",)).alias("red"))
+    assert df.collect()[0]["red"] == "ip <IPADDR> and 77 sheep"
+
+
+def test_pii_patterns_are_re2_safe():
+    """Patterns must stay in the Java-regex ∩ RE2 subset so the same
+    string runs on Spark and RE2-based engines: no backrefs/lookaround."""
+    for name, placeholder, pat in PII_PATTERNS:
+        assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat, name
+        assert not any(ch.isdigit() for ch in placeholder), name
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_overlap_algebra(spark):
+    """Chunk layout matches the reference fan-out exactly: starts at
+    1, 25, 49, … (stride 24), chunk k holds min(32, n − 24k) tokens."""
+    rows = (
+        REGISTRY["chunk_documents_overlap"].fn(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.max("n_tokens").alias("tok_max"),
+        )
+        .collect()
+    )
+    from bigdata_electricity_spark.operators.text import normalize_text
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    true_counts = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n"))
+        .collect()
+    }
+    assert rows, "no chunks produced"
+    for r in rows:
+        n = true_counts[r["doc_id"]]
+        expected = [min(32, n - s + 1) for s in range(1, n + 1, 24)]
+        assert r["tok_max"] <= 32
+        assert r["n_chunks"] == len(expected), r
+        assert r["tok_sum"] == sum(expected), r
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """Affine rounding guarantees |x - dq(q(x))| <= scale/2 for
+    in-range values; q_lo/q_hi land on the 0..255 rails."""
+    out = REGISTRY["quantize_embeddings_int8"].fn(spark, SF_DIR)
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        (
+            (F.array_max(F.transform("embedding", lambda x: x.cast("double")))
+             - F.array_min(F.transform("embedding", lambda x: x.cast("double"))))
+            / F.lit(255.0)
+        ).alias("sc"),
+    )
+    joined = out.join(emb, "vec_id").collect()
+    assert joined
+    for r in joined:
+        assert 0 <= r["q_lo"] <= r["q_hi"] <= 255
+        assert r["max_abs_err"] <= r["sc"] / 2 + 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning
+# ---------------------------------------------------------------------------
+
+def test_partition_pruned_scan_plans_only_selected_days(spark):
+    df = REGISTRY["scan_partition_pruned_day"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # The day predicate must live in PartitionFilters (directory-level
+    # pruning), not in the data Filter above the scan.
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "day" in pf
+    # And the pruned read must actually skip the other ~27 directories.
+    import glob
+
+    n_dirs = len(glob.glob("/root/repo/spark-warehouse/events_by_day/day=*"))
+    assert n_dirs >= 25, "partitioned write produced too few day dirs"
+    rows = df.collect()
+    assert 1 <= len(rows) <= 3
+
+
+# ---------------------------------------------------------------------------
+# JSONL export
+# ---------------------------------------------------------------------------
+
+def test_jsonl_roundtrip_preserves_rows(spark):
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.sources.sinks import export_jsonl
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    back = export_jsonl(docs, "/tmp/spark_graft_test_jsonl")
+    assert back.schema == docs.schema
+    a = {r["doc_id"]: r for r in docs.collect()}
+    b = {r["doc_id"]: r for r in back.collect()}
+    assert a == b

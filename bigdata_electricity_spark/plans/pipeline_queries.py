@@ -323,3 +323,63 @@ def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import morton_code_sql
+
+    mc = morton_code_sql("user_id", "(hour(ts) * 60 + minute(ts))", bits=16)
+    return f"""
+    WITH z AS (
+        SELECT user_id,
+               CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS m,
+               {mc} AS zc
+        FROM events
+    )
+    SELECT zc >> 22 AS bucket,
+           COUNT(*) AS n_events,
+           MIN(user_id) AS user_lo, MAX(user_id) AS user_hi,
+           MIN(m) AS minute_lo, MAX(m) AS minute_hi
+    FROM z
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@query("layout_zorder_buckets", oracle=_zorder_oracle())
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the multi-dimension
+    data-skipping layout: interleave the bits of user_id and
+    minute-of-day into one code, then profile each high-order code
+    range (bucket = zc >> 22, ≤1024 buckets) with its bounding box in
+    BOTH dimensions. Tight boxes per bucket are exactly what makes
+    file-level min/max pruning work on either column after a z-ordered
+    write (the write path is :func:`operators.layout.zorder_write`,
+    skip-ratio asserted in tests/test_pipeline_ops.py).
+
+    The Morton code is 16 unrolled shift/and/or terms per dimension —
+    pure integer expressions inside whole-stage codegen, and the oracle
+    evaluates the IDENTICAL generated bit math (morton_code_sql), so
+    this entry cross-checks the layout key itself, not just the
+    bucketing. No UDFs, one groupBy shuffle on the bucket key.
+    """
+    from ..operators.layout import morton_code
+
+    ev = load_table(spark, sf_dir, "events")
+    m = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    z = ev.select(
+        "user_id",
+        m.alias("m"),
+        morton_code(F.col("user_id"), m, bits=16).alias("zc"),
+    )
+    return (
+        z.groupBy(F.shiftright("zc", 22).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("user_lo"),
+            F.max("user_id").alias("user_hi"),
+            F.min("m").alias("minute_lo"),
+            F.max("m").alias("minute_hi"),
+        )
+        .orderBy("bucket")
+    )

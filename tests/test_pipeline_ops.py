@@ -158,3 +158,64 @@ def test_jsonl_roundtrip_preserves_rows(spark):
     a = {r["doc_id"]: r for r in docs.collect()}
     b = {r["doc_id"]: r for r in back.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+def test_morton_code_matches_python_reference(spark):
+    from bigdata_electricity_spark.operators.layout import morton_code
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (5, 9), (1439, 1500), (65535, 65535)]
+    df = spark.createDataFrame(pairs, ["x", "y"]).select(
+        "x", "y", morton_code(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_skips_files_on_second_dimension(spark, tmp_path):
+    """The point of z-order: a predicate on the SECOND dimension
+    (minute-of-day) touches fewer files than under a single-column
+    user_id sort, where every file spans the full day."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from bigdata_electricity_spark.operators.layout import morton_code, zorder_write
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("m")
+    )
+
+    z_dir = str(tmp_path / "zorder")
+    lin_dir = str(tmp_path / "linear")
+    zorder_write(ev, z_dir, morton_code(F.col("user_id"), F.col("m")), n_files=8)
+    (ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(lin_dir))
+
+    def touched(dir_, lo=600, hi=660):
+        n = 0
+        for p in glob.glob(f"{dir_}/part-*.parquet"):
+            t = pq.read_table(p, columns=["m"])
+            mn, mx = (
+                t["m"].to_pandas().min(),
+                t["m"].to_pandas().max(),
+            )
+            if not (mx < lo or mn > hi):
+                n += 1
+        return n
+
+    z_touched, lin_touched = touched(z_dir), touched(lin_dir)
+    # Single-column sort: every file spans ~the whole day -> all 8 hit.
+    # Z-order: the minute window lives in a subset of z-ranges.
+    assert lin_touched >= 7, lin_touched
+    assert z_touched <= lin_touched // 2, (z_touched, lin_touched)

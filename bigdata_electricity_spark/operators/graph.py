@@ -52,23 +52,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry the previous label through the propagation select so the
+        # convergence check is a filter over THIS result — not a second
+        # id⋈id join per round. The count action also materializes the
+        # lazy checkpoint, which the next round's join then reuses.
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("__prev")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

@@ -249,3 +249,39 @@ def sketch_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct_users"),
     )
     return merged.crossJoin(F.broadcast(direct))
+
+
+@query(
+    "sketch_topk_event_types",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY est_count DESC, item
+    """,
+)
+def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch top-k (``approx_top_k``) over event types.
+
+    The heavy-hitters op for high-cardinality streams: one pass, fixed
+    sketch memory, mergeable across partitions — at 100 TB the exact
+    groupBy this oracle runs shuffles every distinct key, while the
+    sketch ships a bounded summary per partition. With k ≥ the actual
+    cardinality (5 event types ≪ the 10⁴-item sketch capacity) the
+    estimates are provably exact, which is what makes this entry
+    hash-checkable; the k < cardinality regime returns estimates and
+    would be rows-only.
+
+    Output re-sorted (count DESC, item) on BOTH sides — the sketch's
+    own tie order is undefined.
+    """
+    events = load_table(spark, sf_dir, "events")
+    topk = events.agg(F.expr("approx_top_k(event_type, 16)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), "item")
+    )

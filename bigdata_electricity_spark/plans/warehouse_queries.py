@@ -1,0 +1,254 @@
+"""Warehouse-maintenance queries: MERGE/upsert, SCD Type-2 history,
+key-skew diagnosis, and event-transition profiling.
+
+The table-maintenance half of a lakehouse deployment. MERGE here is the
+copy-on-write shape (one full-outer join on the key, CASE per row) —
+the portable core of what table formats run under `MERGE INTO`; SCD2 is
+the classic gaps-and-islands window build; the skew diagnosis is the
+profiling pass an operator runs BEFORE picking salt factors for the
+mechanics in `operators/skew.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    ), changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS new_price,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action,
+           {dround("CASE WHEN c.o_orderkey IS NULL THEN b.o_totalprice ELSE c.new_price END", 4)} AS price
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    -- drop matched deletes (removes the base row) AND unmatched
+    -- deletes (no-op); base-only rows have op NULL -> kept
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: apply a change batch (updates, inserts,
+    deletes) to a base snapshot in ONE full-outer join on the key +
+    one CASE per row — the portable core of `MERGE INTO`. The change
+    batch is derived deterministically from orders itself (keys %2 as
+    the batch, %10 as deletes), arranged so all four MERGE classes
+    occur: matched-update, matched-delete, not-matched-insert, and
+    delete-of-absent-key (a no-op).
+
+    At 100 TB: the join shuffles on the primary key; with the base
+    maintained bucketed on that key (`write_bucketed_table`) the
+    base side never re-shuffles and each merge is one pass over the
+    changed buckets. Deletes of absent keys are no-ops, matching MERGE
+    semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("new_price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    merged = base.join(
+        changes, base.o_orderkey == changes.c_orderkey, "full_outer"
+    )
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("o_orderkey", "c_orderkey").alias("o_orderkey"),
+            F.when(F.col("c_orderkey").isNull(), "kept")
+            .when(F.col("o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+            hround(
+                F.when(F.col("c_orderkey").isNull(), F.col("o_totalprice"))
+                .otherwise(F.col("new_price")),
+                4,
+            ).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scd2_event_intervals",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ), grouped AS (
+        SELECT user_id, CAST(run_id AS INT) AS run_id,
+               MIN(event_type) AS state,
+               MIN(ts) AS valid_from_ts,
+               COUNT(*) AS n_events
+        FROM runs
+        GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, state,
+           strftime(CAST(valid_from_ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS valid_from,
+           COALESCE(strftime(CAST(LEAD(valid_from_ts) OVER (PARTITION BY user_id ORDER BY run_id)
+                                  AS TIMESTAMP), '{_TS_FMT_DUCK}'), 'current') AS valid_to,
+           n_events
+    FROM grouped
+    ORDER BY user_id, run_id
+    """,
+)
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals of consecutive same-state runs (gaps-and-islands
+    via lag≠state flag + running sum), then chain valid_to to the next
+    run's valid_from ('current' for the open interval) — the standard
+    dimension-history construction for slowly changing attributes.
+
+    Every window partitions by user_id (the entity key) — no global
+    order anywhere, so the build scales with the key cardinality.
+    Run detection uses full-precision timestamps; only the OUTPUT is
+    second-formatted (registry rendering rule).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    runs = flagged.select(
+        "user_id", "event_type", "ts",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    grouped = runs.groupBy("user_id", F.col("run_id").cast("int").alias("run_id")).agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        grouped.select(
+            "user_id", "run_id", "state",
+            F.date_format("valid_from_ts", _TS_FMT_SPARK).alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("valid_from_ts").over(wr), _TS_FMT_SPARK),
+                F.lit("current"),
+            ).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+@query(
+    "diagnose_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MIN(n) AS BIGINT) AS min_n,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           {dround('quantile_cont(n, 0.5)', 4)} AS p50,
+           {dround('quantile_cont(n, 0.9)', 4)} AS p90,
+           {dround('quantile_cont(n, 0.99)', 4)} AS p99,
+           {dround('AVG(n)', 4)} AS mean_n,
+           {dround('CAST(MAX(n) AS DOUBLE) / AVG(n)', 4)} AS skew_ratio
+    FROM per_key
+    """,
+)
+def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over orders.o_custkey: the per-key count
+    distribution (min/median/p90/p99/max, and max/mean skew ratio) an
+    operator reads BEFORE sizing salt factors (`operators/skew.py`) or
+    trusting AQE's skew-join split at 100 TB.
+
+    Two grouped aggregations: keys (one shuffle on the key — the same
+    shuffle the diagnosed join would do) then a single global summary
+    row of the count distribution. percentile() interpolates exactly
+    like DuckDB's quantile_cont (the clean_outlier_mad pattern).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+        hround(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+        hround(F.percentile("n", F.lit(0.9)), 4).alias("p90"),
+        hround(F.percentile("n", F.lit(0.99)), 4).alias("p99"),
+        hround(F.avg("n"), 4).alias("mean_n"),
+        hround(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n,
+           {dround("CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type)", 6)} AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    counts and row-normalized probabilities of (prev→next) event-type
+    bigrams — the behavioral fingerprint behind next-event prediction
+    and anomalous-flow detection.
+
+    Lag partitions by user (entity-keyed, scalable); the matrix itself
+    is |types|² rows, so the final normalization window runs on a
+    25-row frame — negligible at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type", "next_type", "n",
+            hround(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -365,3 +365,55 @@ def test_rolling_anomaly_frame_is_bounded(spark):
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
     assert "SinglePartition" not in plan
     assert "specifiedwindowframe(RowFrame, -20, -1)" in plan
+
+
+def test_merge_upsert_join_is_keyed_not_broadcast(spark):
+    """MERGE must shuffle both sides on the primary key (SMJ/shuffled
+    hash) — a broadcast of the change batch would hide the real shape
+    and OOM at 100 TB batch sizes; full-outer also cannot broadcast."""
+    plan = plan_of(spark, "merge_upsert_orders")
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_windows_are_entity_keyed(spark):
+    """Every window in the SCD2 build partitions by user_id — the only
+    SinglePartition exchange allowed is the final presentation sort."""
+    plan = plan_of(spark, "scd2_event_intervals")
+    body = plan.split("Sort [user_id")[0] if "Sort [user_id" in plan else plan
+    assert plan.count("Exchange SinglePartition") <= 1  # rangepartition sort only
+    assert "partitionBy" not in body or "user_id" in body
+
+
+def test_skew_diagnosis_is_two_aggregates(spark):
+    """Key profile = grouped agg on the key + global one-row summary;
+    the only SinglePartition collapse is the final 1-row aggregate."""
+    plan = plan_of(spark, "diagnose_key_skew")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "HashAggregate" in plan
+
+
+def test_transition_matrix_lag_is_user_partitioned(spark):
+    plan = plan_of(spark, "events_transition_matrix")
+    # the lag's exchange hashes on user_id, not a global sort
+    assert "hashpartitioning(user_id" in plan
+    # final probability window runs on the 25-row matrix: allowed, but
+    # the raw event scan must never collapse to one partition first.
+    pre_window = plan.split("ReadSchema")[0]
+    assert "Exchange SinglePartition" not in pre_window.split("hashpartitioning(user_id")[0]
+
+
+def test_zorder_bucket_agg_is_partial_final(spark):
+    plan = plan_of(spark, "layout_zorder_buckets")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SinglePartition" not in plan.split("Sort")[0]
+
+
+def test_chunking_has_no_shuffle_before_sort(spark):
+    """The chunk fan-out (generate/explode) happens in-partition; the
+    only exchange is the final presentation sort."""
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Generate" in plan
+    gen_part = plan.split("Generate")[-1]
+    assert "Exchange" not in gen_part, "explode must not shuffle its input"

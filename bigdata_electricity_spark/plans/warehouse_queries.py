@@ -252,3 +252,60 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    UNION ALL SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    ORDER BY col_name
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile (null count + exact NDV) in ONE
+    aggregate pass — the stats collection a cost-based planner or a
+    data-quality dashboard runs per table. All 12 aggregates batch into
+    a single scan + single (partial→final) aggregation; the 1-row
+    result is unpivoted driver-free with ``stack`` into (col, stats)
+    rows.
+
+    Min/max are deliberately NOT stringified: double→string rendering
+    (scientific-notation thresholds) diverges across engines, the
+    exact blind spot the schema lint exists for. At 100 TB swap the
+    exact NDVs for approx_count_distinct / HLL sketches
+    (`sketch_approx_stats`); the plan shape is identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+    one = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv" for c in cols
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nulls, n_distinct)"
+            )
+        )
+        .orderBy("col_name")
+    )

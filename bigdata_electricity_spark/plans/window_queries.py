@@ -359,3 +359,62 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_session_window_builtin",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` aggregation —
+    the one-line twin of `events_sessionization`'s manual
+    gaps-and-islands. The builtin starts a new session when the gap is
+    ≥ the timeout (window end = last event + 30 min), so the oracle's
+    island flag uses >= 1800 where the manual twin uses > 1800 —
+    deliberate, documents the off-by-closure difference between the
+    two operators.
+
+    The builtin merges windows inside a partial-then-final aggregation
+    (no explicit window function pass), which is also the shape its
+    streaming variant uses; partitioning is (user_id), fully parallel.
+    date_diff('second') truncates, and floor(gap) >= 1800 ⟺ gap >= 1800,
+    so the oracle boundary is exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_window.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

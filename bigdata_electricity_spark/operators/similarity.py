@@ -13,7 +13,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def _unit_base(embeddings: DataFrame, id_col: str, vec_col: str,
+               bucket_col: str) -> DataFrame:
+    """(id, bucket, unit): vectors pre-normalized ONCE per row so every
+    downstream pair comparison is a single dot product instead of
+    dot + two norms — HOFs run interpreted with no CSE, and pairs
+    outnumber rows quadratically within buckets, so per-pair expression
+    count dominates. The norm is materialized in its own projection
+    first (inlined in the transform lambda it would be re-evaluated per
+    element — the HOF-CSE trap, docs/ROUND_NOTES.md)."""
+    with_norm = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    return with_norm.select(
+        "id", "bucket",
+        F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+    )
 
 
 def brute_force_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
@@ -52,16 +73,14 @@ def bucketed_nearest_neighbor(embeddings: DataFrame,
     (bucket assignment would come from a trained coarse quantizer; the
     testdata ``label`` plays that role).
     """
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("vec")
-    )
+    base = _unit_base(embeddings, id_col, vec_col, bucket_col)
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
     ).select(
         F.col("a.id").alias("id"),
         F.col("b.id").alias("cand"),
-        cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        dot_product(F.col("a.unit"), F.col("b.unit")).alias("cos"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cand"))
     return (
@@ -81,16 +100,14 @@ def pairwise_near_dups(embeddings: DataFrame, threshold: float,
     """Embedding-cosine near-duplicate pairs above ``threshold``, blocked
     by the coarse bucket (the embedding-space analogue of MinHash-LSH
     candidate verification)."""
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("vec")
-    )
+    base = _unit_base(embeddings, id_col, vec_col, bucket_col)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            dot_product(F.col("a.unit"), F.col("b.unit")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))

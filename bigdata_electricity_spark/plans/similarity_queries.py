@@ -21,6 +21,24 @@ list_sum(list_transform(list_zip({a}, {b}),
    * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
 
+# Pre-normalized variant for the bucketed pair queries: unit vectors are
+# computed ONCE per row (mirrors operators/similarity._unit_base — the
+# Spark side divides each element by the same sequentially-accumulated
+# norm, so u_i is bit-identical across engines), and each pair costs one
+# dot product. The norm lives in its own CTE column for the same reason
+# Spark materializes it: one evaluation per row, not per element.
+_DUCK_UNITS = """
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+        FROM (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+"""
+_DUCK_UDOT = "list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2]))"
+
 
 @query(
     "sim_topk_bruteforce",
@@ -47,11 +65,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_bucketed_nn",
     oracle=f"""
+    WITH u AS ({_DUCK_UNITS})
     SELECT a.vec_id AS vec_id,
-           arg_max(b.vec_id, {_DUCK_COS.format(a='a.embedding', b='b.embedding')}) AS nn_id,
-           floor((MAX({_DUCK_COS.format(a='a.embedding', b='b.embedding')})) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+           arg_max(b.vec_id, {_DUCK_UDOT}) AS nn_id,
+           floor((MAX({_DUCK_UDOT})) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM u a
+    JOIN u b ON a.label = b.label AND a.vec_id <> b.vec_id
     GROUP BY a.vec_id
     ORDER BY vec_id
     """,
@@ -83,11 +102,12 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_near_dup_pairs",
     oracle=f"""
+    WITH u AS ({_DUCK_UNITS})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           floor(({_DUCK_COS.format(a='a.embedding', b='b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
+           floor(({_DUCK_UDOT}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM u a
+    JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_UDOT} >= 0.3
     ORDER BY id_a, id_b
     """,
 )

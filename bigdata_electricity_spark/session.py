@@ -28,8 +28,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects by default; read as epoch-nanos long and convert in the loader.
+    # events.parquet carries TIMESTAMP(NANOS). Spark ≤4.0 rejects it
+    # unless read as epoch-nanos long (this flag); Spark 4.1+ ignores the
+    # flag and reads nanos natively as TIMESTAMP_NTZ (truncated to µs).
+    # Loaders and the streaming source handle BOTH shapes.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas_udf / mapInPandas / toPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

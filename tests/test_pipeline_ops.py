@@ -219,3 +219,17 @@ def test_zorder_write_skips_files_on_second_dimension(spark, tmp_path):
     # Z-order: the minute window lives in a subset of z-ranges.
     assert lin_touched >= 7, lin_touched
     assert z_touched <= lin_touched // 2, (z_touched, lin_touched)
+
+
+# ---------------------------------------------------------------------------
+# Arrow ANN twin
+# ---------------------------------------------------------------------------
+
+def test_arrow_topk_matches_hof_twin(spark):
+    """The numpy-scored top-k must agree with the HOF-scored top-k:
+    same ids in order, cosines within 1e-9 (summation-order slack)."""
+    hof = REGISTRY["sim_topk_bruteforce"].fn(spark, SF_DIR).collect()
+    arrow = REGISTRY["sim_topk_arrow"].fn(spark, SF_DIR).collect()
+    assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in arrow]
+    for h, a in zip(hof, arrow):
+        assert abs(h["cosine"] - a["cosine"]) <= 1e-6, (h, a)

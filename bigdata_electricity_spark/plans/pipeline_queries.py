@@ -383,3 +383,101 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang,
+           CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two writer generations land in one dataset
+    (v1 lacks the ``lang`` column, v2 adds it) and a ``mergeSchema``
+    scan unifies them — v1 rows surface lang as NULL, nothing is
+    rewritten. The audit counts both generations per source from the
+    files READ BACK off disk, certified against the original table.
+
+    The lakehouse reality at 100 TB: columns get added for new data
+    only, and the reader — not a rewrite of petabytes — reconciles.
+    mergeSchema costs one footer read per file at planning time (on big
+    tables, enable it per-read like here, not globally).
+    """
+    out_dir = "/root/repo/spark-warehouse/docs_evolving"
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "source")
+    v2 = docs.filter(F.col("doc_id") % 2 != 0).select(
+        "doc_id", "text", "source", "lang"
+    )
+    v1.write.mode("overwrite").parquet(f"{out_dir}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{out_dir}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/gen=1", f"{out_dir}/gen=2"
+    )
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("lang").isNull().cast("long")).alias("n_missing_lang"),
+            F.sum(F.col("lang").isNotNull().cast("long")).alias("n_with_lang"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "udtf_tokenize_lateral",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+           unnest(t) AS tok
+    FROM toks
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) + LATERAL join: one input row fans out to
+    (pos, token) rows from an arbitrary Python generator — the §2.11
+    table-function surface, exercised end-to-end through SQL.
+
+    Honest caveat in the docstring it ships with: a Python UDTF is the
+    row-at-a-time slow path (pickled rows both ways, no Arrow); the
+    expression-level twin is `F.posexplode(F.split(...))` (used by
+    `chunk_documents_overlap`). Use a UDTF when the fan-out logic is
+    genuinely imperative (stateful parsers, third-party tokenizers) —
+    then at 100 TB prefer `mapInPandas` with arrow batches. Tokens
+    split on single spaces over the normalized text so the Python
+    semantics (''.split(' ') == ['']) match the oracle's string_split
+    exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.tok
+        FROM __udtf_docs d, LATERAL split_tokens(d.norm) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )

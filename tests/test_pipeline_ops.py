@@ -233,3 +233,39 @@ def test_arrow_topk_matches_hof_twin(spark):
     assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in arrow]
     for h, a in zip(hof, arrow):
         assert abs(h["cosine"] - a["cosine"]) <= 1e-6, (h, a)
+
+
+def test_morton_roundtrip_property(spark):
+    """Property: deinterleaving the Morton code recovers both inputs
+    exactly for all 16-bit values (hypothesis-driven sample)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdata_electricity_spark.operators.layout import morton_code
+
+    collected = []
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def gen(x, y):
+        collected.append((x, y))
+
+    gen()
+    df = spark.createDataFrame(collected, ["x", "y"]).select(
+        "x", "y", morton_code(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        x = y = 0
+        for i in range(16):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])
+
+
+def test_redact_pii_is_idempotent(spark):
+    """Placeholders are digit-free fixed points: redact(redact(x)) ==
+    redact(x) for every fixture row."""
+    df = spark.createDataFrame([(raw,) for raw, _ in PII_FIXTURE], ["raw"]).select(
+        redact_pii(F.col("raw")).alias("once")
+    ).select("once", redact_pii(F.col("once")).alias("twice"))
+    for r in df.collect():
+        assert r["once"] == r["twice"], r

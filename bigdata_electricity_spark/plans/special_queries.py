@@ -285,3 +285,13 @@ def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "item")
     )
+
+
+@query("streaming_hourly_ohlc")  # rows-only: streaming runtime
+def streaming_hourly_ohlc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC downsampling (watermarked tumbling windows with
+    min_by/max_by open/close) — must equal the batch
+    `resample_events_hourly_ohlc` exactly; asserted in tests."""
+    from ..streaming.event_windows import streaming_hourly_ohlc
+
+    return streaming_hourly_ohlc(spark, sf_dir)

@@ -358,3 +358,52 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
         .orderBy("user_id")
     )
+
+
+def streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `resample_events_hourly_ohlc`: per (event_type,
+    hour) OHLC maintained incrementally under a watermark. min_by/max_by
+    are standard (partial-merge-capable) aggregates, so open/close track
+    the earliest/latest ordering key seen so far per window — the
+    telemetry-compaction job run AS data arrives instead of nightly.
+
+    Must equal the batch query exactly once the (static-file) stream
+    drains — asserted in tests/test_streaming_multimodal.py. Complete
+    output mode (same as the other windowed entries here): at 100 TB use
+    append mode + watermark-expired finalized windows into a parquet
+    sink (`foreachBatch` pattern in streaming_export_parquet).
+    """
+    name = f"stream_ohlc_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    ord_key = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000))
+        * F.lit(1048576)
+        + F.col("event_id")
+    )
+    keyed = events.withWatermark("ts", "1 hour").select(
+        "event_type",
+        F.window("ts", "1 hour").alias("w"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    agg = (
+        keyed.groupBy("event_type", "w")
+        .agg(
+            F.min_by("value", "ord").alias("open_raw"),
+            F.max("value").alias("high_raw"),
+            F.min("value").alias("low_raw"),
+            F.max_by("value", "ord").alias("close_raw"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            (F.floor(F.col("open_raw") * 100.0 + F.lit(0.5)) / 100.0).alias("open"),
+            (F.floor(F.col("high_raw") * 100.0 + F.lit(0.5)) / 100.0).alias("high"),
+            (F.floor(F.col("low_raw") * 100.0 + F.lit(0.5)) / 100.0).alias("low"),
+            (F.floor(F.col("close_raw") * 100.0 + F.lit(0.5)) / 100.0).alias("close"),
+            "n_events",
+        )
+    )
+    _run_to_completion(agg, name)
+    return spark.table(name).orderBy("event_type", "hour_start")

@@ -207,3 +207,9 @@ def test_stream_stream_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    stream = REGISTRY["streaming_hourly_ohlc"].fn(spark, SF_DIR).collect()
+    batch = REGISTRY["resample_events_hourly_ohlc"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]

@@ -481,3 +481,50 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@query(
+    "retention_prune_days",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def retention_prune_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement on a date-partitioned dataset: drop every
+    partition directory older than the cutoff (a METADATA operation —
+    no surviving row is read or rewritten), then audit the survivors
+    from a fresh read-back against the original table.
+
+    This is how deletes work on partition boundaries at 100 TB:
+    directory unlink, not data rewrite (row-level retention inside a
+    partition is the copy-on-write MERGE in `merge_upsert_orders`).
+    The post-prune scan also proves pruned data is GONE, not merely
+    filtered — the read-back plans over the remaining directories only.
+    """
+    import shutil
+
+    from ..sources.sinks import write_parquet
+
+    out_dir = "/root/repo/spark-warehouse/events_retention"
+    cutoff = "2024-01-15"
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_parquet(ev, out_dir, partition_by=["day"])
+
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(f"{out_dir}/day=*"):
+        if _os.path.basename(d).split("=", 1)[1] < cutoff:
+            shutil.rmtree(d)
+
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy(F.col("day").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day")
+    )

@@ -295,3 +295,13 @@ def streaming_hourly_ohlc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.event_windows import streaming_hourly_ohlc
 
     return streaming_hourly_ohlc(spark, sf_dir)
+
+
+@query("streaming_distinct_users_hourly")  # rows-only: HLL estimates + streaming runtime
+def streaming_distinct_users_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approx-distinct users on the event stream — bounded-state
+    (mergeable HLL) distinct counting under a watermark; equals the
+    batch sketch over the same windows (asserted in tests)."""
+    from ..streaming.event_windows import streaming_distinct_users_hourly
+
+    return streaming_distinct_users_hourly(spark, sf_dir)

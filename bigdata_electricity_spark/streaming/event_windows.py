@@ -407,3 +407,33 @@ def streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_completion(agg, name)
     return spark.table(name).orderBy("event_type", "hour_start")
+
+
+def streaming_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approx-distinct users per hour as a streaming query:
+    hll_sketch_agg is a mergeable aggregate, so each micro-batch folds
+    its partial sketch into O(KB) state per window — the only way a
+    distinct count stays bounded on an unbounded stream (exact distinct
+    would hold every key in state forever).
+
+    Estimates equal the batch HLL over the same windows (same sketch
+    impl, same lgK) — asserted in tests; both are estimates, hence
+    rows-only at the driver.
+    """
+    name = f"stream_distinct_{next(_COUNTER)}"
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+    _run_to_completion(agg, name)
+    return spark.table(name).orderBy("hour_start")

@@ -213,3 +213,21 @@ def test_streaming_ohlc_matches_batch(spark):
     stream = REGISTRY["streaming_hourly_ohlc"].fn(spark, SF_DIR).collect()
     batch = REGISTRY["resample_events_hourly_ohlc"].fn(spark, SF_DIR).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_streaming_hourly_distinct_matches_batch_sketch(spark):
+    from bigdata_electricity_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+
+    stream = REGISTRY["streaming_distinct_users_hourly"].fn(spark, SF_DIR).collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                "approx_users", "n_events")
+        .orderBy("hour_start")
+        .collect()
+    )
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]

@@ -74,3 +74,24 @@ def zorder_write(df: DataFrame, out_dir: str, zcol: Column,
         .parquet(out_dir)
     )
     return out_dir
+
+
+def morton_code_nd(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton interleave: bit i of dimension d lands at
+    position i*len(cols) + d. Generalizes :func:`morton_code` (which is
+    the n=2 case with its historical bit layout) to cluster 3+
+    dimensions; total code width is len(cols)*bits, so keep
+    len(cols)*bits ≤ 62 for a BIGINT key.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims × {bits} bits exceeds a signed 64-bit key")
+    z: Column = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for d, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cl, i).bitwiseAND(one), i * n + d)
+            )
+    return z

@@ -417,3 +417,18 @@ def test_chunking_has_no_shuffle_before_sort(spark):
     assert "Generate" in plan
     gen_part = plan.split("Generate")[-1]
     assert "Exchange" not in gen_part, "explode must not shuffle its input"
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE proof: a tiny groupBy executed with 32 shuffle partitions
+    must coalesce at runtime (AQEShuffleRead) instead of scheduling 32
+    near-empty reducers — the runtime re-plan the session enables."""
+    from bigdata_electricity_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+
+    df = load_table(spark, SF_DIR, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:500]

@@ -269,3 +269,29 @@ def test_redact_pii_is_idempotent(spark):
     ).select("once", redact_pii(F.col("once")).alias("twice"))
     for r in df.collect():
         assert r["once"] == r["twice"], r
+
+
+def test_morton_nd_roundtrip(spark):
+    """3-D interleave/deinterleave roundtrip on sampled 10-bit values."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdata_electricity_spark.operators.layout import morton_code_nd
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 1023))
+    def gen(x, y, z):
+        collected.append((x, y, z))
+
+    gen()
+    df = spark.createDataFrame(collected, ["x", "y", "z"]).select(
+        "x", "y", "z",
+        morton_code_nd([F.col("x"), F.col("y"), F.col("z")], bits=10).alias("m"),
+    )
+    for r in df.collect():
+        dims = [0, 0, 0]
+        for i in range(10):
+            for d in range(3):
+                dims[d] |= ((r["m"] >> (i * 3 + d)) & 1) << i
+        assert tuple(dims) == (r["x"], r["y"], r["z"])

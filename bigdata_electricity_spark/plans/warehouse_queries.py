@@ -309,3 +309,60 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "growth_weekly_revenue",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week_start,
+               {dround('SUM(o_totalprice)', 2)} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT CAST(week_start AS DATE) AS week_start,
+           revenue,
+           n_orders,
+           {dround("COALESCE((revenue - LAG(revenue) OVER (ORDER BY week_start)) / LAG(revenue) OVER (ORDER BY week_start), 0.0)", 6)} AS wow_growth
+    FROM weekly
+    ORDER BY week_start
+    """,
+)
+def growth_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly rollup then lag-based
+    percent change (first week anchored at 0) — the period-over-period
+    primitive of every BI dashboard.
+
+    The lag window is a GLOBAL order, but over the AGGREGATED weekly
+    series — |weeks| rows regardless of raw scale, so the
+    single-partition window is bounded and correct at 100 TB (the same
+    argument as `events_transition_matrix`'s 25-row normalization;
+    never do this on the raw table). Revenue is rounded pre-growth so
+    both engines difference identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+        )
+        .agg(
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("week_start")
+    return (
+        weekly.select(
+            "week_start", "revenue", "n_orders",
+            hround(
+                F.coalesce(
+                    (F.col("revenue") - F.lag("revenue").over(w))
+                    / F.lag("revenue").over(w),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("wow_growth"),
+        )
+        .orderBy("week_start")
+    )

@@ -1,0 +1,60 @@
+"""Generate docs/QUERIES.md — the registry catalog, from the registry.
+
+One row per query: name, module, check kind (oracle / rows-only), and
+the first docstring line. Regenerate after adding queries:
+
+    python tools/catalog.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bigdata_electricity_spark.plans import REGISTRY  # noqa: E402
+
+HEADER = """# Query catalog (generated — `python tools/catalog.py`)
+
+Every driver-checkable entry in `__spark_entry__.queries()`. "oracle"
+entries are value-hash-compared against DuckDB SQL by the driver and
+`tools/parity.py`; "rows-only" entries are non-SQL-expressible
+(seeded sampling, hash signatures, streaming runtime, ML solvers) and
+carry unit tests instead — see each docstring for why.
+"""
+
+
+def first_line(doc: str) -> str:
+    for line in doc.splitlines():
+        line = line.strip()
+        if line:
+            return line.rstrip(".")
+    return ""
+
+
+def main() -> None:
+    by_module: dict[str, list] = {}
+    for name, spec in REGISTRY.items():
+        mod = spec.fn.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append((name, spec))
+
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
+    lines = [HEADER]
+    lines.append(
+        f"**{len(REGISTRY)} queries: {n_oracle} oracle-checked, "
+        f"{len(REGISTRY) - n_oracle} rows-only.**\n"
+    )
+    for mod in sorted(by_module):
+        lines.append(f"\n## {mod} ({len(by_module[mod])})\n")
+        lines.append("| query | check | what |")
+        lines.append("|---|---|---|")
+        for name, spec in sorted(by_module[mod]):
+            kind = "oracle" if spec.oracle else "rows-only"
+            lines.append(f"| `{name}` | {kind} | {first_line(spec.doc)} |")
+    with open("/root/repo/docs/QUERIES.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"docs/QUERIES.md: {len(REGISTRY)} queries, {n_oracle} oracled")
+
+
+if __name__ == "__main__":
+    main()

@@ -528,3 +528,52 @@ def retention_prune_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("day")
     )
+
+
+@query(
+    "pyds_synthetic_events",
+    oracle="""
+    WITH synth AS (
+        SELECT range AS event_id,
+               CAST(CAST(('0x' || substr(md5('u' || CAST(range AS VARCHAR)), 1, 6)) AS BIGINT) % 50 AS BIGINT) AS user_id,
+               CAST(floor(CAST(CAST(('0x' || substr(md5('v' || CAST(range AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)
+                    / 16777216.0 * 50000.0 + 0.5) AS BIGINT) / 100.0 AS value
+        FROM range(0, 2000)
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           floor(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM synth
+    GROUP BY 1
+    ORDER BY user_bucket
+    """,
+)
+def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 connector API) end-to-end:
+    register `synthetic_events`, read it like any format, aggregate.
+    Every generated field is md5-derived from the row id
+    (`sources/pydatasource.py`), so the ORACLE regenerates the
+    identical rows from a bare integer range — the value hash checks
+    the connector's partition planning + generation, not just row
+    counts. Partition slices generate independently on executors (no
+    driver coordination, no shuffle until the groupBy).
+    """
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_bucket")
+    )

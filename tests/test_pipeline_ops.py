@@ -295,3 +295,38 @@ def test_morton_nd_roundtrip(spark):
             for d in range(3):
                 dims[d] |= ((r["m"] >> (i * 3 + d)) & 1) << i
         assert tuple(dims) == (r["x"], r["y"], r["z"])
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource connector
+# ---------------------------------------------------------------------------
+
+def test_pyds_partitioning_invariance(spark):
+    """The synthetic source must produce the identical dataset under any
+    partition count — the contract a partitioned connector owes."""
+    from bigdata_electricity_spark.sources.pydatasource import register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 500).option("n_partitions", parts).load()
+            .orderBy("event_id").collect()
+        )
+
+    assert load(2) == load(7)
+
+
+def test_pyds_rows_match_python_reference(spark):
+    from bigdata_electricity_spark.sources.pydatasource import register, synth_row
+
+    register(spark)
+    rows = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 50).option("n_partitions", 3).load()
+        .orderBy("event_id").collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        assert tuple(r) == synth_row(r["event_id"])

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DEFAULT_ROWS = 2000
 DEFAULT_PARTITIONS = 8
@@ -84,3 +90,68 @@ class _SyntheticReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration (re-register is a no-op overwrite)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class JsonlManifestDataSource(DataSource):
+    """`df.write.format("jsonl_manifest").mode("append").option("path", ...)`
+    (Python sinks accept append/overwrite modes only) —
+    a pure-Python SINK demonstrating the writer half of the Spark-4
+    DataSource API and its commit protocol: each task writes one
+    `part-<uuid>.jsonl` shard and returns a WriterCommitMessage with
+    (file, row count); `commit()` runs ONCE on the driver with every
+    task's message and only then publishes `_MANIFEST.json` — readers
+    that require the manifest therefore never observe a partial write
+    (task retries leave orphan part files, never a torn manifest;
+    `abort()` documents the cleanup hook).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlManifestWriter(self.options["path"], [f.name for f in schema])
+
+
+class _JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: list[str]) -> None:
+        self.path, self.cols = path, cols
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.cols, row))) + "\n")
+                n += 1
+        return WriterCommitMessage_(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted({m.file: m.n_rows for m in messages}.items()),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        # Orphan part files are harmless without a manifest; a hardened
+        # sink would unlink the files named in `messages` here.
+        pass
+
+
+class WriterCommitMessage_(WriterCommitMessage):
+    def __init__(self, file: str, n_rows: int) -> None:
+        self.file, self.n_rows = file, n_rows
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestDataSource)

@@ -330,3 +330,24 @@ def test_pyds_rows_match_python_reference(spark):
     assert len(rows) == 50
     for r in rows:
         assert tuple(r) == synth_row(r["event_id"])
+
+
+def test_pyds_jsonl_manifest_sink_commit_protocol(spark, tmp_path):
+    """The Python sink's manifest must appear only after ALL tasks
+    commit, and its counts must equal what readers find on disk."""
+    import json, glob
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+    from bigdata_electricity_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "jsonl_sink")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    docs.repartition(4).write.format("jsonl_manifest").mode("append").option("path", out).save()
+
+    manifest = json.load(open(f"{out}/_MANIFEST.json"))
+    files = glob.glob(f"{out}/part-*.jsonl")
+    assert manifest["total_rows"] == docs.count()
+    assert len(manifest["files"]) == len(files) == 4
+    on_disk = sum(sum(1 for _ in open(p)) for p in files)
+    assert on_disk == manifest["total_rows"]

@@ -7,8 +7,9 @@ agree to well below the rounding grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.vectors import dot_product, l2_norm
 from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
 from ..sources.loaders import load_table
 from .registry import query
@@ -230,3 +231,123 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk_arrow(emb, query_vec_id=0, k=10)
+
+
+# Dequantized-embedding CTE: int8 affine quantize (identical math to
+# quantize_embeddings_int8's oracle) then reconstruct — both engines
+# produce bit-identical dequantized doubles, so quantized-search
+# rankings are deterministic and hash-checkable.
+_DUCK_DEQUANT = """
+        SELECT vec_id, label, list_transform(
+            list_zip(v, list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                ELSE least(greatest(floor((x - mn) / sc + 0.5), 0), 255) END)),
+            p -> mn + p[2] * sc) AS dq
+        FROM (
+            SELECT vec_id, label, v,
+                   list_min(v) AS mn,
+                   (list_max(v) - list_min(v)) / 255.0 AS sc
+            FROM (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
+        )
+"""
+
+
+@query(
+    "quantized_recall_at_k",
+    oracle=f"""
+    WITH dq AS ({_DUCK_DEQUANT}),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {_DUCK_COS.format(a='e.embedding', b='q.embedding')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN embeddings q
+          ON q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
+    ),
+    quant_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.dq, q.dq), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(e.dq, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.dq, x -> x * x)))) DESC,
+                   e.vec_id) AS rn
+        FROM dq e JOIN dq q
+          ON q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
+    )
+    SELECT a.query_id AS query_id,
+           CAST(COUNT(*) AS INT) AS n_overlap
+    FROM (SELECT * FROM exact_scored WHERE rn <= 5) a
+    JOIN (SELECT * FROM quant_scored WHERE rn <= 5) b
+      ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def quantized_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8-quantized retrieval vs full-precision exact
+    search, for 5 query vectors — the acceptance test you run BEFORE
+    shipping `quantize_embeddings_int8`'s 4× compression to an ANN
+    serving tier: per query, how many of the true top-5 survive when
+    both sides of the cosine are dequantized vectors.
+
+    Both engines quantize→dequantize with identical floor-based math,
+    so the quantized ranking (and thus the overlap count) is exactly
+    reproducible — no tolerance needed. Shape: one broadcastable
+    5-query join against the corpus for each ranking, window top-k per
+    query, then an id-equality join of the two top-5 sets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    mm = v.select(
+        "vec_id", "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("sc"),
+    )
+    qv = mm.select(
+        "vec_id", "v", "mn", "sc",
+        F.transform(
+            "v",
+            lambda x: F.when(F.col("sc") == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((x - F.col("mn")) / F.col("sc") + F.lit(0.5)),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(255).cast("long"),
+                )
+            ),
+        ).alias("q"),
+    )
+    dq = qv.select(
+        "vec_id", "v",
+        F.zip_with("v", "q", lambda x, qi: F.col("mn") + qi * F.col("sc")).alias("dq"),
+    )
+
+    def topk(df, vec_col):
+        queries = df.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+            F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        scored = (
+            df.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                (
+                    dot_product(F.col(vec_col), F.col("qvec"))
+                    / (l2_norm(F.col(vec_col)) * l2_norm(F.col("qvec")))
+                ).alias("c"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+    exact = topk(dq.select("vec_id", "v"), "v").select("query_id", "vec_id")
+    quant = topk(dq.select("vec_id", "dq"), "dq").select("query_id", "vec_id")
+    return (
+        exact.join(quant, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
+        .orderBy("query_id")
+    )

@@ -305,3 +305,35 @@ def streaming_distinct_users_hourly_query(spark: SparkSession, sf_dir: str) -> D
     from ..streaming.event_windows import streaming_distinct_users_hourly
 
     return streaming_distinct_users_hourly(spark, sf_dir)
+
+
+@query("streaming_python_source")  # rows-only: streaming runtime
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the custom Python DataSource
+    (`sources/pydatasource.py`): micro-batched offsets through the
+    SimpleDataSourceStreamReader contract, aggregated per user bucket —
+    with the connector's deterministic rows, the streamed total equals
+    the batch read exactly (asserted in tests)."""
+    import itertools as _it
+
+    from ..sources.pydatasource import register
+    from ..streaming.event_windows import _COUNTER
+
+    register(spark)
+    name = f"stream_pyds_{next(_COUNTER)}"
+    df = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 2000).option("batch_rows", 500).load()
+    )
+    agg = df.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.sum("value") * 100.0 + F.lit(0.5)).alias("total_cents"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_bucket")

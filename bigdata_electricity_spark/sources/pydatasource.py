@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -69,6 +70,13 @@ class SyntheticEventsDataSource(DataSource):
             int(self.options.get("n_users", DEFAULT_USERS)),
         )
 
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticStreamReader(
+            int(self.options.get("n_rows", DEFAULT_ROWS)),
+            int(self.options.get("batch_rows", 500)),
+            int(self.options.get("n_users", DEFAULT_USERS)),
+        )
+
 
 class _SyntheticReader(DataSourceReader):
     def __init__(self, n_rows: int, n_partitions: int, n_users: int) -> None:
@@ -85,6 +93,33 @@ class _SyntheticReader(DataSourceReader):
         lo, hi = partition.value
         for i in range(lo, hi):
             yield synth_row(i, self.n_users)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read of the same md5-derived rows, `batch_rows` per
+    micro-batch. Offsets are plain row positions; once `n_rows` is
+    reached `read` returns an empty batch with an unchanged offset, so
+    processAllAvailable terminates — the bounded-replay shape used by
+    the batch-equality test. readBetweenOffsets replays any committed
+    range deterministically (the recovery contract)."""
+
+    def __init__(self, n_rows: int, batch_rows: int, n_users: int) -> None:
+        self.n_rows, self.batch_rows, self.n_users = n_rows, batch_rows, n_users
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        if pos >= self.n_rows:
+            return iter([]), {"pos": pos}
+        end = min(pos + self.batch_rows, self.n_rows)
+        return iter([synth_row(i, self.n_users) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [synth_row(i, self.n_users) for i in range(start["pos"], end["pos"])]
+        )
 
 
 def register(spark) -> None:

@@ -351,3 +351,23 @@ def test_pyds_jsonl_manifest_sink_commit_protocol(spark, tmp_path):
     assert len(manifest["files"]) == len(files) == 4
     on_disk = sum(sum(1 for _ in open(p)) for p in files)
     assert on_disk == manifest["total_rows"]
+
+
+def test_pyds_stream_equals_batch(spark):
+    """The Python streaming source must deliver exactly the batch
+    dataset once drained (offset bookkeeping loses/duplicates nothing)."""
+    from bigdata_electricity_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = {
+        (r["user_bucket"], r["n_events"], r["total_cents"])
+        for r in REGISTRY["streaming_python_source"].fn(spark, SF_DIR).collect()
+    }
+    batch_df = (
+        spark.read.format("synthetic_events").option("n_rows", 2000).load()
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.floor(F.sum("value") * 100.0 + F.lit(0.5)).alias("total_cents"))
+    )
+    batch = {(r["user_bucket"], r["n_events"], r["total_cents"]) for r in batch_df.collect()}
+    assert stream == batch

@@ -459,3 +459,60 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "seasonality_profile_events",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               AVG(value) AS cell_avg,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT SUM(cell_avg * n) / SUM(n) AS grand
+        FROM cells
+    )
+    SELECT dow, hod,
+           {dround('cell_avg', 4)} AS cell_avg,
+           n AS n_events,
+           {dround('cell_avg - g.grand', 4)} AS seasonal_delta
+    FROM cells CROSS JOIN g
+    ORDER BY dow, hod
+    """,
+)
+def seasonality_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality decomposition grid: mean value per (day-of-week,
+    hour-of-day) cell and its delta from the (cell-weighted) grand mean
+    — the 7×24 heatmap behind capacity planning and anomaly baselines
+    ('is Tuesday 3am normally this quiet?').
+
+    One groupBy on a ≤168-cell key (map-side partial agg does almost
+    all the work), grand mean recomputed FROM THE CELLS (weighted) so
+    the oracle needs no second raw scan, broadcast back to 168 rows.
+    DuckDB dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7 —
+    aligned via (dayofweek - 1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.avg("value").alias("cell_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = cells.agg(
+        (F.sum(F.col("cell_avg") * F.col("n")) / F.sum("n")).alias("grand")
+    )
+    return (
+        cells.crossJoin(F.broadcast(g))
+        .select(
+            "dow", "hod",
+            hround("cell_avg", 4).alias("cell_avg"),
+            F.col("n").alias("n_events"),
+            hround(F.col("cell_avg") - F.col("grand"), 4).alias("seasonal_delta"),
+        )
+        .orderBy("dow", "hod")
+    )

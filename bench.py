@@ -83,26 +83,37 @@ def main() -> None:
     ).groupBy(F.window("ts", "10 minutes")).count().count()
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name in HEADLINE:
-        best, n = None, 0
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, sf_dir)
-            n = df.count()
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        # One broken query must not cost the whole bench artifact: record
+        # the failure, keep timing the rest, still emit the JSON line.
+        try:
+            best, n = None, 0
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                df = REGISTRY[name].fn(spark, sf_dir)
+                n = df.count()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            timings[name] = round(best, 3)
+            print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(name)
+            print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

@@ -516,3 +516,67 @@ def seasonality_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "pareto_customer_revenue",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {dround('SUM(o_totalprice)', 2)} AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rn,
+               COUNT(*) OVER () AS n_cust,
+               SUM(revenue) OVER () AS total_rev,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM per_cust
+    )
+    SELECT CAST(ceil(rn * 10.0 / n_cust) AS INT) AS decile,
+           COUNT(*) AS n_customers,
+           {dround('MAX(cum_rev / total_rev)', 6)} AS cum_revenue_share
+    FROM ranked
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share curve: customers ranked by revenue,
+    cumulative revenue share at each decile of the customer base — the
+    80/20 concentration audit behind account prioritization and
+    whale-risk checks.
+
+    The global-order windows run over the per-customer AGGREGATE
+    (|customers| rows, not |orders|) — the same bounded-cardinality
+    argument as `growth_weekly_revenue`; the raw table only ever does
+    one keyed groupBy. Revenue rounded pre-cumsum so both engines
+    accumulate identical doubles in the same rank order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        hround(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+        F.sum("revenue").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_rev"),
+    )
+    return (
+        ranked.groupBy(
+            F.ceil(F.col("rn") * 10.0 / F.col("n_cust")).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.max(F.col("cum_rev") / F.col("total_rev")), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -15,7 +15,7 @@ itself distributed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8, seed: int = 42,
@@ -36,3 +36,55 @@ def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8, seed: int = 42,
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("cluster_id")
     )
+
+
+def lloyd_dataframe(points: DataFrame, seed_ids: list[int], iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """K-means Lloyd iterations as PURE DataFrame operations — no
+    pyspark.ml, no RNG: centroids seed from fixed point ids, each
+    round is (broadcast centroids → per-point argmin by squared L2 →
+    per-dimension mean), unrolled ``iters`` times into one lazy plan.
+
+    Determinism contract (what makes this oracle-checkable when
+    `ml_kmeans_embeddings` is rows-only): seeding is by id, argmin ties
+    break on centroid id, and centroids are ROUNDED to 1e-9 after every
+    update — so both engines compare points against bit-identical
+    centroids and partial-aggregation reorder noise (~1e-13) can never
+    flip an assignment.
+
+    Returns (id, cid, d2) after the final assignment. Scale shape: the
+    per-round shuffle is the k-row centroid broadcast + one groupBy
+    (cid, dim) over exploded dims — dims are (long, long, double)
+    triples, never whole vectors; iterations multiply plan depth, not
+    data size (chain localCheckpoint for iters ≫ 5).
+    """
+    cent = points.filter(F.col(id_col).isin(seed_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c")
+    )
+    assigned = None
+    for _ in range(iters):
+        joined = points.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            "cid",
+            F.aggregate(
+                F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        w = Window.partitionBy("id").orderBy("d2", "cid")
+        assigned = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+        cent = (
+            dims.groupBy("cid", "i")
+            .agg((F.floor(F.avg("x") * 1e9 + F.lit(0.5)) / 1e9).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+            .select("cid", F.transform("s", lambda st: st.getField("m")).alias("c"))
+        )
+    return assigned.select("id", "cid", "d2")

@@ -337,3 +337,76 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("user_bucket")
+
+
+@query(
+    "kmeans_dataframe_lloyd",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id IN (0, 1, 2, 3)),
+    s1 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               list_sum(list_transform(list_zip(p.v, c.c),
+                        q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2
+        FROM pts p CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, v, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s1
+    ),
+    c1 AS (
+        SELECT cid, list(m ORDER BY i) AS c
+        FROM (
+            SELECT cid, i, floor(AVG(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m
+            FROM (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
+                  FROM a1 WHERE rn = 1)
+            GROUP BY cid, i
+        )
+        GROUP BY cid
+    ),
+    s2 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               list_sum(list_transform(list_zip(p.v, c.c),
+                        q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2
+        FROM pts p CROSS JOIN c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s2
+    )
+    SELECT cid,
+           COUNT(*) AS n_points,
+           floor(AVG(d2) * 1000000.0 + 0.5) / 1000000.0 AS mean_d2
+    FROM a2 WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def kmeans_dataframe_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 2 Lloyd rounds) as a pure declarative plan — the
+    iterative-algorithm-as-joins demonstration, and unlike
+    `ml_kmeans_embeddings` it is HASH-CHECKABLE: id-based seeding,
+    cid-tie-broken argmin, and 1e-9-rounded centroids per round make
+    both engines' assignments bit-reproducible (ml/clustering.py
+    `lloyd_dataframe`). Output: per-cluster size + mean squared
+    distance after the final assignment.
+    """
+    from ..ml.clustering import lloyd_dataframe
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned = lloyd_dataframe(emb, seed_ids=[0, 1, 2, 3], iters=2)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.floor(F.avg("d2") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_d2"),
+        )
+        .orderBy("cid")
+    )

@@ -371,3 +371,30 @@ def test_pyds_stream_equals_batch(spark):
     )
     batch = {(r["user_bucket"], r["n_events"], r["total_cents"]) for r in batch_df.collect()}
     assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# DataFrame Lloyd k-means
+# ---------------------------------------------------------------------------
+
+def test_lloyd_inertia_monotone(spark):
+    """Lloyd's algorithm guarantee: total inertia never increases with
+    more rounds (assignment and update steps each only decrease it)."""
+    from bigdata_electricity_spark.ml.clustering import lloyd_dataframe
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    inertia = [
+        lloyd_dataframe(emb, seed_ids=[0, 1, 2, 3], iters=i)
+        .agg(F.sum("d2")).collect()[0][0]
+        for i in (1, 2, 3)
+    ]
+    assert inertia[0] >= inertia[1] >= inertia[2] - 1e-6, inertia
+    # and clustering is non-degenerate: every centroid keeps points
+    sizes = (
+        lloyd_dataframe(emb, seed_ids=[0, 1, 2, 3], iters=2)
+        .groupBy("cid").count().collect()
+    )
+    assert len(sizes) == 4 and all(r["count"] > 0 for r in sizes)

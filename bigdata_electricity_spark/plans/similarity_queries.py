@@ -351,3 +351,51 @@ def quantized_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE u AS ({_DUCK_UNITS}),
+    edges AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_UDOT} >= 0.3
+    ), sym AS (
+        SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+    ), reach AS (
+        SELECT vec_id AS id, vec_id AS comp FROM embeddings
+        UNION
+        SELECT sym.d AS id, reach.comp
+        FROM reach JOIN sym ON sym.s = reach.id
+        WHERE reach.comp < sym.d
+    )
+    SELECT component, COUNT(*) AS n_vectors FROM (
+        SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: transitive closure over the
+    embedding-cosine near-dup graph (`sim_near_dup_pairs` edges →
+    join-based connected components) — A~B and B~C collapse into one
+    cluster even when A·C < threshold, exactly the text-side
+    `dedup_cc_clusters` story replayed in embedding space. Cluster ids
+    are the min reachable vec_id: deterministic, so the closure is
+    oracle-checked by a recursive CTE over the identical unit-dot
+    edges (bit-identical pre-normalized math on both engines).
+    """
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_near_dups(emb, threshold=0.3)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(nodes, edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("component")
+    )

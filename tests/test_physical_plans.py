@@ -432,3 +432,24 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     df.collect()  # AQE finalizes the plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:500]
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Physical join strategy is controllable per-join via hints — the
+    manual override lane when AQE/statistics pick wrong at scale."""
+    from bigdata_electricity_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+
+    def plan(df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    shj = plan(orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+               .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+    smj = plan(orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+               .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+    assert "ShuffledHashJoin" in shj and "SortMergeJoin" not in shj
+    assert "SortMergeJoin" in smj and "ShuffledHashJoin" not in smj

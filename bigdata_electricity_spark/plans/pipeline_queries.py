@@ -577,3 +577,53 @@ def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@query(
+    "pyds_jsonl_sink_roundtrip",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python SINK (`jsonl_manifest`) certified end-to-end:
+    write the corpus through the DataSourceWriter commit protocol, read
+    the shards back, and verify BOTH that the manifest's total matches
+    the commit messages and that the per-source read-back aggregates
+    match the original table (the oracle). A torn write fails twice —
+    manifest vs files, and values vs oracle.
+    """
+    import json as _json
+    import shutil as _shutil
+
+    from ..sources.pydatasource import register_sink
+
+    register_sink(spark)
+    out = "/root/repo/spark-warehouse/pyds_jsonl_sink"
+    _shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.format("jsonl_manifest").mode("append").option("path", out).save()
+
+    manifest = _json.load(open(f"{out}/_MANIFEST.json"))
+    back = spark.read.schema("doc_id long, lang string, source string, n_chars long").json(
+        f"{out}/part-*.jsonl"
+    )
+    if manifest["total_rows"] != back.count():
+        raise AssertionError(
+            f"manifest says {manifest['total_rows']} rows, files hold {back.count()}"
+        )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

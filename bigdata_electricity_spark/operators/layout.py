@@ -95,3 +95,15 @@ def morton_code_nd(cols: list[Column], bits: int = 16) -> Column:
                 F.shiftleft(F.shiftright(cl, i).bitwiseAND(one), i * n + d)
             )
     return z
+
+
+def morton_code_nd_sql(exprs: list[str], bits: int = 16) -> str:
+    """DuckDB/ANSI fragment computing exactly :func:`morton_code_nd` —
+    generated alongside the Spark expression so oracles evaluate the
+    same interleave."""
+    n = len(exprs)
+    terms = []
+    for d, e in enumerate(exprs):
+        for i in range(bits):
+            terms.append(f"((({e} >> {i}) & 1) << {i * n + d})")
+    return "(" + " | ".join(terms) + ")"

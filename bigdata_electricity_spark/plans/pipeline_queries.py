@@ -627,3 +627,69 @@ def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _zorder3d_oracle() -> str:
+    from ..operators.layout import morton_code_nd_sql
+
+    mc = morton_code_nd_sql(
+        ["user_id", "(hour(ts) * 60 + minute(ts))", "CAST(floor(value / 50) AS BIGINT)"],
+        bits=10,
+    )
+    return f"""
+    WITH z AS (
+        SELECT user_id,
+               CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS m,
+               CAST(floor(value / 50) AS BIGINT) AS vb,
+               {mc} AS zc
+        FROM events
+    )
+    SELECT zc >> 24 AS bucket,
+           COUNT(*) AS n_events,
+           MIN(user_id) AS user_lo, MAX(user_id) AS user_hi,
+           MIN(m) AS minute_lo, MAX(m) AS minute_hi,
+           MIN(vb) AS vbucket_lo, MAX(vb) AS vbucket_hi
+    FROM z
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@query("layout_zorder3d_buckets", oracle=_zorder3d_oracle())
+def layout_zorder3d_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimension Z-order clustering audit: user_id ×
+    minute-of-day × value-bucket interleaved with
+    :func:`operators.layout.morton_code_nd` (bit i of dim d → position
+    3i+d), profiled per high-order code range with the bounding box in
+    ALL THREE dimensions — a file clustered this way prunes on any of
+    the three predicates. 10 bits/dim → 30-bit code; bucket = zc >> 24
+    keeps ≤64 buckets of 6 interleaved high bits. The oracle evaluates
+    the identical generated bit math (morton_code_nd_sql), so the
+    3-D layout key itself is value-hash-checked.
+    """
+    from ..operators.layout import morton_code_nd
+
+    ev = load_table(spark, sf_dir, "events")
+    m = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    vb = F.floor(F.col("value") / 50).cast("long")
+    z = ev.select(
+        "user_id",
+        m.alias("m"),
+        vb.alias("vb"),
+        morton_code_nd(
+            [F.col("user_id"), m, vb], bits=10
+        ).alias("zc"),
+    )
+    return (
+        z.groupBy(F.shiftright("zc", 24).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("user_lo"),
+            F.max("user_id").alias("user_hi"),
+            F.min("m").alias("minute_lo"),
+            F.max("m").alias("minute_hi"),
+            F.min("vb").alias("vbucket_lo"),
+            F.max("vb").alias("vbucket_hi"),
+        )
+        .orderBy("bucket")
+    )

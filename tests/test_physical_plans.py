@@ -453,3 +453,23 @@ def test_join_strategy_hints_are_honored(spark):
                .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
     assert "ShuffledHashJoin" in shj and "SortMergeJoin" not in shj
     assert "SortMergeJoin" in smj and "ShuffledHashJoin" not in smj
+
+
+def test_cache_reuse_shows_inmemory_scan(spark):
+    """df.persist() must serve later actions from InMemoryRelation —
+    the manual reuse lever for iterative workloads (the CC loop uses
+    localCheckpoint for the same reason: cut lineage, reuse bytes)."""
+    from bigdata_electricity_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        df.count()  # materialize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        df.unpersist()

@@ -693,3 +693,60 @@ def layout_zorder3d_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "dynamic_partition_overwrite_recent",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           floor(SUM(value * CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25'
+                                  THEN 2.0 ELSE 1.0 END) * 100.0 + 0.5) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def dynamic_partition_overwrite_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the reprocess-a-window write
+    pattern: publish the full date-partitioned dataset, then rewrite
+    ONLY the recent days (here: values doubled, days ≥ Jan 25) with
+    ``partitionOverwriteMode=dynamic``, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    directory untouched. The read-back audit proves it: old days carry
+    original sums, rewritten days carry doubled sums — a static
+    overwrite would have dropped the old days entirely.
+
+    This is how backfills and late-data reprocessing ship at 100 TB:
+    recompute the affected window, overwrite just those directories,
+    never touch (or list) the other 9 years. Option-scoped conf — the
+    session default stays static.
+    """
+    from ..sources.sinks import write_parquet
+
+    out_dir = "/root/repo/spark-warehouse/events_dyn_overwrite"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    write_parquet(ev, out_dir, partition_by=["day"])
+
+    recent = ev.filter(F.col("day") >= F.lit("2024-01-25")).withColumn(
+        "value", F.col("value") * 2.0
+    )
+    (
+        recent.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out_dir)
+    )
+
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy(F.col("day").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )

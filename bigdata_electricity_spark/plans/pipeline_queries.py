@@ -750,3 +750,84 @@ def dynamic_partition_overwrite_recent(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("day")
     )
+
+
+@query(
+    "export_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: write lineitem as ORC (Spark's other built-in
+    columnar format — the Hive-ecosystem handoff), read it back, and
+    audit the aggregate against the original parquet. Round-tripping
+    through a second columnar codec catches type-mapping drift
+    (decimal/timestamp/char quirks) that staying inside parquet never
+    exercises.
+    """
+    out_dir = "/root/repo/spark-warehouse/lineitem_orc"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "ingest_jsonl_from_text",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ingest_jsonl_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-ingestion path: corpus shards read back as PLAIN TEXT lines
+    (`spark.read.text` — the zero-schema entry point every scraped
+    corpus starts from) and parsed with `from_json` against an explicit
+    schema; malformed lines become nulls instead of failures
+    (PERMISSIVE semantics), and the audit counts must still match the
+    original table — proving parse-side losslessness, not just
+    write-side.
+
+    Completes the semi-structured parsing trio: per-path
+    get_json_object (`events_json_extract`), parse-once VARIANT
+    (`events_variant_extract`), and schema-projected from_json here.
+    """
+    out_dir = "/root/repo/spark-warehouse/corpus_jsonl_text"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(out_dir)
+
+    lines = spark.read.text(out_dir)
+    parsed = lines.select(
+        F.from_json(
+            "value", "doc_id long, lang string, source string, n_chars long"
+        ).alias("d")
+    ).select("d.*")
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

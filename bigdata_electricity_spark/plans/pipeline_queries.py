@@ -831,3 +831,49 @@ def ingest_jsonl_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ps_api_source_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           floor(AVG(CAST(n_chars AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ps_api_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-on-Spark API surface: the same per-source corpus stats
+    expressed through ``DataFrame.pandas_api()`` (pyspark.pandas
+    groupby/agg) and converted back with ``to_spark()`` — the migration
+    on-ramp for pandas codebases. It compiles to the identical
+    Catalyst aggregation plan as the native API (no Python row path),
+    which is exactly why it hash-matches the SQL oracle.
+
+    Caveat the docstring ships with: pandas-on-Spark defaults can
+    inject global ordering (index semantics) — this entry sticks to
+    groupby/agg where no implicit index sort occurs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pdf = docs.pandas_api()
+    out = (
+        pdf.groupby("source")
+        .agg(
+            n_docs=("doc_id", "count"),
+            total_chars=("n_chars", "sum"),
+            avg_chars_raw=("n_chars", "mean"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "source",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        hround(F.col("avg_chars_raw").cast("double"), 4).alias("avg_chars"),
+    ).orderBy("source")

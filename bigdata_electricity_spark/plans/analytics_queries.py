@@ -524,20 +524,28 @@ def seasonality_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_cust AS (
         SELECT o_custkey, {dround('SUM(o_totalprice)', 2)} AS revenue
         FROM orders GROUP BY o_custkey
-    ), ranked AS (
-        SELECT revenue,
-               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rn,
-               COUNT(*) OVER () AS n_cust,
-               SUM(revenue) OVER () AS total_rev,
-               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                                  ROWS UNBOUNDED PRECEDING) AS cum_rev
+    ), cuts AS (
+        SELECT quantile_cont(revenue, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
         FROM per_cust
+    ), bucketed AS (
+        SELECT CAST(10 - (CASE WHEN p.revenue > c[1] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[2] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[3] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[4] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[5] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[6] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[7] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[8] THEN 1 ELSE 0 END
+                        + CASE WHEN p.revenue > c[9] THEN 1 ELSE 0 END) AS INT) AS decile,
+               p.revenue
+        FROM per_cust p CROSS JOIN cuts
+    ), per_decile AS (
+        SELECT decile, COUNT(*) AS n_customers, SUM(revenue) AS rev
+        FROM bucketed GROUP BY decile
     )
-    SELECT CAST(ceil(rn * 10.0 / n_cust) AS INT) AS decile,
-           COUNT(*) AS n_customers,
-           {dround('MAX(cum_rev / total_rev)', 6)} AS cum_revenue_share
-    FROM ranked
-    GROUP BY 1
+    SELECT decile, n_customers,
+           {dround("SUM(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / SUM(rev) OVER ()", 6)} AS cum_revenue_share
+    FROM per_decile
     ORDER BY decile
     """,
 )
@@ -547,34 +555,47 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/20 concentration audit behind account prioritization and
     whale-risk checks.
 
-    The global-order windows run over the per-customer AGGREGATE
-    (|customers| rows, not |orders|) — the same bounded-cardinality
-    argument as `growth_weekly_revenue`; the raw table only ever does
-    one keyed groupBy. Revenue rounded pre-cumsum so both engines
-    accumulate identical doubles in the same rank order.
+    Deciles come from percentile CUT POINTS on the per-customer
+    aggregate (the `binning_equal_frequency_approx` pattern), NOT a
+    global ROW_NUMBER — a rank window over |customers| rows is a
+    single-partition funnel at 100 TB customer counts. The cuts are a
+    broadcast 9-value array, bucketing is a map-side comparison, and
+    the only window left runs over the ≤10 decile rows. Decile 1 = top
+    customers; revenue rounded pre-bucketing so both engines compare
+    identical doubles against identically-interpolated cuts.
     """
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         hround(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "revenue",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
-        F.sum("revenue").over(wall).alias("total_rev"),
-        F.sum("revenue").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum_rev"),
+    cuts = per_cust.agg(
+        F.percentile(
+            "revenue",
+            F.array(*[F.lit(q / 10.0) for q in range(1, 10)]),
+        ).alias("c")
     )
+    bucketed = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "revenue",
+        (
+            F.lit(10)
+            - F.aggregate(
+                F.transform("c", lambda cv: (F.col("revenue") > cv).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        ).cast("int").alias("decile"),
+    )
+    per_decile = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue").alias("rev"),
+    )
+    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
     return (
-        ranked.groupBy(
-            F.ceil(F.col("rn") * 10.0 / F.col("n_cust")).cast("int").alias("decile")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            hround(F.max(F.col("cum_rev") / F.col("total_rev")), 6).alias(
+        per_decile.select(
+            "decile",
+            "n_customers",
+            hround(F.sum("rev").over(w10) / F.sum("rev").over(wall), 6).alias(
                 "cum_revenue_share"
             ),
         )

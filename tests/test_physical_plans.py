@@ -473,3 +473,12 @@ def test_cache_reuse_shows_inmemory_scan(spark):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     finally:
         df.unpersist()
+
+
+def test_topk_windows_get_group_limit_pushdown(spark):
+    """rank<=k window filters must compile to WindowGroupLimit —
+    per-partition top-k BEFORE the shuffle, which is what keeps the
+    ANN serving/verification windows scale-safe (each partition ships
+    k rows per query, not its whole score list)."""
+    for q in ("quantized_recall_at_k", "sim_topk_batch", "sim_bucketed_nn"):
+        assert "WindowGroupLimit" in plan_of(spark, q), q

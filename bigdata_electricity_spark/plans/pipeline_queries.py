@@ -877,3 +877,79 @@ def ps_api_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         hround(F.col("avg_chars_raw").cast("double"), 4).alias("avg_chars"),
     ).orderBy("source")
+
+
+@query(
+    "corpus_build_chunks_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t), {_STRIDE})) AS s
+        FROM toks
+    ), chunks AS (
+        SELECT CAST(len(list_slice(t, s, s + {_CHUNK} - 1)) AS INT) AS n_tokens,
+               md5(array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ')) AS chunk_fp
+        FROM starts
+    ), dedup AS (
+        SELECT chunk_fp, MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+        FROM chunks GROUP BY chunk_fp
+    )
+    SELECT CAST(CAST(('0x' || substr(chunk_fp, 1, 6)) AS BIGINT) % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed
+    FROM dedup
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def corpus_build_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level corpus build in ONE lazy plan — the
+    composition the individual operators exist for: normalize →
+    overlap-chunk (32/24) → exact-dedup at CHUNK granularity (16-byte
+    fingerprint groupBy; cross-document boilerplate dies here even when
+    whole docs differ) → deterministic md5 sharding → per-shard
+    chunk/token/dups-removed accounting.
+
+    Every stage is shuffle-frugal: the chunk fan-out is in-partition,
+    dedup shuffles fingerprints (never chunk text), shard assignment is
+    a map-side hash — one wide shuffle total (the fp groupBy), then a
+    tiny 8-key rollup. This is the plan shape a 100 TB corpus build
+    runs nightly; the parts are individually oracle-checked
+    (`chunk_documents_overlap`, `dedup_exact_groups`,
+    `corpus_shard_assignment`) and the composition is value-checked
+    here end-to-end.
+    """
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), _CHUNK)
+    chunks = toks.select(
+        "t",
+        F.posexplode(F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))).alias("i", "s"),
+    ).select(
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+    dedup = chunks.groupBy("chunk_fp").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    shard = (
+        F.conv(F.substring("chunk_fp", 1, 6), 16, 10).cast("long") % 8
+    ).alias("shard")
+    return (
+        dedup.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
+        )
+        .orderBy("shard")
+    )

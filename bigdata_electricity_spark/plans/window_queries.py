@@ -490,3 +490,98 @@ def resample_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+@query(
+    "user_engagement_segments",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT session_id) AS n_sessions,
+               floor(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT session_id) * 10000.0 + 0.5) / 10000.0
+                 AS events_per_session
+        FROM sess GROUP BY user_id
+    ), cuts AS (
+        SELECT quantile_cont(events_per_session, [0.33, 0.66]) AS c FROM per_user
+    )
+    SELECT CASE WHEN p.events_per_session > c[2] THEN 'deep'
+                WHEN p.events_per_session > c[1] THEN 'mid'
+                ELSE 'shallow' END AS segment,
+           COUNT(*) AS n_users,
+           CAST(SUM(p.n_events) AS BIGINT) AS total_events,
+           CAST(SUM(p.n_sessions) AS BIGINT) AS total_sessions
+    FROM per_user p CROSS JOIN cuts
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def user_engagement_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral segmentation composition: sessionize per user
+    (gaps-and-islands), derive engagement depth (events per session),
+    tercile-segment by broadcast quantile cut points — sessionization,
+    feature derivation, and cut-point binning wired into one lazy plan
+    (the `rfm_segmentation` pattern driven by session features instead
+    of order history).
+
+    Entity-keyed windows for sessionization, one per-user aggregate,
+    a 2-value broadcast cut array, 3-key rollup — no global sort, no
+    unbounded window anywhere. Ratio rounded to 1e-4 pre-comparison so
+    both engines bucket identical doubles against identical cuts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session").over(w2).alias("session_id"),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("session_id").alias("n_sessions"),
+    ).withColumn(
+        "events_per_session",
+        hround(F.col("n_events").cast("double") / F.col("n_sessions"), 4),
+    )
+    cuts = per_user.agg(
+        F.percentile("events_per_session", F.array(F.lit(0.33), F.lit(0.66))).alias("c")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("events_per_session") > F.element_at("c", 2), "deep")
+            .when(F.col("events_per_session") > F.element_at("c", 1), "mid")
+            .otherwise("shallow")
+            .alias("segment"),
+            "n_events", "n_sessions",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_sessions").alias("total_sessions"),
+        )
+        .orderBy("segment")
+    )

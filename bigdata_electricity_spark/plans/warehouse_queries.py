@@ -366,3 +366,76 @@ def growth_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "maintain_compact_small_files",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(floor(SUM(value) * 100.0 + 0.5) AS BIGINT) AS total_cents,
+           CAST(ceil(COUNT(*) / 4000.0) AS BIGINT) AS planned_files
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def maintain_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive): rewrite
+    a fragmented date-partitioned table into size-targeted files, then
+    audit the compacted table from a fresh read-back.
+
+    Streaming ingest leaves every partition littered with one file per
+    micro-batch-task; at 100 TB that is millions of sub-MB files and
+    the scan dies on open() overhead, not bytes. The rewrite here is
+    the scalable shape: per-partition file counts are PLANNED from row
+    counts (ceil(rows / target)), rows are routed to
+    (day, hash(event_id) % planned) groups via one shuffle keyed by
+    exactly those columns, and each partition directory comes out with
+    ~planned files regardless of how fragmented it went in. Content
+    equality and the actual file-count drop are asserted from read-back
+    in tests; this query returns the per-day audit (counts + checksums
+    + planned file count), which the oracle recomputes from the source
+    table — compaction must be a pure layout change.
+    """
+    import glob
+
+    from ..sources.sinks import write_parquet
+
+    target_rows = 4000
+    base = "/root/repo/spark-warehouse/events_compaction"
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+
+    # Fragmented ingest state: every one of 16 writer tasks holds rows of
+    # every day, so each day directory gets ~16 small files.
+    write_parquet(ev.repartition(16, "event_id"), f"{base}/fragmented",
+                  partition_by=["day"])
+
+    frag = spark.read.parquet(f"{base}/fragmented")
+    plan = frag.groupBy("day").agg(
+        F.ceil(F.count(F.lit(1)) / float(target_rows)).alias("__n_files")
+    )
+    routed = (
+        frag.join(F.broadcast(plan), "day")
+        .withColumn("__fg", F.pmod(F.xxhash64("event_id"), F.col("__n_files")))
+        .repartition("day", "__fg")
+        .drop("__n_files", "__fg")
+    )
+    write_parquet(routed, f"{base}/compacted", partition_by=["day"])
+
+    n_frag = len(glob.glob(f"{base}/fragmented/day=*/*.parquet"))
+    n_comp = len(glob.glob(f"{base}/compacted/day=*/*.parquet"))
+    assert n_comp < n_frag, f"compaction grew files: {n_comp} >= {n_frag}"
+
+    back = spark.read.parquet(f"{base}/compacted")
+    return (
+        back.groupBy(F.col("day").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.floor(F.sum("value") * 100.0 + F.lit(0.5)).cast("long").alias("total_cents"),
+            F.ceil(F.count(F.lit(1)) / float(target_rows)).alias("planned_files"),
+        )
+        .orderBy("day")
+    )

@@ -398,3 +398,34 @@ def test_lloyd_inertia_monotone(spark):
         .groupBy("cid").count().collect()
     )
     assert len(sizes) == 4 and all(r["count"] > 0 for r in sizes)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_shrinks_files_and_preserves_content(spark):
+    import glob
+
+    REGISTRY["maintain_compact_small_files"].fn(spark, SF_DIR).count()
+    base = "/root/repo/spark-warehouse/events_compaction"
+    n_frag = len(glob.glob(f"{base}/fragmented/day=*/*.parquet"))
+    n_comp = len(glob.glob(f"{base}/compacted/day=*/*.parquet"))
+    assert n_comp < n_frag
+    frag = spark.read.parquet(f"{base}/fragmented").drop("day")
+    comp = spark.read.parquet(f"{base}/compacted").drop("day")
+    # pure layout change: exact multiset equality of rows
+    assert frag.exceptAll(comp).count() == 0
+    assert comp.exceptAll(frag).count() == 0
+    # every compacted day dir holds at most planned-files files
+    per_day = {
+        d.rsplit("day=", 1)[1].split("/")[0]: len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{base}/compacted/day=*")
+    }
+    counts = dict(
+        comp.groupBy(F.to_date("ts").alias("d")).count().collect()
+    )
+    for day, nf in per_day.items():
+        planned = -(-counts[__import__("datetime").date.fromisoformat(day)] // 4000)
+        assert nf <= planned + 1, (day, nf, planned)

@@ -462,3 +462,80 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("observed"),
         hround(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("expected"),
     ).orderBy("d")
+
+
+@query(
+    "abtest_priority_ztest",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS converted
+        FROM orders
+    ), per AS (
+        SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS x
+        FROM assigned GROUP BY variant
+    ), wide AS (
+        SELECT MAX(n) FILTER (WHERE variant = 'a') AS n_a,
+               MAX(x) FILTER (WHERE variant = 'a') AS x_a,
+               MAX(n) FILTER (WHERE variant = 'b') AS n_b,
+               MAX(x) FILTER (WHERE variant = 'b') AS x_b
+        FROM per
+    ), stats AS (
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(x_a AS DOUBLE) / n_a AS p_a,
+               CAST(x_b AS DOUBLE) / n_b AS p_b,
+               CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM wide
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           {dround('p_a', 6)} AS p_a,
+           {dround('p_b', 6)} AS p_b,
+           {dround('(p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))', 4)} AS z_score,
+           CASE WHEN abs({dround('(p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))', 4)}) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM stats
+    """,
+)
+def abtest_priority_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test — the experimentation primitive on
+    top of the drift (PSI) and conformance (Benford) audits. Variants
+    are assigned deterministically by key parity (the hash-bucket
+    assignment every real experiment framework uses), conversion is
+    order fulfillment, and the pooled z-statistic is pure arithmetic
+    over four counts.
+
+    Scale shape: ONE partial+final aggregate over orders produces the
+    2×2 table; everything after is constant-size arithmetic. The
+    significance flag compares the ROUNDED z so an ulp at the 1.96
+    boundary can't flip membership across engines (the curation-
+    pipeline threshold rule).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("variant"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("converted"),
+        )
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x"))
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "a", F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "b", F.col("x"))).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    zr = hround(z, 4)
+    return wide.select(
+        "n_a", "x_a", "n_b", "x_b",
+        hround(p_a, 6).alias("p_a"),
+        hround(p_b, 6).alias("p_b"),
+        zr.alias("z_score"),
+        F.when(F.abs(zr) > 1.96, 1).otherwise(0).alias("significant"),
+    )

@@ -410,3 +410,96 @@ def kmeans_dataframe_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "streaming_foreach_batch_upsert",
+    oracle="""
+    WITH synth AS (
+        SELECT range AS event_id,
+               CAST(CAST(('0x' || substr(md5('u' || CAST(range AS VARCHAR)), 1, 6)) AS BIGINT) % 50 AS BIGINT) AS user_id,
+               CAST(floor(CAST(CAST(('0x' || substr(md5('v' || CAST(range AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)
+                    / 16777216.0 * 50000.0 + 0.5) AS BIGINT) / 100.0 AS value
+        FROM range(0, 2000)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+           MAX(event_id) AS last_event_id
+    FROM synth
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert via ``foreachBatch``: every micro-batch is
+    aggregated and MERGEd (copy-on-write full-outer join) into a keyed
+    parquet snapshot — the standard Structured-Streaming pattern for
+    maintaining a serving table when the sink has no native MERGE.
+
+    The source is the custom Python DataSource's stream reader (4
+    micro-batches of 500 md5-derived rows), so the final snapshot is
+    fully deterministic and the ORACLE recomputes it from a bare
+    integer range — certifying offset tracking, per-batch aggregation,
+    and the cross-batch merge arithmetic, not just row counts. Values
+    convert to integer cents AT THE ROW level before any sum, so the
+    cross-batch addition order can't drift a double ulp past a cent
+    boundary.
+
+    At 100 TB the pattern holds with two changes (both registry-proven
+    elsewhere): the snapshot lives bucketed on the key
+    (`write_bucketed_table`) so each merge is one co-located join, and
+    the rewrite touches only changed buckets (`merge_upsert_orders` is
+    the batch shape of the same join).
+    """
+    import os
+    import shutil
+
+    from ..sources.pydatasource import register
+    from ..streaming.event_windows import _COUNTER
+
+    register(spark)
+    base = "/root/repo/spark-warehouse/stream_upsert"
+    shutil.rmtree(base, ignore_errors=True)
+    snap, tmp = f"{base}/snapshot", f"{base}/snapshot_tmp"
+    batches: list[int] = []
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        batches.append(batch_id)
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("total_cents"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        if os.path.exists(snap):
+            cur = batch_df.sparkSession.read.parquet(snap)
+            merged = (
+                cur.alias("c").join(inc.alias("i"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("c.n_events", F.lit(0)) + F.coalesce("i.n_events", F.lit(0))).alias("n_events"),
+                    (F.coalesce("c.total_cents", F.lit(0)) + F.coalesce("i.total_cents", F.lit(0))).alias("total_cents"),
+                    F.greatest(
+                        F.coalesce("c.last_event_id", F.lit(-1)),
+                        F.coalesce("i.last_event_id", F.lit(-1)),
+                    ).alias("last_event_id"),
+                )
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snap, ignore_errors=True)
+        os.rename(tmp, snap)
+
+    name = f"stream_upsert_{next(_COUNTER)}"
+    df = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 2000).option("batch_rows", 500).load()
+    )
+    q = df.writeStream.foreachBatch(merge_batch).queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 3, f"expected multiple micro-batches, got {batches}"
+    return spark.read.parquet(snap).orderBy("user_id")

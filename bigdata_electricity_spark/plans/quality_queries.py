@@ -539,3 +539,55 @@ def abtest_priority_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         zr.alias("z_score"),
         F.when(F.abs(zr) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+@query(
+    "observe_filter_funnel_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_scanned,
+           CAST(SUM(CASE WHEN o_totalprice > 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_pass,
+           CAST(SUM(CASE WHEN o_totalprice > 1000.0 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def observe_filter_funnel_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the ``Observation`` API: per-stage
+    funnel metrics (rows scanned, rows surviving each filter, key
+    bounds) collected DURING the query's own action — zero extra scans.
+
+    At 100 TB this is the difference between "profile the pipeline" as
+    a free side effect and paying a second full pass per audit count
+    (the `clean_null_profile` batched-aggregate trick solves a related
+    problem; Observation attaches the audit to a query you were already
+    running). Three observation points straddle the two filters; the
+    final action drains the stream once and every metric materializes.
+    The metrics are plain deterministic aggregates, so the oracle
+    recomputes them in one SQL pass.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    o_scan = Observation("scan")
+    o_price = Observation("price")
+    o_final = Observation("final")
+    pipe = (
+        orders.observe(o_scan, F.count(F.lit(1)).alias("n"),
+                       F.min("o_orderkey").alias("min_key"),
+                       F.max("o_orderkey").alias("max_key"))
+        .filter(F.col("o_totalprice") > 1000.0)
+        .observe(o_price, F.count(F.lit(1)).alias("n"))
+        .filter(F.col("o_orderstatus") == "F")
+        .observe(o_final, F.count(F.lit(1)).alias("n"))
+    )
+    pipe.write.format("noop").mode("overwrite").save()  # the one real action
+    row = (
+        o_scan.get["n"], o_price.get["n"], o_final.get["n"],
+        o_scan.get["min_key"], o_scan.get["max_key"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_scanned bigint, n_price_pass bigint, n_final bigint, "
+        "min_key bigint, max_key bigint",
+    )

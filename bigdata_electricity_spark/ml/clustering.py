@@ -58,6 +58,22 @@ def lloyd_dataframe(points: DataFrame, seed_ids: list[int], iters: int = 2,
     triples, never whole vectors; iterations multiply plan depth, not
     data size (chain localCheckpoint for iters ≫ 5).
     """
+    assigned, _ = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col)
+    return assigned.select("id", "cid", "d2")
+
+
+def lloyd_centroids(points: DataFrame, seed_ids: list[int], iters: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """(cid, c): centroids AFTER ``iters`` Lloyd updates, same
+    determinism contract as :func:`lloyd_dataframe` (id seeding, cid
+    tie-break, 1e-9 rounding per update) — the trained coarse quantizer
+    the IVF similarity path probes against."""
+    _, cent = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col)
+    return cent
+
+
+def _lloyd_rounds(points: DataFrame, seed_ids: list[int], iters: int,
+                  id_col: str, vec_col: str):
     cent = points.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c")
     )
@@ -87,4 +103,4 @@ def lloyd_dataframe(points: DataFrame, seed_ids: list[int], iters: int = 2,
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
             .select("cid", F.transform("s", lambda st: st.getField("m")).alias("c"))
         )
-    return assigned.select("id", "cid", "d2")
+    return assigned, cent

@@ -399,3 +399,145 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("component")
     )
+
+
+@query(
+    "sim_ivf_probe_topk",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id IN (0, 1, 2, 3)),
+    s1 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               list_sum(list_transform(list_zip(p.v, c.c),
+                        q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2
+        FROM pts p CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s1
+    ),
+    c1 AS (
+        SELECT cid, list(m ORDER BY i) AS c
+        FROM (
+            SELECT cid, i, floor(AVG(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m
+            FROM (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
+                  FROM a1 WHERE rn = 1)
+            GROUP BY cid, i
+        )
+        GROUP BY cid
+    ),
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(p.v, c.c),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), c.cid) AS rn
+            FROM pts p CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id IN (5, 17, 42)),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       list_sum(list_transform(list_zip(q.qv, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c1 c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT q.qid, p.vec_id,
+               {_DUCK_COS.format(a='p.v', b='q.qv')} AS cos
+        FROM q
+        JOIN probe pr ON pr.qid = q.qid
+        JOIN lists l ON l.cid = pr.cid
+        JOIN pts p ON p.vec_id = l.vec_id
+        WHERE p.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, rank, cand_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM (
+        SELECT qid, vec_id AS cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM cand
+    )
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with a LEARNED coarse quantizer, end to end: train k=4
+    centroids (one deterministic Lloyd round, `ml/clustering.py`
+    contract — id seeding, cid tie-break, 1e-9-rounded updates), build
+    the inverted lists (every vector assigned to its nearest centroid),
+    then serve 3 queries probing their nprobe=2 closest lists and
+    taking exact-cosine top-3 within the probed candidates.
+
+    This replaces `sim_bucketed_nn`'s given `label` bucket with the
+    trained assignment — the full IVF story. Serving shape at 100 TB:
+    centroids and the (query × probe) table broadcast (k × nprobe
+    rows), candidate scoring touches ONLY the probed lists' partitions
+    (with lists stored partitioned by cid, partition pruning does it),
+    and the final top-k is a per-query WindowGroupLimit. Every stage is
+    deterministic, so the whole index+serve path is hash-checked
+    against the oracle's replication of the same rounds.
+    """
+    from ..ml.clustering import lloyd_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = lloyd_centroids(emb, seed_ids=[0, 1, 2, 3], iters=1)
+
+    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
+        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    # inverted lists: every point -> nearest centroid
+    pc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", d2(F.col("v"), F.col("c")).alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    lists = (
+        pc.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    # probe table: nprobe=2 nearest centroids per query (tiny: |q| x k)
+    queries = emb.filter(F.col("vec_id").isin([5, 17, 42])).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "qv", "cid", d2(F.col("qv"), F.col("c")).alias("d2")
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cid")
+    probe = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= 2)
+        .select("qid", "qv", "cid")
+    )
+    # score only the probed lists; exact cosine inside the candidates
+    from ..functions.vectors import cosine_similarity
+
+    cand = lists.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", "vec_id",
+        cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("cand_id"),
+            (F.floor(F.col("cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )

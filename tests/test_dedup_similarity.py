@@ -137,3 +137,25 @@ def test_applyinpandas_zscore_matches_builtin(spark):
         for r in docs.groupBy("source").applyInPandas(zscore, "doc_id long, z double").collect()
     }
     assert arrow == builtin
+
+
+def test_ivf_probe_recall_vs_bruteforce(spark):
+    # nprobe=2 of k=4 lists must recover most of the exact top-3 —
+    # the IVF acceptance bar (non-vacuous: probing misses lists).
+    from bigdata_electricity_spark.operators.similarity import brute_force_topk
+    from bigdata_electricity_spark.plans import REGISTRY
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ivf = REGISTRY["sim_ivf_probe_topk"].fn(spark, sf).collect()
+    got = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    emb = load_table(spark, sf, "embeddings")
+    hits = total = 0
+    for qid, cands in got.items():
+        exact = {r["vec_id"] for r in brute_force_topk(emb, query_vec_id=qid, k=3).collect()}
+        hits += len(cands & exact)
+        total += len(exact)
+    assert total == 9
+    assert hits / total >= 2 / 3, f"IVF recall@3 too low: {hits}/{total}"

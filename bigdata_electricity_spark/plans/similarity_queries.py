@@ -541,3 +541,74 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "graph_triangle_stats",
+    oracle=f"""
+    WITH u AS ({_DUCK_UNITS}),
+    e AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM u a
+        JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_UDOT} >= 0.3
+    ),
+    sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+    deg AS (SELECT s AS id, COUNT(*) AS dg FROM sym GROUP BY s),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM e e1
+                JOIN e e2 ON e2.s = e1.d
+                JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d) AS n_triangles,
+               (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering_coeff
+    FROM agg
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the embedding
+    near-dup graph — the graph-analytics step past connectivity
+    (`sim_semantic_clusters` tells you WHICH vectors merge; this tells
+    you how clique-like the merged neighborhoods are, the standard
+    sanity signal on a near-dup threshold: chains ≈ threshold too
+    loose, cliques ≈ genuine duplicate groups).
+
+    Join shape (the MapReduce triangle-counting classic): edges are
+    oriented low-id → high-id, so each triangle a<b<c is found exactly
+    once as wedge (a,b)+(b,c) closed by edge (a,c) — two self-joins of
+    the edge table, no node-side adjacency list, wedge fan-out bounded
+    by the orientation (each node's out-degree, not total degree).
+    Wedge count comes from the symmetrized degree table; every number
+    is exact-integer, so the whole profile is hash-checked.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = pairwise_near_dups(emb, threshold=0.3).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).localCheckpoint(eager=False)
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.d"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")))
+        .count()
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        ((F.sum(F.col("dg") * (F.col("dg") - 1)) / 2).cast("long")).alias("n_wedges"),
+    ).first()
+    n_edges = e.count()
+    n_wedges = stats["n_wedges"] or 0
+    gcc = 0.0 if n_wedges == 0 else __import__("math").floor(
+        3.0 * tri / n_wedges * 1e6 + 0.5
+    ) / 1e6
+    return spark.createDataFrame(
+        [(stats["n_nodes"], n_edges, tri, n_wedges, gcc)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+        "n_wedges bigint, clustering_coeff double",
+    )

@@ -482,3 +482,13 @@ def test_topk_windows_get_group_limit_pushdown(spark):
     k rows per query, not its whole score list)."""
     for q in ("quantized_recall_at_k", "sim_topk_batch", "sim_bucketed_nn"):
         assert "WindowGroupLimit" in plan_of(spark, q), q
+
+
+def test_ivf_probe_broadcasts_index_side(spark):
+    # Centroids and the (query x probe) table must broadcast — the big
+    # side (inverted lists) streams map-side; a shuffle of the corpus
+    # keyed by anything per-query would be the wrong serving shape.
+    plan = plan_of(spark, "sim_ivf_probe_topk")
+    assert plan.count("BroadcastHashJoin") >= 1     # lists ⋈ probe
+    assert "BroadcastNestedLoopJoin" in plan        # tiny crossJoins vs centroids
+    assert "CartesianProduct" not in plan

@@ -398,6 +398,10 @@ def maintain_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests; this query returns the per-day audit (counts + checksums
     + planned file count), which the oracle recomputes from the source
     table — compaction must be a pure layout change.
+
+    Partition-AWARE sibling of `sources/sinks.py:compact_parquet` (flat
+    directory, byte-targeted, round-robin): here file counts are
+    planned per partition directory and rows never cross partitions.
     """
     import glob
 

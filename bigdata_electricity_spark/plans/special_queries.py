@@ -589,3 +589,45 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("n_events").alias("n_events"), F.sum("total_cents").alias("total_cents"))
         .orderBy("user_bucket")
     )
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id,
+               GREATEST(octet_length(encode(text)) % 640, 1) AS w,
+               GREATEST(octet_length(encode(text)) % 480, 1) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(224 AS INTEGER) AS width,
+           CAST(round_even(h * (224.0 / w), 0) AS INTEGER) AS height,
+           CAST(floor(round_even(224.0 / w, 6) * 1000000.0 + 0.5) AS BIGINT) AS scale_ppm
+    FROM geo
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second multimodal stage: decode → aspect-preserving resize as TWO
+    chained mapInPandas passes (Arrow in, Arrow out, no shuffle between
+    them) — the registry entry for `operators/multimodal.resize_metadata`,
+    previously exercised only by unit tests.
+
+    Cross-engine rounding: numpy's .round() is half-to-even, so the
+    oracle uses DuckDB round_even for the height; the float scale is
+    published as integer MICRO-UNITS (floor(x*1e6+0.5) over the
+    already-6-rounded value) — the snap-to-grid makes a 1-ulp
+    discrepancy between the two engines' rounding paths unobservable,
+    the repo's standard defense for Python-side float output.
+    """
+    from ..operators.multimodal import (
+        attach_binary_payload, decode_media, resize_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_metadata(decode_media(attach_binary_payload(docs)))
+    return resized.select(
+        "doc_id", "width", "height",
+        F.floor(F.col("scale") * 1e6 + F.lit(0.5)).cast("long").alias("scale_ppm"),
+    ).orderBy("doc_id")

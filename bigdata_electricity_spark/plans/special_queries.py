@@ -17,6 +17,8 @@ from ..operators.multimodal import attach_binary_payload, decode_media
 from ..sources.loaders import load_table
 from .registry import query
 
+_TS_DUCK = "%Y-%m-%d %H:%M:%S"
+
 
 @query("sample_events")  # rows-only: Bernoulli sampling is engine-specific (R1)
 def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +43,17 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_tumbling_counts")  # rows-only: streaming runtime
+@query(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '{_TS_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)  # complete-mode memory sink over the single-file source drains deterministically
 def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window counts (readStream → memory
     sink); batch parity asserted in tests/test_streaming.py."""
@@ -92,7 +104,18 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_stateful_user_stats")  # rows-only: custom state runtime
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+           floor((MAX(value)) * 100.0 + 0.5) / 100.0 AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)  # single micro-batch -> final state equals the batch per-user aggregate
 def streaming_stateful_user_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running count/total/max. Batch equivalence asserted in
@@ -139,7 +162,17 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_binary_payload(docs)).orderBy("doc_id")
 
 
-@query("streaming_static_join")  # rows-only: streaming runtime
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           floor((SUM(e.value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
 def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (events stream ⋈ broadcast customer
     dim) rolled up per market segment; batch equivalence asserted in
@@ -149,7 +182,15 @@ def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_static_enrichment(spark, sf_dir)
 
 
-@query("streaming_dedup_watermark")  # rows-only: micro-batch/watermark timing
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)  # dedup emits rows in the processing batch itself (not held for the watermark)
 def streaming_dedup_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a doubled event stream —
     bounded-state streaming dedup; collapses the 2× union back to the
@@ -171,7 +212,19 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_sizes(emb, k=8, seed=42)
 
 
-@query("streaming_stream_stream_join")  # rows-only: join-state emission timing
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS user_id, COUNT(*) AS n_view_purchase_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)  # inner-join matches emit in-batch; watermarks only bound state
 def streaming_stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (views ⋈ purchases within 1h, both
     sides watermarked — bounded join state); per-user pair counts.
@@ -287,7 +340,28 @@ def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_hourly_ohlc")  # rows-only: streaming runtime
+@query(
+    "streaming_hourly_ohlc",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               value,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 1048576 + event_id AS ord
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bucket, '{_TS_DUCK}') AS hour_start,
+           floor((arg_min(value, ord)) * 100.0 + 0.5) / 100.0 AS open,
+           floor((MAX(value)) * 100.0 + 0.5) / 100.0 AS high,
+           floor((MIN(value)) * 100.0 + 0.5) / 100.0 AS low,
+           floor((arg_max(value, ord)) * 100.0 + 0.5) / 100.0 AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, hour_start
+    """,
+)
 def streaming_hourly_ohlc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC downsampling (watermarked tumbling windows with
     min_by/max_by open/close) — must equal the batch

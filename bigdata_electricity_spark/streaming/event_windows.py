@@ -14,6 +14,7 @@ query shapes (window agg, session_window, watermark) are identical.
 from __future__ import annotations
 
 import itertools
+import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -71,7 +72,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         events.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
@@ -112,8 +113,8 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [count],
-                "total_value": [round(total, 2)],
-                "max_value": [round(vmax, 2)],
+                "total_value": [math.floor(total * 100.0 + 0.5) / 100.0],
+                "max_value": [math.floor(vmax * 100.0 + 0.5) / 100.0],
             }
         )
 
@@ -184,8 +185,8 @@ def streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "user_id": [key[0]],
                     "n_events": [count],
-                    "total_value": [round(total, 2)],
-                    "max_value": [round(vmax, 2)],
+                    "total_value": [math.floor(total * 100.0 + 0.5) / 100.0],
+                    "max_value": [math.floor(vmax * 100.0 + 0.5) / 100.0],
                 }
             )
 
@@ -220,7 +221,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"))
         .select(
             "user_id",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -254,7 +255,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"))
     )
     _run_to_completion(joined, name, mode="complete")
     return spark.table(name).orderBy("segment")

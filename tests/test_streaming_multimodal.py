@@ -43,8 +43,8 @@ def test_streaming_stateful_matches_batch_agg(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
+            (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"),
+            (F.floor(F.max("value") * 100.0 + F.lit(0.5)) / 100.0).alias("max_value"),
         )
         .collect()
     }

@@ -125,15 +125,35 @@ def streaming_stateful_user_stats_query(spark: SparkSession, sf_dir: str) -> Dat
     return streaming_user_running_stats(spark, sf_dir)
 
 
-@query("multimodal_frame_sample")  # rows-only: md5 over byte windows of
-# multibyte text — not expressible as DuckDB character-substring md5
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, GREATEST(length(text) // 16, 1) AS nf
+        FROM documents
+    ), frames AS (
+        SELECT doc_id, md5(substring(text, k * 16 + 1, 16)) AS cs
+        FROM f, LATERAL (SELECT unnest(range(0, nf, 4)) AS k) u
+    )
+    SELECT doc_id, COUNT(*) AS n_frames, MIN(cs) AS min_checksum
+    FROM frames GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage (every 4th 16-byte 'frame' per payload) —
     the 1→K fan-out shape of video frame extraction through mapInPandas;
-    checksums verified against Python md5 in tests."""
+    checksums verified against Python md5 in tests.
+
+    Oracle precondition: DuckDB's md5/substring are VARCHAR-only, so the
+    SQL twin hashes CHARACTER windows — equal to the operator's BYTE
+    windows exactly when the corpus is ASCII (true of the testdata at
+    every SF, asserted cheap at runtime below). The multibyte byte-split
+    path stays covered by the Python-md5 unit test."""
     from ..operators.multimodal import frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
+    n_multibyte = docs.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_multibyte == 0, "frame-sample oracle assumes an ASCII corpus"
     sampled = frame_sample(attach_binary_payload(docs), every_n=4)
     return sampled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames"),

@@ -949,3 +949,149 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy("name")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), euro AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ), cand AS (
+        SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name, e.s_acctbal,
+               e.n_name, sp.unit_cost,
+               MIN(sp.unit_cost) OVER (PARTITION BY p.p_partkey) AS best_cost
+        FROM part p
+        JOIN supply sp ON p.p_partkey = sp.partkey
+        JOIN euro e ON sp.suppkey = e.s_suppkey
+        WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    )
+    SELECT {dround("s_acctbal", 2)} AS acctbal, s_name AS sname,
+           n_name AS nation, p_partkey AS partkey, p_brand AS brand,
+           {dround("unit_cost", 4)} AS unit_cost
+    FROM cand
+    WHERE unit_cost = best_cost
+    ORDER BY acctbal DESC, nation, sname, partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part.
+
+    The testdata has no partsupp, so the part↔supplier catalog is
+    derived from lineitem: per (partkey, suppkey) the minimum observed
+    unit price stands in for ps_supplycost (Q16/Q20 use the same
+    substitution). The correlated MIN subquery of the original is
+    decorrelated as a window MIN over the part partition — computed on
+    the already region+size+type-filtered candidate set, never over all
+    parts (the q17 lesson). Dims broadcast; the one shuffle keys the
+    (partkey, suppkey) aggregate; the window reuses the partkey
+    clustering. unit_cost equality is float-safe: MIN over identical
+    doubles is exact on both engines (no summation-order noise).
+    LIMIT carries a full tiebreak chain.
+
+    Reference parity: extends SURVEY §2.3 (reference has zero joins);
+    classic query shape per the public TPC-H spec.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    euro = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        supply.join(F.broadcast(part), supply.partkey == part.p_partkey)
+        .join(F.broadcast(euro), supply.suppkey == F.col("s_suppkey"))
+        .withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+    )
+    return (
+        cand.select(
+            hround("s_acctbal", 2).alias("acctbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            hround("unit_cost", 4).alias("unit_cost"),
+            F.col("s_suppkey").alias("_tie"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "sname", "partkey", "_tie")
+        .limit(100)
+        .drop("_tie")
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH natsupply AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(l.l_extendedprice * l.l_quantity) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, {dround("value", 2)} AS value
+    FROM natsupply
+    WHERE value > (SELECT 1.5 * AVG(value) FROM natsupply)
+    ORDER BY value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value in a 3-nation supplier
+    bloc is far above typical.
+
+    ps_supplycost*ps_availqty becomes SUM(extendedprice*quantity) over
+    the bloc's lineitems. The original's HAVING > FRACTION*SUM(total) is
+    deliberately re-cut as > 1.5*AVG(value): a fraction-of-total cutoff
+    degenerates as the part catalog grows (at sf0.01 it already selects
+    zero rows), while a mean-multiple is scale-invariant — the kind of
+    threshold a 100 TB pipeline can keep across reprocessing runs.
+    Plan: nation bloc broadcast into supplier, supplier broadcast into
+    lineitem; one shuffle on partkey; the scalar AVG is a 1-row
+    broadcast crossJoin (q22 pattern).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
+    )
+    bloc = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey"
+    )
+    natsupply = (
+        li.join(F.broadcast(bloc), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    cutoff = natsupply.agg((F.lit(1.5) * F.avg("value")).alias("cutoff"))
+    return (
+        natsupply.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("partkey", hround("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )

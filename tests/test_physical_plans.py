@@ -492,3 +492,25 @@ def test_ivf_probe_broadcasts_index_side(spark):
     assert plan.count("BroadcastHashJoin") >= 1     # lists ⋈ probe
     assert "BroadcastNestedLoopJoin" in plan        # tiny crossJoins vs centroids
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_window_min_is_partkey_partitioned(spark):
+    # The decorrelated per-part MIN must run as a partitioned window on
+    # the filtered candidate set — never a global sort — and every dim
+    # side (part, nation, region, euro suppliers) broadcasts.
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "partitionspecification=[p_partkey" in plan.lower().replace(" ", "") or (
+        "Window" in plan and "p_partkey" in plan
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+
+
+def test_tpch_q11_scalar_cutoff_is_one_row_broadcast(spark):
+    # The 1.5*AVG cutoff joins back as a broadcast nested loop over ONE
+    # row; the partkey aggregate itself is partial+final and is never
+    # broadcast wholesale.
+    plan = plan_of(spark, "tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -585,3 +585,170 @@ def user_engagement_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "events_ewma_by_user",
+    oracle="""
+    WITH tail32 AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           floor((SUM(value * POWER(0.8, rn - 1)) / SUM(POWER(0.8, rn - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_value,
+           COUNT(*) AS n_tail
+    FROM tail32
+    WHERE rn <= 32
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's latest
+    telemetry (alpha=0.2), evaluated at the newest event.
+
+    EWMA is a recursion, which neither SQL windows nor Spark frames
+    express directly; the truncated-kernel form is exact to within
+    0.8^32 ~ 8e-4 of the weight mass and IS expressible: keep each
+    user's 32 newest rows (one partitioned row_number — WindowGroupLimit
+    pushes the rank filter into the sort), weight row k by 0.8^k, and
+    normalize by the realized weight sum so short histories stay
+    unbiased. Scale shape: one shuffle on user_id, bounded per-user
+    state, no global sort; the same statistic streams incrementally
+    (the recursion form) under applyInPandasWithState.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tail = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 32)
+    decay = F.pow(F.lit(0.8), F.col("rn") - 1)
+    return (
+        tail.groupBy("user_id")
+        .agg(
+            hround(F.sum(F.col("value") * decay) / F.sum(decay), 6).alias("ewma_value"),
+            F.count(F.lit(1)).alias("n_tail"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stats_autocorrelation_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               SUM(value) AS v
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT v,
+               LAG(v, 1)  OVER (ORDER BY h) AS v1,
+               LAG(v, 2)  OVER (ORDER BY h) AS v2,
+               LAG(v, 24) OVER (ORDER BY h) AS v24
+        FROM hourly
+    )
+    SELECT floor(CORR(v, v1)  * 1000000.0 + 0.5) / 1000000.0 AS acf_lag1,
+           floor(CORR(v, v2)  * 1000000.0 + 0.5) / 1000000.0 AS acf_lag2,
+           floor(CORR(v, v24) * 1000000.0 + 0.5) / 1000000.0 AS acf_lag24,
+           COUNT(*) AS n_hours
+    FROM lagged
+    """,
+)
+def stats_autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly load series at lags 1, 2 and 24 —
+    the standard seasonality diagnostic (lag-24 exposes the daily cycle)
+    before fitting any forecast model.
+
+    The raw events aggregate down to one row per hour FIRST (partial+
+    final shuffle agg), so the ordered lag window runs over a
+    calendar-bounded series — 720 rows for a 30-day month regardless of
+    event volume. A single-partition window over calendar hours is
+    scale-safe: its size is fixed by the time span, not the data
+    (contrast clean_gap_detection's documented parity artifact).
+    Pearson CORR is the built-in JVM aggregate on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 24).over(w).alias("v24"),
+    )
+    return lagged.agg(
+        hround(F.corr("v", "v1"), 6).alias("acf_lag1"),
+        hround(F.corr("v", "v2"), 6).alias("acf_lag2"),
+        hround(F.corr("v", "v24"), 6).alias("acf_lag24"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               SUM(value) AS v
+        FROM events GROUP BY 1
+    ), centered AS (
+        SELECT h, v - (SELECT AVG(v) FROM hourly) AS dev FROM hourly
+    ), cusum AS (
+        SELECT h, SUM(dev) OVER (ORDER BY h
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s,
+               COUNT(*) OVER () AS n_hours
+        FROM centered
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+           floor(ABS(s) * 100.0 + 0.5) / 100.0 AS max_abs_cusum,
+           n_hours
+    FROM cusum
+    ORDER BY ABS(s) DESC, h
+    LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly load series: the hour
+    where the cumulative deviation from the global mean peaks is the
+    single most likely level-shift point (classic cumulative-sum
+    control-chart statistic).
+
+    Same calendar-bounded reduction as the ACF entry: events collapse
+    to <=720 hourly rows before any ordered window, so the running-sum
+    window is fixed-size at any corpus scale. The global mean is a
+    1-row broadcast; the peak is a single-pass ORDER BY ABS(s) LIMIT 1
+    with the hour as tiebreak. (First revision compared ABS(s) against
+    a separately-aggregated MAX — DuckDB inlines CTEs, so the two
+    evaluations cumulate floats in different orders and the equality
+    can select ZERO rows. Never equality-compare a float against a
+    re-evaluation of itself.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum("value").alias("v"))
+    )
+    mean = hourly.agg(F.avg("v").alias("mu"))
+    centered = hourly.crossJoin(F.broadcast(mean)).select(
+        "h", (F.col("v") - F.col("mu")).alias("dev")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = centered.select(
+        "h",
+        F.sum("dev").over(w).alias("s"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_hours"),
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("s")).desc(), "h")
+        .limit(1)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
+            hround(F.abs(F.col("s")), 2).alias("max_abs_cusum"),
+            F.col("n_hours"),
+        )
+    )

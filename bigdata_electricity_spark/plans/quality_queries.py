@@ -591,3 +591,76 @@ def observe_filter_funnel_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_scanned bigint, n_price_pass bigint, n_final bigint, "
         "min_key bigint, max_key bigint",
     )
+
+
+@query(
+    "abtest_chi_square_dow",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY dow) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM counts
+    ), cells AS (
+        SELECT o, row_tot * col_tot / n AS e, n FROM margins
+    ), stat AS (
+        SELECT SUM((o - e) * (o - e) / e) AS chi2,
+               (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                            * (COUNT(DISTINCT dayofweek(CAST(ts AS TIMESTAMP))) - 1) AS BIGINT)
+                FROM events) AS dof,
+               CAST(MAX(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT {dround('chi2', 4)} AS chi2, dof, n_events,
+           {dround('(POWER(chi2 / dof, 1.0/3.0) - (1.0 - 2.0/(9.0*dof))) / SQRT(2.0/(9.0*dof))', 4)} AS wh_z,
+           CASE WHEN {dround('(POWER(chi2 / dof, 1.0/3.0) - (1.0 - 2.0/(9.0*dof))) / SQRT(2.0/(9.0*dof))', 4)} > 1.645
+                THEN 1 ELSE 0 END AS significant
+    FROM stat
+    """,
+)
+def abtest_chi_square_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event-type mix independent of
+    day-of-week? The contingency table reduces events to |types|x7
+    cells in one shuffle agg; margins are windows over that tiny
+    grouped table, never over raw events. Significance comes from the
+    Wilson-Hilferty cube-root normal approximation (closed form, so
+    both engines compute it without a chi-square quantile table);
+    the z is rounded BEFORE the 1.645 threshold so the flag can't
+    straddle float noise (the ztest-entry convention).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    margins = counts.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dims = counts.agg(
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)).alias("dof")
+    )
+    cells = margins.select(
+        "o", (F.col("row_tot") * F.col("col_tot") / F.col("n")).alias("e"), "n"
+    )
+    stat = cells.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2"),
+        F.max("n").cast("long").alias("n_events"),
+    ).crossJoin(F.broadcast(dims))
+    d = F.col("dof").cast("double")
+    wh = (F.pow(F.col("chi2") / d, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * d))) / F.sqrt(
+        2.0 / (9.0 * d)
+    )
+    return stat.select(
+        hround("chi2", 4).alias("chi2"),
+        F.col("dof"),
+        F.col("n_events"),
+        hround(wh, 4).alias("wh_z"),
+        F.when(hround(wh, 4) > 1.645, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
+    )

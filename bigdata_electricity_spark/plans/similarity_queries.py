@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.rounding import hround
 from ..functions.vectors import dot_product, l2_norm
 from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
 from ..sources.loaders import load_table
@@ -612,3 +613,123 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes bigint, n_edges bigint, n_triangles bigint, "
         "n_wedges bigint, clustering_coeff double",
     )
+
+
+@query(
+    "graph_pagerank_nations",
+    oracle="""
+    WITH edges AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        GROUP BY 1, 2
+    ), norm AS (
+        SELECT src, dst, rev / SUM(rev) OVER (PARTITION BY src) AS w
+        FROM edges
+    ), nodes AS (
+        SELECT n_name AS node, CAST(COUNT(*) OVER () AS DOUBLE) AS n
+        FROM nation
+    ), r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / n AS r, n FROM nodes
+    ), r1 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nd.n
+                 + CAST(0.85 AS DOUBLE) * COALESCE(SUM(e.w * p.r), CAST(0.0 AS DOUBLE)) AS r,
+               nd.n
+        FROM nodes nd
+        LEFT JOIN norm e ON e.dst = nd.node
+        LEFT JOIN r0 p   ON p.node = e.src
+        GROUP BY nd.node, nd.n
+    ), r2 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nd.n
+                 + CAST(0.85 AS DOUBLE) * COALESCE(SUM(e.w * p.r), CAST(0.0 AS DOUBLE)) AS r,
+               nd.n
+        FROM nodes nd
+        LEFT JOIN norm e ON e.dst = nd.node
+        LEFT JOIN r1 p   ON p.node = e.src
+        GROUP BY nd.node, nd.n
+    ), r3 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nd.n
+                 + CAST(0.85 AS DOUBLE) * COALESCE(SUM(e.w * p.r), CAST(0.0 AS DOUBLE)) AS r,
+               nd.n
+        FROM nodes nd
+        LEFT JOIN norm e ON e.dst = nd.node
+        LEFT JOIN r2 p   ON p.node = e.src
+        GROUP BY nd.node, nd.n
+    )
+    SELECT node AS nation,
+           floor(r * 100000000.0 + 0.5) / 100000000.0 AS pagerank
+    FROM r3
+    ORDER BY pagerank DESC, nation
+    """,
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the nation trade
+    graph: an edge cust-nation → supp-nation weighted by revenue share.
+
+    The expensive part — building the weighted edge list — is one pass
+    over lineitem with every dimension broadcast (the tpch_q7 join
+    shape) and a single (src,dst) shuffle agg; at 100 TB the edge list
+    is |nations|² ≤ 625 rows no matter the fact volume. Each power
+    iteration is then a broadcast join of the tiny rank vector into the
+    tiny edge list — the loop unrolls into one declarative plan, no
+    driver-side collect. Fixed iteration count keeps the result
+    hash-checkable (the DuckDB twin unrolls the same three CTEs);
+    convergence-driven stopping lives in operators/graph.py's CC
+    machinery instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    norm = edges.select(
+        "src", "dst", (F.col("rev") / F.sum("rev").over(Window.partitionBy("src"))).alias("w")
+    )
+    nodes = nation.select(F.col("n_name").alias("node")).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy()).cast("double")
+    )
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(3):
+        contrib = (
+            norm.join(
+                F.broadcast(ranks.select(F.col("node").alias("p_node"), "r")),
+                F.col("src") == F.col("p_node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("r")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nation"), hround("r", 8).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "nation")

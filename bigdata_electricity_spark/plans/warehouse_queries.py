@@ -443,3 +443,68 @@ def maintain_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "maintain_incremental_agg",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {dround("SUM(o_totalprice)", 2)} AS total_revenue,
+           {dround("MIN(o_totalprice)", 2)} AS min_price,
+           {dround("MAX(o_totalprice)", 2)} AS max_price,
+           {dround("SUM(o_totalprice) / COUNT(*)", 4)} AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def maintain_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-priority
+    stats table is kept current by MERGING partial aggregation states
+    (count/sum/min/max are all commutative monoids) from a new batch —
+    never by rescanning history.
+
+    The entry simulates the lakehouse loop: the 'snapshot' state is the
+    partial agg of orders before 1997-07-01, the 'batch' is everything
+    after; the two state tables union and fold with sum-of-sums /
+    min-of-mins. The oracle aggregates the WHOLE table directly, so the
+    driver's hash check proves merge(partial, partial) == recompute(all)
+    — the algebraic property that makes incremental view maintenance
+    safe at 100 TB (derived avg is re-derived from merged sum/count,
+    never averaged across states). Both phases are partial+final
+    shuffle aggs on the same key; the union folds |keys|-sized state,
+    not row-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_revenue"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    snapshot = partial_state(orders.filter(F.col("o_orderdate") < cutoff))
+    batch = partial_state(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(batch)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_revenue").alias("sum_rev"),
+            F.min("min_price").alias("min_p"),
+            F.max("max_price").alias("max_p"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            hround("sum_rev", 2).alias("total_revenue"),
+            hround("min_p", 2).alias("min_price"),
+            hround("max_p", 2).alias("max_price"),
+            hround(F.col("sum_rev") / F.col("n_orders"), 4).alias("avg_price"),
+        )
+        .orderBy("priority")
+    )

@@ -514,3 +514,34 @@ def test_tpch_q11_scalar_cutoff_is_one_row_broadcast(spark):
     plan = plan_of(spark, "tpch_q11_important_stock")
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    # Power iterations must join the tiny rank vector by broadcast —
+    # the fact scan feeds ONE (src,dst) aggregate; no iteration may
+    # introduce a sort-merge join or cartesian product.
+    plan = plan_of(spark, "graph_pagerank_nations")
+    assert plan.count("BroadcastHashJoin") >= 6  # 4 dims + 3 iterations (AQE may add)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_agg_merges_partial_states(spark):
+    # Snapshot agg + batch agg + merge fold: at least three
+    # partial+final aggregate pairs, and the union happens on
+    # |keys|-sized state (no window, no sort before the fold).
+    plan = plan_of(spark, "maintain_incremental_agg")
+    assert plan.count("HashAggregate") >= 6
+    assert "Window" not in plan
+
+
+def test_chi_square_windows_run_on_grouped_cells(spark):
+    # The margin windows must sit ABOVE the contingency aggregate —
+    # raw events are reduced to |types|x7 cells before any window.
+    plan = plan_of(spark, "abtest_chi_square_dow")
+    first_agg = plan.find("HashAggregate")
+    first_window = plan.find("Window")
+    assert first_agg != -1 and first_window != -1
+    # executedPlan prints top-down: the aggregate appears BELOW the
+    # window in tree order, i.e. later in the string.
+    assert first_window < plan.rfind("HashAggregate")

@@ -733,3 +733,70 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nation"), hround("r", 8).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "nation")
+
+
+@query(
+    "embedding_random_projection",
+    oracle="""
+    WITH exploded AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), mat AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN substr(md5(CAST(i.range AS VARCHAR) || '_' || CAST(j.range AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        FROM range(64) i, range(16) j
+    )
+    SELECT e.vec_id, m.j AS dim,
+           floor((SUM(e.x * m.sgn) / SQRT(16.0)) * 100000.0 + 0.5) / 100000.0
+             AS component
+    FROM exploded e
+    JOIN mat m ON e.i = m.i
+    GROUP BY e.vec_id, m.j
+    ORDER BY e.vec_id, dim
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with an
+    Achlioptas +-1 sign matrix derived from md5(i_j) — deterministic, so
+    every executor (and the DuckDB twin) regenerates the SAME matrix
+    from nothing instead of shipping seeded RNG state.
+
+    Scale shape: the 64x16 sign matrix is a 1024-row broadcast;
+    embeddings posexplode in-partition and join the matrix broadcast,
+    then one (vec_id, dim) shuffle agg rebuilds the projected vectors.
+    At 100 TB the matrix stays constant-size and the shuffle carries
+    k=16 doubles per vector — the JL guarantee (distance preservation
+    within 1+-eps) is what lets the ANN entries downstream run on 4x
+    fewer bytes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    mat = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("mi"))
+        .crossJoin(spark.range(16).select(F.col("id").cast("long").alias("j")))
+        .select(
+            "mi",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("mi"), F.col("j"))), 1, 1
+                ).isin(*"01234567"),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(mat), exploded.i == mat.mi)
+        .groupBy("vec_id", F.col("j").alias("dim"))
+        .agg(hround(F.sum(F.col("x") * F.col("sgn")) / F.sqrt(F.lit(16.0)), 5).alias("component"))
+        .orderBy("vec_id", "dim")
+    )

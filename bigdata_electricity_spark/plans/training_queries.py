@@ -611,3 +611,62 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rn", "doc_id")
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "ml_feature_hash_buckets",
+    oracle="""
+    WITH tokens AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), hashed AS (
+        SELECT CAST(CAST(('0x' || substr(md5(token), 1, 6)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+               CASE WHEN substr(md5('s' || token), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tokens
+    )
+    SELECT bucket,
+           CAST(SUM(sgn) AS BIGINT) AS signed_count,
+           COUNT(*) AS n_tokens
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def ml_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (signed feature hashing, Weinberger et al. '09,
+    public): every token maps to one of 64 buckets via md5, with a
+    second independent md5 bit supplying the +-1 sign that keeps the
+    hashed feature map unbiased. The corpus-level signed bucket counts
+    are the fixed-width feature vector a downstream linear model trains
+    on — no vocabulary build, no OOV handling, which is what makes the
+    trick work on an unbounded 100 TB corpus.
+
+    Shape: explode -> md5 -> one 64-key shuffle agg with map-side
+    partial counts. md5 (not xxhash64) because the DuckDB twin must
+    hash identically; both engines take the first 24 hex bits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 6), 16, 10).cast("long") % 64
+    ).alias("bucket")
+    sgn = (
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("s"), F.col("token"))), 1, 1).isin(
+                *"01234567"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn")
+    )
+    return (
+        tok.select(bucket, sgn)
+        .groupBy("bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("signed_count"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -545,3 +545,19 @@ def test_chi_square_windows_run_on_grouped_cells(spark):
     # executedPlan prints top-down: the aggregate appears BELOW the
     # window in tree order, i.e. later in the string.
     assert first_window < plan.rfind("HashAggregate")
+
+
+def test_random_projection_broadcasts_sign_matrix(spark):
+    # The 64x16 Achlioptas matrix must broadcast; the only shuffle keys
+    # (vec_id, dim). No sort-merge join of exploded embeddings.
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_hashing_aggregates_map_side(spark):
+    # Hashing-trick counts: partial+final agg on the 64-key bucket —
+    # tokens never shuffle raw.
+    plan = plan_of(spark, "ml_feature_hash_buckets")
+    assert plan.count("HashAggregate") >= 2
+    assert "md5" in plan

@@ -601,3 +601,65 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "segment_bitmap_membership",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                    WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                    WHEN 'view' THEN 4 ELSE 5 END AS type_idx
+        FROM events
+    ), masks AS (
+        SELECT user_id,
+               CAST(bit_or(1 << type_idx) AS BIGINT) AS type_mask
+        FROM coded GROUP BY user_id
+    )
+    SELECT type_mask,
+           CAST(bit_count(type_mask) AS INTEGER) AS n_types,
+           COUNT(*) AS n_users
+    FROM masks
+    GROUP BY type_mask
+    ORDER BY type_mask
+    """,
+)
+def segment_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap segment encoding: each user's event-type repertoire packs
+    into one 64-bit mask (bit_or of 1<<type_idx), and segment analytics
+    (how many users did {click, purchase} but never {error}?) become
+    integer bit tests instead of set joins — the roaring-bitmap idea at
+    engine level.
+
+    The type->bit mapping is an explicit CASE, not a computed rank, so
+    the encoding is stable across runs and engines (a rank would shift
+    whenever a new type appears — catastrophic for stored masks).
+    Shape: one user_id shuffle agg builds masks with map-side bit_or
+    partials, then a tiny mask-distribution agg; both integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    type_idx = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+        .otherwise(5)
+    )
+    masks = (
+        ev.select("user_id", type_idx.alias("type_idx"))
+        .select("user_id", F.expr("shiftleft(1, type_idx)").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").cast("long").alias("type_mask"))
+    )
+    return (
+        masks.groupBy("type_mask")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "type_mask",
+            F.bit_count("type_mask").cast("int").alias("n_types"),
+            "n_users",
+        )
+        .orderBy("type_mask")
+    )

@@ -664,3 +664,84 @@ def abtest_chi_square_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(wh, 4).alias("wh_z"),
         F.when(hround(wh, 4) > 1.645, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
     )
+
+
+@query(
+    "abtest_welch_ttest",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+               o_totalprice AS metric
+        FROM orders
+    ), per AS (
+        SELECT variant, COUNT(*) AS n, AVG(metric) AS m, VAR_SAMP(metric) AS v
+        FROM assigned GROUP BY variant
+    ), wide AS (
+        SELECT MAX(n) FILTER (WHERE variant = 'a') AS n_a,
+               MAX(m) FILTER (WHERE variant = 'a') AS m_a,
+               MAX(v) FILTER (WHERE variant = 'a') AS v_a,
+               MAX(n) FILTER (WHERE variant = 'b') AS n_b,
+               MAX(m) FILTER (WHERE variant = 'b') AS m_b,
+               MAX(v) FILTER (WHERE variant = 'b') AS v_b
+        FROM per
+    ), stats AS (
+        SELECT n_a, n_b, m_a, m_b,
+               (m_a - m_b) / SQRT(v_a / n_a + v_b / n_b) AS t,
+               POWER(v_a / n_a + v_b / n_b, 2.0)
+                 / (POWER(v_a / n_a, 2.0) / (n_a - 1)
+                    + POWER(v_b / n_b, 2.0) / (n_b - 1)) AS df
+        FROM wide
+    )
+    SELECT n_a, n_b,
+           {dround('m_a', 4)} AS mean_a,
+           {dround('m_b', 4)} AS mean_b,
+           {dround('t', 4)} AS t_stat,
+           {dround('df', 2)} AS welch_df,
+           CASE WHEN abs({dround('t', 4)}) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM stats
+    """,
+)
+def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on order value between two
+    hash-assigned variants — the continuous-metric companion to the
+    proportion z-test. Welch-Satterthwaite degrees of freedom come out
+    in closed form, so no lookup table is needed; with df in the
+    thousands the normal 1.96 critical value is exact to 3 decimals.
+    One pass: a 2-group aggregate (count/avg/var_samp all shuffle
+    map-side partials), pivoted wide with conditional MAX, pure
+    expression math after. |t| is compared AFTER rounding so the
+    significance flag is hash-stable (ztest convention).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.col("o_totalprice").alias("metric"),
+    )
+    per = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("metric").alias("m"),
+        F.var_samp("metric").alias("v"),
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "a", F.col("m"))).alias("m_a"),
+        F.max(F.when(F.col("variant") == "a", F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("variant") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "b", F.col("m"))).alias("m_b"),
+        F.max(F.when(F.col("variant") == "b", F.col("v"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2.0) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2.0) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2.0) / (F.col("n_b") - 1)
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        hround("m_a", 4).alias("mean_a"),
+        hround("m_b", 4).alias("mean_b"),
+        hround(t, 4).alias("t_stat"),
+        hround(df, 2).alias("welch_df"),
+        F.when(F.abs(hround(t, 4)) > 1.96, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
+    )

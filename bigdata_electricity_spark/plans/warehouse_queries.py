@@ -508,3 +508,68 @@ def maintain_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "maintain_cascade_delete",
+    oracle="""
+    WITH tombstones AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM tombstones) AS rows_deleted,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM tombstones) AS rows_kept
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM doomed_orders),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM doomed_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed_orders))
+    ORDER BY tbl
+    """,
+)
+def maintain_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: deletion requests against the customer
+    table propagate through the foreign-key chain (customer -> orders ->
+    lineitem), and the op certifies the blast radius per table BEFORE
+    any rewrite happens — the audit step of a GDPR/CCPA delete job.
+
+    Tombstones (c_custkey % 97 = 0 stands in for the request list) stay
+    broadcast-small relative to the facts; each fact table splits with
+    ONE left-semi / left-anti join pair against the broadcast key set,
+    and the doomed-orders key set — itself output of a semi join — is
+    in turn broadcast into lineitem. Counts are single-pass aggregates;
+    the actual rewrite at 100 TB is this same plan with the anti-join
+    side written back (the merge_upsert_orders copy-on-write pattern).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    tombstones = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(tombstones), orders.o_custkey == tombstones.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def split_counts(tbl: str, df: DataFrame, key, doomed: DataFrame, dkey) -> DataFrame:
+        hit = df.join(F.broadcast(doomed), key == dkey, "left_semi").agg(
+            F.count(F.lit(1)).alias("rows_deleted")
+        )
+        miss = df.join(F.broadcast(doomed), key == dkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("rows_kept")
+        )
+        return hit.crossJoin(miss).select(
+            F.lit(tbl).alias("tbl"), "rows_deleted", "rows_kept"
+        )
+
+    out_c = split_counts("customer", customer, F.col("c_custkey"), tombstones.select(F.col("c_custkey").alias("tk")), F.col("tk"))
+    out_o = split_counts("orders", orders, F.col("o_custkey"), tombstones.select(F.col("c_custkey").alias("tk")), F.col("tk"))
+    out_l = split_counts("lineitem", li, F.col("l_orderkey"), doomed_orders.select(F.col("o_orderkey").alias("dk")), F.col("dk"))
+    return out_c.unionByName(out_o).unionByName(out_l).orderBy("tbl")

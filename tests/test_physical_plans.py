@@ -561,3 +561,20 @@ def test_feature_hashing_aggregates_map_side(spark):
     plan = plan_of(spark, "ml_feature_hash_buckets")
     assert plan.count("HashAggregate") >= 2
     assert "md5" in plan
+
+
+def test_cascade_delete_broadcasts_tombstones(spark):
+    # All six split joins must be broadcast semi/anti — the fact tables
+    # never shuffle for a deletion audit.
+    plan = plan_of(spark, "maintain_cascade_delete")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_membership_is_two_aggregates(spark):
+    # Mask build + mask distribution: two partial+final agg pairs, no
+    # window, no join.
+    plan = plan_of(spark, "segment_bitmap_membership")
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan

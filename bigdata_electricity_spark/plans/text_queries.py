@@ -406,3 +406,66 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("token"), "df", "cf", "postings")
         .orderBy("token")
     )
+
+
+# GPT-2-family pretokenizer regex, ASCII-restricted so Java (Spark) and
+# RE2 (DuckDB) agree byte-for-byte: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation
+# runs, whitespace runs. Public pattern shape (Radford et al. 2019).
+_BPE_PRETOK = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+_BPE_PRETOK_SQL = _BPE_PRETOK.replace("'", "''")
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               len(list_filter(regexp_extract_all(lower(text), '{_BPE_PRETOK_SQL}'),
+                               t -> trim(t) <> '')) AS n_bpe
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           floor((CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*)) * 100.0 + 0.5) / 100.0
+             AS avg_bpe_per_doc,
+           CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token accounting: the GPT-2 pretokenizer regex splits
+    text into the word/number/punctuation pieces a byte-pair encoder
+    would merge, giving a far better token-budget estimate than
+    whitespace counting (whitespace undercounts punctuation-heavy text
+    by 20-40%). The per-source totals are what a 100 TB corpus plan is
+    budgeted in — token counts, not byte counts.
+
+    Pure JVM path: regexp_extract_all + filter inside whole-stage
+    codegen, one small shuffle on source. The pattern is deliberately
+    ASCII-restricted so Spark's Java regex and DuckDB's RE2 tokenize
+    identically (\\p{{L}} classes differ across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.filter(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PRETOK), 0),
+            lambda t: F.trim(t) != "",
+        )
+    )
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            hround(F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_bpe_per_doc"
+            ),
+            F.max("n_bpe").cast("long").alias("max_bpe_tokens"),
+        )
+        .orderBy("source")
+    )

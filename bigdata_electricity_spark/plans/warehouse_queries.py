@@ -573,3 +573,141 @@ def maintain_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_o = split_counts("orders", orders, F.col("o_custkey"), tombstones.select(F.col("c_custkey").alias("tk")), F.col("tk"))
     out_l = split_counts("lineitem", li, F.col("l_orderkey"), doomed_orders.select(F.col("o_orderkey").alias("dk")), F.col("dk"))
     return out_c.unionByName(out_o).unionByName(out_l).orderBy("tbl")
+
+
+# Canonical row rendering for content digests: integers, exact cents,
+# and formatted dates ONLY — a raw double would render differently
+# across engines and poison the hash.
+_DIGEST_ROW_SQL = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || "
+    "o_orderstatus || '|' || o_orderpriority || '|' || "
+    "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' || "
+    "strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')"
+)
+_DIGEST_HASH_SQL = f"CAST(('0x' || substr(md5({_DIGEST_ROW_SQL}), 1, 15)) AS BIGINT)"
+
+
+def _digest_row_spark() -> F.Column:
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        cents.cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+
+
+def _digest_hash_spark() -> F.Column:
+    return F.conv(F.substring(F.md5(_digest_row_spark()), 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "audit_table_digest",
+    oracle=f"""
+    SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS order_year,
+           COUNT(*) AS n_rows,
+           bit_xor({_DIGEST_HASH_SQL}) AS digest
+    FROM orders
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+)
+def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content digest per year partition: every row
+    renders to a canonical string (ints, exact cents, formatted dates —
+    never raw doubles), md5-hashes to a 60-bit long, and the partition
+    digest is the XOR-fold. XOR is commutative+associative, so the
+    digest is invariant to row order and partitioning — two replicas
+    agree iff their digests agree (modulo a 2^-60 collision), which is
+    what makes cross-cluster anti-entropy a metadata-sized exchange
+    instead of a data copy.
+
+    Shape: map-side bit_xor partials, one |years|-key shuffle; the
+    driver's hash check against DuckDB's independently-computed XOR is
+    itself the cross-engine integrity proof.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _digest_hash_spark().alias("h"),
+        )
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor("h").alias("digest"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "audit_replica_diff",
+    oracle=f"""
+    WITH primary_d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+               bit_xor({_DIGEST_HASH_SQL}) AS digest
+        FROM orders GROUP BY 1
+    ), replica AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderkey % 10007 = 0
+                    THEN o_totalprice + 0.07 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    ), replica_d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+               bit_xor({_DIGEST_HASH_SQL}) AS digest
+        FROM replica GROUP BY 1
+    )
+    SELECT p.day AS day, p.n AS n_primary, r.n AS n_replica,
+           CASE WHEN p.digest = r.digest THEN 0 ELSE 1 END AS corrupted
+    FROM primary_d p
+    JOIN replica_d r ON p.day = r.day
+    WHERE p.digest <> r.digest
+    ORDER BY day
+    """,
+)
+def audit_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy between two replicas of the orders table: per-day
+    XOR digests are computed on each side and only days whose digests
+    disagree are reported — the repair job then re-syncs just those
+    partitions. The 'replica' plants a one-cent-class corruption on
+    every o_orderkey % 10007 = 0 row, so the diff is non-empty by
+    construction and the entry proves the digest actually catches a
+    sub-cent single-column mutation.
+
+    Both digest scans aggregate map-side to |days| rows; the reconcile
+    join is broadcast-tiny. At 100 TB the exchange is two digest
+    tables, never row data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def day_digest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.to_date("o_orderdate").alias("day"), _digest_hash_spark().alias("h")
+            )
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("digest"))
+        )
+
+    replica = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10007 == 0, F.col("o_totalprice") + 0.07).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    p, r = day_digest(orders).alias("p"), day_digest(replica).alias("r")
+    return (
+        p.join(F.broadcast(r), F.col("p.day") == F.col("r.day"))
+        .filter(F.col("p.digest") != F.col("r.digest"))
+        .select(
+            F.col("p.day").alias("day"),
+            F.col("p.n").alias("n_primary"),
+            F.col("r.n").alias("n_replica"),
+            F.when(F.col("p.digest") == F.col("r.digest"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("corrupted"),
+        )
+        .orderBy("day")
+    )

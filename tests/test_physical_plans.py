@@ -578,3 +578,20 @@ def test_bitmap_membership_is_two_aggregates(spark):
     plan = plan_of(spark, "segment_bitmap_membership")
     assert plan.count("HashAggregate") >= 4
     assert "Join" not in plan
+
+
+def test_table_digest_aggregates_map_side(spark):
+    # XOR digest must fold map-side (partial+final HashAggregate) and
+    # shuffle only |years| keys — never raw rows.
+    plan = plan_of(spark, "audit_table_digest")
+    assert plan.count("HashAggregate") >= 2
+    assert "md5" in plan
+    assert "Window" not in plan
+
+
+def test_replica_diff_joins_digests_not_rows(spark):
+    # The reconcile join runs over per-day digest tables (broadcast),
+    # not row data: no sort-merge join anywhere.
+    plan = plan_of(spark, "audit_replica_diff")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import hround
-from ..functions.vectors import dot_product, l2_norm
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
 from ..sources.loaders import load_table
 from .registry import query
@@ -799,4 +799,68 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", F.col("j").alias("dim"))
         .agg(hround(F.sum(F.col("x") * F.col("sgn")) / F.sqrt(F.lit(16.0)), 5).alias("component"))
         .orderBy("vec_id", "dim")
+    )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               {_DUCK_COS.format(a='e.embedding', b='q.qv')} AS c
+        FROM embeddings e, q
+        WHERE e.label <> q.q_label
+    ), ranked AS (
+        SELECT query_id, vec_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id,
+           CAST(label AS INTEGER) AS neg_label,
+           floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM ranked WHERE rn <= 2
+    ORDER BY query_id, rank
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the most-similar corpus vectors with a DIFFERENT label —
+    the negatives closest to the decision boundary, which carry most of
+    the gradient signal in a triplet/InfoNCE loss.
+
+    Same serving shape as `sim_topk_batch` (anchors broadcast, one
+    corpus scan, per-anchor window top-k) with the label-mismatch
+    predicate folded into the broadcast join condition, so same-label
+    rows are skipped at probe time, not post-filtered.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = emb.join(
+        F.broadcast(q), emb.label != q.q_label
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.col("label").cast("int").alias("neg_label"),
+            hround("c", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
     )

@@ -752,3 +752,101 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hours"),
         )
     )
+
+
+@query(
+    "events_rolling_7d_distinct_users",
+    oracle=f"""
+    WITH day_events AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+               user_id, event_id
+        FROM events
+    ), fanout AS (
+        SELECT d - TO_DAYS(CAST(k.range AS INTEGER)) AS window_start,
+               user_id, event_id
+        FROM day_events, range(7) k
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS n_events
+    FROM fanout
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def events_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the marketing WAU metric), computed
+    with Spark's sliding event-time window: every event lands in the 7
+    daily-sliding windows that contain it, then COUNT(DISTINCT user)
+    per window.
+
+    The 7× fan-out is the honest cost of an exact sliding distinct —
+    distinct counts don't merge across subwindows, so there is no
+    tumbling+combine shortcut (contrast `events_tumbling_10min`); the
+    streaming-scale variant trades exactness for mergeable HLL sketches
+    (`streaming_distinct_users_hourly`). The DuckDB twin reproduces
+    Spark's epoch-aligned window starts with an explicit 0..6-day
+    shift-and-union, labelling each window by its START like F.window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "distinct_users",
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_top_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS prev1,
+               LAG(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+           COUNT(*) AS n_occurrences
+    FROM seq
+    WHERE prev2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (A>B>C paths) — the order-3
+    extension of `events_transition_matrix`, the path-analysis query
+    behind every funnel/Sankey dashboard.
+
+    Per-user lag windows (entity-parallel, one user_id shuffle) emit
+    each consecutive triple; the path strings then partial-aggregate
+    map-side into at most |types|³ = 125 keys, and the top-10 plans as
+    TakeOrderedAndProject. Deterministic via the path tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.filter(F.col("prev2").isNotNull())
+        .select(
+            F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(10)
+    )

@@ -728,3 +728,133 @@ def events_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type,
+               COALESCE(
+                   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   'direct') AS channel
+        FROM events
+    )
+    SELECT channel, COUNT(*) AS n_purchases
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — every purchase is credited to the
+    user's most recent PRECEDING non-purchase event type ('direct' when
+    the purchase is the user's first event). The standard marketing
+    attribution model, expressed as one partitioned window:
+    ``last(when(type != purchase, type), ignorenulls=True)`` over rows
+    unbounded-preceding → 1-preceding, ordered by (ts, event_id) so
+    same-timestamp rows break ties deterministically on both engines.
+
+    Scale shape: one shuffle on user_id (bounded partitions — a user's
+    history fits an executor), then a tiny channel aggregation. No
+    self-join: the naive per-purchase correlated lookup would be
+    O(|purchases| × |history|).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", F.coalesce(prior, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+@query(
+    "cogroup_purchase_click_windows",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id AS user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.ts <= p.ts
+                      AND c.ts >= p.ts - INTERVAL 30 MINUTE
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM p
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+)
+def cogroup_purchase_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merge of two event timelines via
+    ``cogroup(...).applyInPandas`` — the API for arbitrary two-sided
+    per-key programs that neither a join nor a window expresses
+    directly. Here: for each user, count purchases that have ≥1 click
+    in the trailing 30-minute window (binary-search over the sorted
+    click timeline — O((|c|+|p|) log |c|) per user, vectorized with
+    numpy searchsorted inside one Arrow batch per user).
+
+    Scale shape: both sides shuffle ONCE on user_id and arrive
+    co-grouped; state is bounded by a single user's history. This is
+    the batch cousin of the stateful-streaming ops ladder. The oracle
+    is the declarative equivalent (correlated EXISTS over the same
+    window) — same result, quadratic per user, which is exactly why
+    the cogroup form exists.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+
+    def merge(key, clicks_pdf: pd.DataFrame, purchases_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(purchases_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_attributed": pd.Series([], dtype="int64"),
+                }
+            )
+        pt = purchases_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ct = np.sort(
+            clicks_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        )
+        lo = np.searchsorted(ct, pt - 30 * 60 * 1_000_000_000, side="left")
+        hi = np.searchsorted(ct, pt, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [int(len(pt))],
+                "n_attributed": [int((hi > lo).sum())],
+            }
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda key, l, r: merge(key, r, l),
+            schema="user_id long, n_purchases long, n_attributed long",
+        )
+    )
+    return out.orderBy("user_id")

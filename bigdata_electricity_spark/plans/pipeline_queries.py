@@ -325,6 +325,55 @@ def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05' OR CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — the star-schema cousin of the
+    static pruned scan: the fact side is date-partitioned, but the day
+    predicate lives on the DIMENSION (``kind = 'campaign'``), so no
+    static partition filter exists at plan time. Catalyst runs the
+    broadcast dim side first and injects its join keys as a runtime
+    partition filter (``SubqueryAdaptiveBroadcast dynamicpruning#N`` in
+    the physical plan — asserted in tests/test_pipeline_ops.py), so only
+    the 2 campaign-day directories out of ~30 are ever opened.
+
+    At 100 TB this is THE mechanism that makes "fact join filtered dim"
+    queries cheap without the user hand-copying the dim predicate onto
+    the fact's partition column. The oracle computes the same counts
+    from the original table with the resolved day list inlined, so the
+    result also certifies the pruned read was lossless.
+    """
+    from ..sources.sinks import write_parquet
+
+    out_dir = "/root/repo/spark-warehouse/events_by_day_dpp"
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_parquet(ev, out_dir, partition_by=["day"])
+    back = spark.read.parquet(out_dir)
+    dim = spark.createDataFrame(
+        [("2024-01-05", "campaign"), ("2024-01-15", "campaign"), ("2024-01-20", "organic")],
+        "day_key string, kind string",
+    ).select(F.col("day_key").cast("date").alias("day_key"), "kind")
+    return (
+        back.join(dim.filter(F.col("kind") == "campaign"), back.day == dim.day_key)
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import morton_code_sql
 

@@ -670,3 +670,57 @@ def ml_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "dedup_repeated_ngrams",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+        FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ), per_gram AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams
+        GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT n_docs, COUNT(*) AS n_grams
+    FROM per_gram
+    GROUP BY n_docs
+    ORDER BY n_docs
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated n-gram audit — the memorization-risk
+    profile: how many distinct word 5-grams appear in 2, 3, … distinct
+    documents. Sequences repeated across many training documents are
+    the ones a model is most likely to memorize verbatim, so this
+    histogram is the standard first look before substring-level dedup.
+
+    Shape at 100 TB: explode to (doc_id, gram), ONE shuffle keyed on the
+    gram for the distinct-doc count (map-side partial aggregation
+    applies), then a trivially small second aggregation over the
+    histogram. Gram strings are the join keys here for oracle parity;
+    the production variant groups on xxhash64(gram) so the shuffle
+    carries 8-byte keys — same plan shape, smaller exchange (the
+    rolling-hash trick already used by dedup_minhash_lsh).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 5)
+    grams = toked.select("doc_id", F.explode(token_shingles("__toks", 5)).alias("g"))
+    per_gram = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        per_gram.groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .orderBy("n_docs")
+    )

@@ -827,7 +827,10 @@ def cogroup_purchase_click_windows(spark: SparkSession, sf_dir: str) -> DataFram
     def merge(key, clicks_pdf: pd.DataFrame, purchases_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        if len(purchases_pdf) == 0:
+        # A key absent from one side arrives as an empty frame that may
+        # carry NO columns while still reporting a nonzero index length —
+        # gate on column presence, never on len() alone.
+        if "ts" not in purchases_pdf.columns or len(purchases_pdf) == 0:
             return pd.DataFrame(
                 {
                     "user_id": pd.Series([], dtype="int64"),
@@ -836,9 +839,12 @@ def cogroup_purchase_click_windows(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
         pt = purchases_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-        ct = np.sort(
-            clicks_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-        )
+        if "ts" not in clicks_pdf.columns or len(clicks_pdf) == 0:
+            ct = np.array([], dtype="int64")
+        else:
+            ct = np.sort(
+                clicks_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            )
         lo = np.searchsorted(ct, pt - 30 * 60 * 1_000_000_000, side="left")
         hi = np.searchsorted(ct, pt, side="right")
         return pd.DataFrame(
@@ -858,3 +864,59 @@ def cogroup_purchase_click_windows(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.first_view
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    ), lat AS (
+        SELECT (epoch(p.first_purchase) - epoch(v.first_view)) / 60.0 AS m
+        FROM p JOIN v USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           {dround('quantile_cont(m, 0.5)', 4)} AS p50_min,
+           {dround('quantile_cont(m, 0.9)', 4)} AS p90_min,
+           {dround('AVG(m)', 4)} AS avg_min
+    FROM lat
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the funnel's other half: minutes
+    from a user's FIRST view to their first subsequent purchase, summarized
+    as exact interpolated p50/p90 (`F.percentile` ≡ DuckDB quantile_cont)
+    plus the mean. Two partial-aggregatable groupBys on user_id and one
+    small join; the percentile runs over ≤|users| latencies, so the final
+    single-partition percentile state is bounded by the user count, not
+    the event count.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    lat = first_p.select(
+        ((epoch("first_purchase") - epoch("first_view")) / F.lit(60.0)).alias("m")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        hround(F.percentile("m", 0.5), 4).alias("p50_min"),
+        hround(F.percentile("m", 0.9), 4).alias("p90_min"),
+        hround(F.avg("m"), 4).alias("avg_min"),
+    )

@@ -725,3 +725,24 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height",
         F.floor(F.col("scale") * 1e6 + F.lit(0.5)).cast("long").alias("scale_ppm"),
     ).orderBy("doc_id")
+
+
+@query(
+    "streaming_available_now",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)  # AvailableNow drains the staged multi-file backlog in rate-limited
+# micro-batches and self-terminates; the final complete-mode snapshot is
+# deterministic, so the driver hash applies.
+def streaming_available_now_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow backfill drain (multi micro-batch, rate-limited,
+    self-terminating); totals certified against the batch aggregate."""
+    from ..streaming.event_windows import streaming_available_now_backfill
+
+    return streaming_available_now_backfill(spark, sf_dir)

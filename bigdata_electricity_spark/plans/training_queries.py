@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.rounding import dround, hround
 from ..operators.dedup import ngram_jaccard_pairs, token_shingles
 from ..operators.graph import connected_components
 from ..operators.packing import running_offsets_scalable
@@ -723,4 +724,56 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_gram.groupBy("n_docs")
         .agg(F.count(F.lit(1)).alias("n_grams"))
         .orderBy("n_docs")
+    )
+
+
+@query(
+    "mix_token_budget_epochs",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS target_tokens FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           {dround('tot.target_tokens / per.n_tokens', 4)} AS epochs
+    FROM per, tot
+    ORDER BY source
+    """,
+)
+def mix_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain epoch factors for a uniform token budget — the static
+    form of mixture reweighting: each source's repeat factor is
+    (total_tokens / n_sources) / source_tokens, >1 meaning the domain is
+    upsampled (seen more than once per epoch), <1 downsampled. Completes
+    the mixing ladder (quota → temperature → z-score → token-budget
+    epochs).
+
+    One partial-aggregatable groupBy over the corpus; the per-source
+    table is tiny and the target is a 1-row broadcast crossJoin — no
+    second pass over the documents.
+    """
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("target_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            hround(F.col("target_tokens") / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("source")
     )

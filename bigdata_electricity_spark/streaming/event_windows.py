@@ -438,3 +438,48 @@ def streaming_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFra
     )
     _run_to_completion(agg, name)
     return spark.table(name).orderBy("hour_start")
+
+
+def streaming_available_now_backfill(spark: SparkSession, sf_dir: str,
+                                     return_query: bool = False):
+    """Bounded-backlog drain with ``Trigger.AvailableNow`` — the backfill
+    trigger: stage the events table as a multi-file directory, stream it
+    with ``maxFilesPerTrigger=2`` so the backlog is consumed as several
+    rate-limited micro-batches, and let the trigger terminate the query
+    by itself once the staged files are exhausted.
+
+    This is the production shape for "catch up on a day of files without
+    one giant batch, then exit": AvailableNow honors source rate limits
+    (unlike the deprecated Trigger.Once) yet needs no manual stop. The
+    per-type totals must equal the batch aggregate — any dropped or
+    double-read micro-batch shows up against the oracle.
+    """
+    from ..sources.loaders import load_table  # late import to avoid cycle
+
+    name = f"stream_avnow_{next(_COUNTER)}"
+    staged = "/root/repo/spark-warehouse/events_backlog"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(8, "event_id").write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"),
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = spark.table(name).orderBy("event_type")
+    if return_query:
+        return out, query
+    return out

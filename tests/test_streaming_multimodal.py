@@ -231,3 +231,32 @@ def test_streaming_hourly_distinct_matches_batch_sketch(spark):
         .collect()
     )
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_available_now_drains_in_rate_limited_batches(spark):
+    """AvailableNow must (a) self-terminate, (b) respect maxFilesPerTrigger
+    — the 8-file staged backlog at 2 files/trigger needs ≥3 data
+    micro-batches — and (c) agree with the batch aggregate."""
+    from bigdata_electricity_spark.streaming.event_windows import (
+        streaming_available_now_backfill,
+    )
+
+    out, query = streaming_available_now_backfill(spark, SF_DIR, return_query=True)
+    assert not query.isActive  # trigger terminated the query on its own
+    n_batches = sum(
+        1 for p in query.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    )
+    assert n_batches >= 3, f"expected rate-limited multi-batch drain, got {n_batches}"
+    rows = {tuple(r) for r in out.collect()}
+    from bigdata_electricity_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"),
+        )
+    )
+    assert rows == {tuple(r) for r in batch.collect()}

@@ -920,3 +920,72 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.percentile("m", 0.9), 4).alias("p90_min"),
         hround(F.avg("m"), 4).alias("avg_min"),
     )
+
+
+@query(
+    "agg_gini_by_priority",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderpriority AS priority, o_totalprice AS x,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS i
+        FROM orders
+    ), s AS (
+        SELECT priority, COUNT(*) AS n_orders,
+               SUM(i * x) AS sxi, SUM(x) AS sx, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM r GROUP BY priority
+    )
+    SELECT priority, n_orders,
+           {dround('2.0 * sxi / (n * sx) - (n + 1.0) / n', 6)} AS gini
+    FROM s
+    ORDER BY priority
+    """,
+)
+def agg_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per priority class, computed by
+    a GROUPED_AGG pandas UDF — the user-defined AGGREGATE surface (the
+    one Arrow-batched UDF family not exercised elsewhere; scalar /
+    grouped-map / cogrouped-map / map-iter / stateful / UDTF each have
+    their own entry). The UDF receives one whole group's values as a
+    Series and returns a scalar, exactly the contract of a custom AGG.
+
+    Gini here is the closed form 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over
+    ascending-sorted values — permutation-invariant under ties, so the
+    oracle's window-rank formulation lands on the identical number
+    (6-decimal hround absorbs summation-order float noise). Scale note:
+    a grouped-agg UDF holds ONE group in memory — fine for bounded
+    groups like priority classes; for unbounded keys use the mergeable
+    built-in sketches instead.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies hints and breaks pandas_udf's hint-based dispatch.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini_udf(x: pd.Series) -> float:
+        import numpy as np
+
+        xs = np.sort(x.to_numpy(dtype="float64"))
+        n = len(xs)
+        s = xs.sum()
+        if n == 0 or s == 0.0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * (i * xs).sum() / (n * s) - (n + 1.0) / n)
+
+    orders = load_table(spark, sf_dir, "orders")
+    # A grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run the two aggregations separately
+    # and join on the (tiny) key set.
+    gini = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        hround(gini_udf(F.col("o_totalprice")), 6).alias("gini")
+    )
+    counts = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        counts.join(F.broadcast(gini), "priority")
+        .select("priority", "n_orders", "gini")
+        .orderBy("priority")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.rounding import dround
 from ..sources.loaders import register_views
 from .registry import REGISTRY, query
 
@@ -89,3 +90,98 @@ for _name, _sql in _SQL_TEXT.items():
     # Registered after reference_queries, so the DataFrame twin's oracle
     # exists; sharing it asserts both front-ends agree with DuckDB.
     query(f"{_name}_sqltext", oracle=REGISTRY[_name].oracle)(_make(_name, _sql))
+
+
+_EDGES_DUCK = """
+        SELECT DISTINCT sn.n_nationkey AS src, cn.n_nationkey AS dst
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+"""
+
+
+@query(
+    "sql_recursive_reachability",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+    reach(nk, lvl) AS (
+        SELECT CAST(0 AS BIGINT) AS nk, 0 AS lvl
+        UNION ALL
+        SELECT e.dst AS nk, r.lvl + 1 AS lvl
+        FROM reach r JOIN edges e ON e.src = r.nk
+        WHERE r.lvl < 2
+    )
+    SELECT nk AS nationkey, CAST(MIN(lvl) AS BIGINT) AS hops
+    FROM reach GROUP BY nk ORDER BY nationkey
+    """,
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) — BFS reachability over
+    the supplier→customer nation trade graph from nation 0, depth ≤ 2,
+    reporting each reachable nation's minimum hop count. The SAME SQL
+    text runs on both engines (DuckDB's recursive CTE is the oracle),
+    certifying Spark's recursion semantics, not just the result.
+
+    Scale shape: the recursive step re-joins the 25-node frontier to the
+    distinct nation-pair edge list (≤ 25² rows — the heavy lineitem join
+    collapses to it before any recursion); depth is bounded by the lvl
+    guard. For unbounded graphs the iterative star-contraction CC
+    operator (`operators/graph.py`) is the scalable path; this entry
+    covers the declarative API.
+    """
+    register_views(spark, sf_dir)
+    # Identical text modulo int literal typing: Spark's CAST(0 AS BIGINT)
+    # matches DuckDB; hops cast keeps both engines at int64.
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+        reach(nk, lvl) AS (
+            SELECT CAST(0 AS BIGINT) AS nk, 0 AS lvl
+            UNION ALL
+            SELECT e.dst AS nk, r.lvl + 1 AS lvl
+            FROM reach r JOIN edges e ON e.src = r.nk
+            WHERE r.lvl < 2
+        )
+        SELECT nk AS nationkey, CAST(MIN(lvl) AS BIGINT) AS hops
+        FROM reach GROUP BY nk ORDER BY nationkey
+        """
+    )
+
+
+@query(
+    "sqltext_parameterized_topn",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {dround('SUM(o_totalprice)', 2)} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def sqltext_parameterized_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter `spark.sql(query, args=...)` (Spark 4) — the
+    injection-safe front-end for user-supplied constants: the segment
+    and top-N arrive as BOUND PARAMETERS (`:segment`, `:n`), never
+    string-spliced into the SQL text. The oracle inlines the same
+    literals, so the hash also certifies parameter binding is
+    semantically identical to literal substitution.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name,
+               {_sround('SUM(o_totalprice)', 2)} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_mktsegment = :segment
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT :n
+        """,
+        args={"segment": "BUILDING", "n": 10},
+    )

@@ -1002,3 +1002,104 @@ def corpus_build_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "arrow_map_doc_bytes",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def arrow_map_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the zero-copy batch API: each task receives pyarrow
+    RecordBatches and computes UTF-8 byte and character lengths with
+    pyarrow.compute kernels (C++-vectorized, no pandas materialization —
+    the cheapest Python crossing Spark offers). The per-source rollup is
+    then a plain JVM aggregate, and the oracle recomputes the same
+    lengths from SQL, certifying the Arrow path end-to-end.
+
+    This is the plumbing shape for binary/multimodal payloads where
+    pandas conversion would copy (see operators/multimodal.py for the
+    mapInPandas cousin); per-batch memory is one Arrow batch, and the
+    map is partition-local — no shuffle until the rollup.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def batch_lengths(batches):
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["source", "n_bytes", "n_chars"],
+            )
+
+    mapped = docs.mapInArrow(
+        batch_lengths, schema="source string, n_bytes long, n_chars long"
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "arrow_grouped_lang_extremes",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def arrow_grouped_lang_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().applyInArrow` — grouped-map over pyarrow Tables (the
+    Arrow-native sibling of applyInPandas): one Table per language group,
+    reduced to (count, min, max) with pyarrow.compute aggregation
+    kernels. Completes the Arrow per-key API matrix alongside
+    mapInArrow, applyInPandas, cogroup and the stateful variant.
+
+    One shuffle on the group key; per-group memory is that group's
+    Table. The oracle is the plain SQL aggregate — any batch-boundary
+    or dtype drift in the Arrow path breaks the hash.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def extremes(table: pa.Table) -> pa.Table:
+        col = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "min_chars": pa.array([pc.min(col).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(col).as_py()], pa.int64()),
+            }
+        )
+
+    out = docs.groupBy("lang").applyInArrow(
+        extremes, schema="lang string, n_docs long, min_chars long, max_chars long"
+    )
+    return out.orderBy("lang")

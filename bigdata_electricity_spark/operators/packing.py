@@ -59,3 +59,51 @@ def running_offsets_scalable(sized: DataFrame, id_col: str = "doc_id",
         )
         .drop("__pid", "__base")
     )
+
+
+def exclusive_prefix_sums(df: DataFrame, order_col: str,
+                          size_cols: list[str],
+                          n_partitions: int | None = None) -> DataFrame:
+    """Multi-column generalization of :func:`running_offsets_scalable`:
+    for each ``c`` in ``size_cols`` add ``{c}_excl`` = exclusive running
+    sum of ``c`` in global ``order_col`` order — same two-phase shape
+    (range partition + in-partition windows + O(#partitions) driver
+    fold), one pass for all columns. ``order_col`` values must be
+    distinct (callers pre-aggregate to one row per key).
+
+    This is the scalable backbone for rank/CDF statistics (Mann-Whitney
+    ranks, KS empirical CDFs): the prefix runs over the DISTINCT-value
+    table, which a global window would otherwise pull into a single
+    partition.
+    """
+    parts = (
+        df.repartitionByRange(
+            *([n_partitions] if n_partitions else []), F.col(order_col)
+        )
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    subtot_rows = (
+        parts.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in size_cols])
+        .collect()
+    )
+    acc = {c: 0 for c in size_cols}
+    base_rows = []
+    for r in sorted(subtot_rows, key=lambda r: r["__pid"]):
+        base_rows.append((r["__pid"], *[acc[c] for c in size_cols]))
+        for c in size_cols:
+            acc[c] += r[c] or 0
+    schema = "__pid int, " + ", ".join(f"__base_{c} long" for c in size_cols)
+    base_df = parts.sparkSession.createDataFrame(base_rows, schema)
+
+    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = parts.join(F.broadcast(base_df), "__pid")
+    for c in size_cols:
+        out = out.withColumn(
+            f"{c}_excl",
+            (F.sum(c).over(w) - F.col(c) + F.col(f"__base_{c}")).cast("long"),
+        )
+    return out.drop("__pid", *[f"__base_{c}" for c in size_cols])

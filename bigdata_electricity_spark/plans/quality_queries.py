@@ -745,3 +745,168 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(df, 2).alias("welch_df"),
         F.when(F.abs(hround(t, 4)) > 1.96, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
     )
+
+
+@query(
+    "abtest_mannwhitney_u",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+        SELECT v, COUNT(*) AS c, CAST(SUM(g1) AS BIGINT) AS c1 FROM s GROUP BY v
+    ), r AS (
+        SELECT v, c, c1,
+               COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_excl
+        FROM pv
+    ), agg AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+               CAST(SUM(c - c1) AS DOUBLE) AS n2,
+               SUM(c1 * (c_excl + (c + 1) / 2.0)) AS r1,
+               CAST(SUM(c*c*c - c) AS DOUBLE) AS ties
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           {dround('r1 - n1 * (n1 + 1.0) / 2.0', 1)} AS u1,
+           {dround('(r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)'
+                   ' / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)'
+                   ' - ties / ((n1 + n2) * (n1 + n2 - 1.0))))', 6)} AS z,
+           abs({dround('(r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)'
+                   ' / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)'
+                   ' - ties / ((n1 + n2) * (n1 + n2 - 1.0))))', 6)}) > 1.96 AS significant
+    FROM agg
+    """,
+)
+def abtest_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    test the ab-test ladder was missing (z/t/chi-square assume a
+    distribution; MWU only needs ranks): does order value for
+    '1-URGENT' stochastically dominate '5-LOW'? Average ranks with tie
+    correction, normal approximation (no continuity correction —
+    documented, matched by the oracle formula).
+
+    Scale shape: ranks are NEVER materialized per row — the test runs on
+    the distinct-value table (one groupBy), whose cumulative-below
+    counts come from :func:`exclusive_prefix_sums` (range partition +
+    per-partition windows + O(#partitions) driver fold). No global
+    window, no single-partition sort at any size. U1 is a multiple of
+    0.5, so the 1-decimal hround is exact against float summation noise.
+    """
+    from ..operators.packing import exclusive_prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("g1"),
+    )
+    pv = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"), F.sum("g1").alias("c1"))
+    pref = exclusive_prefix_sums(pv, "v", ["c"])
+    agg = pref.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("double").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.col("c_excl") + (F.col("c") + 1) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    z = (u1 - n1 * n2 / F.lit(2.0)) / F.sqrt(
+        n1 * n2 / F.lit(12.0) * ((nn + F.lit(1.0)) - F.col("ties") / (nn * (nn - F.lit(1.0))))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        hround(u1, 1).alias("u1"),
+        hround(z, 6).alias("z"),
+        (F.abs(hround(z, 6)) > F.lit(1.96)).alias("significant"),
+    )
+
+
+@query(
+    "abtest_ks_distribution",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ), pv AS (
+        SELECT v,
+               CAST(SUM(is1) AS BIGINT) AS c1,
+               CAST(SUM(1 - is1) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), r AS (
+        SELECT v, c1, c2,
+               SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM pv
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM pv
+    ), d AS (
+        SELECT MAX(ABS(cum1 / n1 - cum2 / n2)) AS ks_d FROM r, tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           {dround('ks_d', 6)} AS ks_d,
+           {dround('ks_d * sqrt(n1 * n2 / (n1 + n2))', 4)} AS ks_stat,
+           {dround('ks_d * sqrt(n1 * n2 / (n1 + n2))', 4)} > 1.358 AS significant
+    FROM d, tot
+    """,
+)
+def abtest_ks_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov — distribution-shape drift between
+    click and view event values: D = max |F̂₁ − F̂₂| over the pooled
+    support, scaled to the large-sample statistic (critical value 1.358
+    at α=0.05). The test the drift ladder (PSI buckets a fixed grid)
+    can't replace: KS is grid-free and sensitive anywhere in the CDF.
+
+    Scale shape mirrors :func:`abtest_mannwhitney_u`: both empirical
+    CDFs come from ONE multi-column :func:`exclusive_prefix_sums` pass
+    over the distinct-value table — no per-row ranks, no global window;
+    the max-gap reduction is a plain aggregate.
+    """
+    from ..operators.packing import exclusive_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("is1"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
+    )
+    pref = exclusive_prefix_sums(pv, "v", ["c1", "c2"])
+    tot = pv.agg(
+        F.sum("c1").cast("double").alias("n1"), F.sum("c2").cast("double").alias("n2")
+    )
+    d = (
+        pref.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                (F.col("c1_excl") + F.col("c1")) / F.col("n1")
+                - (F.col("c2_excl") + F.col("c2")) / F.col("n2")
+            ).alias("gap"),
+        )
+        .agg(F.first("n1").alias("n1"), F.first("n2").alias("n2"), F.max("gap").alias("ks_d"))
+    )
+    stat = F.col("ks_d") * F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        hround(F.col("ks_d"), 6).alias("ks_d"),
+        hround(stat, 4).alias("ks_stat"),
+        (hround(stat, 4) > F.lit(1.358)).alias("significant"),
+    )

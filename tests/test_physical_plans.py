@@ -595,3 +595,15 @@ def test_replica_diff_joins_digests_not_rows(spark):
     plan = plan_of(spark, "audit_replica_diff")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rank_stats_have_no_global_window(spark):
+    # MWU/KS run their rank/CDF prefixes over the distinct-value table
+    # via the two-phase prefix sum: windows partitioned by __pid only.
+    # The only SinglePartition exchanges allowed are the 1-row final
+    # statistic aggregates, never a Window input.
+    for name in ("abtest_mannwhitney_u", "abtest_ks_distribution"):
+        plan = plan_of(spark, name)
+        total = plan.count("windowspecdefinition(")
+        pid_part = plan.count("windowspecdefinition(__pid")
+        assert total >= 1 and total == pid_part, (name, total, pid_part, plan[:2000])

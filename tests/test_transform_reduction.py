@@ -160,3 +160,34 @@ def test_scalable_packing_has_no_single_partition_exchange(spark):
     # repartition — never a funnel through one partition.
     assert "Exchange SinglePartition" not in plan, plan[:1500]
     assert "rangepartitioning" in plan.lower()
+
+
+def test_multi_column_prefix_sums_match_global_window(spark):
+    # exclusive_prefix_sums must agree with the single-partition global
+    # window for EVERY requested column, including zero-heavy columns
+    # and n_partitions both chosen and forced.
+    from pyspark.sql import Window, functions as F
+
+    from bigdata_electricity_spark.operators.packing import exclusive_prefix_sums
+
+    rows = [(float(i % 17) + i * 0.001, i % 3, (i * 7) % 5) for i in range(500)]
+    df = (
+        spark.createDataFrame(rows, "v double, a long, b long")
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: (r["ae"], r["be"])
+        for r in df.select(
+            "v",
+            F.coalesce(F.sum("a").over(w), F.lit(0)).alias("ae"),
+            F.coalesce(F.sum("b").over(w), F.lit(0)).alias("be"),
+        ).collect()
+    }
+    for kwargs in ({"n_partitions": 7}, {}):
+        got = {
+            r["v"]: (r["a_excl"], r["b_excl"])
+            for r in exclusive_prefix_sums(df, "v", ["a", "b"], **kwargs).collect()
+        }
+        assert got == want

@@ -1103,3 +1103,55 @@ def arrow_grouped_lang_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         extremes, schema="lang string, n_docs long, min_chars long, max_chars long"
     )
     return out.orderBy("lang")
+
+
+@query(
+    "ingest_quarantine_bad_json",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS valid_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ingest_quarantine_bad_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine — the ingestion contract every raw feed
+    needs: records that fail JSON parsing are COUNTED into a quarantine
+    bucket, never dropped silently and never allowed to poison the batch.
+    The corpus is round-tripped through JSON text with a deterministic
+    fault injection (every 7th doc_id loses its closing brace);
+    `from_json` yields NULL for the mangled rows (PERMISSIVE semantics),
+    and the audit reports quarantined/valid counts plus the valid-side
+    payload volume per source. The oracle re-derives the same split from
+    the injection rule, so a parser that silently "repairs" or drops rows
+    fails the hash.
+
+    Scale shape: to_json/from_json are row-local codegen expressions —
+    no shuffle until the per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "n_chars"))
+    mangled = F.when(
+        F.col("doc_id") % 7 == 0, F.expr("substring(to_json(struct(doc_id, n_chars)), 1, length(to_json(struct(doc_id, n_chars))) - 1)")
+    ).otherwise(line)
+    parsed = docs.select(
+        "source",
+        F.from_json(mangled, "doc_id long, n_chars long").alias("rec"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            # PERMISSIVE from_json NEVER yields a null struct — malformed rows
+            # come back as all-null FIELDS, so quarantine keys off a required
+            # field's nullity.
+            F.sum(F.col("rec.doc_id").isNull().cast("long")).alias("n_quarantined"),
+            F.sum(F.col("rec.doc_id").isNotNull().cast("long")).alias("n_valid"),
+            F.sum(
+                F.when(F.col("rec.doc_id").isNotNull(), F.col("rec.n_chars")).otherwise(0)
+            ).alias("valid_chars"),
+        )
+        .orderBy("source")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import dround, hround
 from ..ml.regression import run_regression_pipeline
 from ..operators.multimodal import attach_binary_payload, decode_media
 from ..sources.loaders import load_table
@@ -746,3 +747,64 @@ def streaming_available_now_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.event_windows import streaming_available_now_backfill
 
     return streaming_available_now_backfill(spark, sf_dir)
+
+
+@query(
+    "sketch_quantile_error_bound",
+    oracle=f"""
+    WITH e AS (
+        SELECT quantile_cont(l_extendedprice, 0.49) AS lo50,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.51) AS hi50,
+               quantile_cont(l_extendedprice, 0.94) AS lo95,
+               quantile_cont(l_extendedprice, 0.95) AS p95,
+               quantile_cont(l_extendedprice, 0.96) AS hi95
+        FROM lineitem
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS p, {dround('p50', 4)} AS exact_value, TRUE AS approx_in_band FROM e
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE), {dround('p95', 4)}, TRUE FROM e
+    ORDER BY p
+    """,
+)
+def sketch_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified approximate quantiles: `percentile_approx` (mergeable
+    sketch — the 100 TB quantile path) audited against the EXACT
+    interpolated percentile, with the acceptance band expressed in RANK
+    space (the sketch's actual guarantee): the approx p-quantile must
+    land between the exact (p−0.01)- and (p+0.01)-quantiles. With
+    accuracy=10000 the rank error is ≤ 1e-4 ≪ 0.01, so the flag is
+    deterministically TRUE on both engines — the oracle certifies the
+    exact values and the CONTRACT, the Spark side additionally proves
+    its sketch satisfies it.
+
+    Value-space |approx − exact| tolerances are the wrong audit (dense
+    regions make them vacuous, sparse ones impossible); rank bands are
+    scale-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.percentile("l_extendedprice", 0.49).alias("lo50"),
+        F.percentile("l_extendedprice", 0.50).alias("p50"),
+        F.percentile("l_extendedprice", 0.51).alias("hi50"),
+        F.percentile("l_extendedprice", 0.94).alias("lo95"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile("l_extendedprice", 0.96).alias("hi95"),
+        F.percentile_approx("l_extendedprice", 0.50, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+    )
+    half = stats.select(
+        F.lit(0.5).alias("p"),
+        hround(F.col("p50"), 4).alias("exact_value"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "approx_in_band"
+        ),
+    )
+    p95 = stats.select(
+        F.lit(0.95).alias("p"),
+        hround(F.col("p95"), 4).alias("exact_value"),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "approx_in_band"
+        ),
+    )
+    return half.unionByName(p95).orderBy("p")

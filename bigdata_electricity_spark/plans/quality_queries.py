@@ -910,3 +910,110 @@ def abtest_ks_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(stat, 4).alias("ks_stat"),
         (hround(stat, 4) > F.lit(1.358)).alias("significant"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+               COUNT(*) AS k
+        FROM documents
+        GROUP BY 1, 2, 3
+    )
+    SELECT k,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           k < 5 AS at_risk
+    FROM g
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the quasi-identifier (lang, source,
+    n_chars//100): the size distribution of QI equivalence classes, each
+    flagged when it leaves its members re-identifiable (k < 5 — the
+    conventional release threshold). The governance sibling of
+    `redact_pii_props` (content) and `maintain_cascade_delete`
+    (erasure): this one measures LINKAGE risk, which redaction alone
+    doesn't remove.
+
+    One partial-aggregatable groupBy on the QI tuple, then a trivial
+    histogram — the same two-phase shape at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("size_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return (
+        g.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("k").alias("n_docs"))
+        .select("k", "n_groups", "n_docs", (F.col("k") < 5).alias("at_risk"))
+        .orderBy("k")
+    )
+
+
+# Laplace scale b = sensitivity/epsilon = 1/0.1. The uniform draw is the
+# registry's salted-md5 trick keyed on the group VALUE ('n' salt), so both
+# engines derive the identical noise; the 1e-7 floor keeps ln() finite on
+# the (probability 2^-24) all-zero hash prefix.
+_DP_B = 10.0
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS true_n
+        FROM events GROUP BY event_type
+    ), u AS (
+        SELECT event_type, true_n,
+               CAST(CAST(('0x' || substr(md5('n' || event_type), 1, 6)) AS BIGINT) AS DOUBLE)
+                   / 16777216.0 - 0.5 AS uu
+        FROM c
+    )
+    SELECT event_type,
+           CAST(true_n AS BIGINT) AS true_count,
+           floor((true_n - {_DP_B} * sign(uu) * ln(greatest(1.0 - 2.0 * abs(uu), 0.0000001)) * -1.0) * 10000.0 + 0.5) / 10000.0 AS noisy_count,
+           CAST(0.1 AS DOUBLE) AS epsilon
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts — the ε=0.1 Laplace
+    mechanism with DETERMINISTIC noise: the uniform draw comes from a
+    salted md5 of the group value (the registry's seeded-randomness
+    idiom), inverse-CDF-transformed to Laplace(b=10). Same bits → same
+    noise on both engines, so a normally-unverifiable randomized
+    mechanism becomes hash-checkable; swap the salt for a secret nonce
+    and the release is genuinely DP with the same plan.
+
+    Noise is injected AFTER the aggregate (count sensitivity 1), so the
+    scan/shuffle shape is identical to the plain count — DP costs one
+    projection. ln() is libm-grade on both engines; the 4-decimal
+    rounding absorbs the ≤1-ulp divergence (bounded ~1e-8 given the
+    24-bit draw's 1e-7 floor).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("true_n"))
+    uu = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("n"), F.col("event_type"))), 1, 6), 16, 10)
+        .cast("double")
+        / F.lit(16777216.0)
+        - F.lit(0.5)
+    )
+    # +b·sgn(u)·ln(1−2|u|) is the inverse-CDF Laplace draw (the usual
+    # −b·sgn(u) form mirrored — u is symmetric, so both are Laplace(b)).
+    noise = (
+        F.lit(_DP_B)
+        * F.signum(uu)
+        * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(uu), F.lit(1e-7)))
+    )
+    return c.select(
+        "event_type",
+        F.col("true_n").cast("long").alias("true_count"),
+        hround(F.col("true_n") + noise, 4).alias("noisy_count"),
+        F.lit(0.1).alias("epsilon"),
+    ).orderBy("event_type")

@@ -864,3 +864,123 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_MMR_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_R6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    oracle=f"""
+    WITH units AS ({_DUCK_UNITS}),
+    q AS (SELECT unit AS qu FROM units WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, unit,
+               {_R6.format(x=_MMR_DOT.format(a='unit', b='qu'))} AS rel
+        FROM units, q WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT 8
+    ),
+    s1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    r2 AS (
+        SELECT c.vec_id, c.unit, c.rel,
+               {_R6.format(x="CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * "
+                             + _MMR_DOT.format(a='c.unit', b='s1.unit'))} AS score
+        FROM cand c, s1 WHERE c.vec_id <> s1.vec_id
+    ),
+    s2 AS (SELECT * FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+    r3 AS (
+        SELECT c.vec_id, c.rel,
+               {_R6.format(x="CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * greatest("
+                             + _MMR_DOT.format(a='c.unit', b='s1.unit') + ", "
+                             + _MMR_DOT.format(a='c.unit', b='s2.unit') + ")")} AS score
+        FROM cand c, s1, s2 WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+    ),
+    s3 AS (SELECT * FROM r3 ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance, rel AS mmr_score FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel, score FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel, score FROM s3
+    ORDER BY rank
+    """,
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — diversified retrieval: greedily pick
+    3 of the top-8 cosine candidates, each round maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-picked (λ=0.7). The
+    dedup-aware cousin of plain top-k: near-duplicate candidates can't
+    all win, which is exactly what a hard-negative / exemplar sampler
+    wants. Greedy selection is inherently sequential, so the 3 rounds
+    are UNROLLED as declarative plans (the `kmeans_dataframe_lloyd`
+    idiom): each selected row is a 1-row broadcast into the next round —
+    no collect, no Python loop over data.
+
+    Determinism: every comparison key is 6-decimal-rounded BEFORE
+    ordering (both engines round identically — hround/floor), ties break
+    on vec_id; unit vectors and dots are the sequentially-accumulated
+    forms shared with the bucketed-ANN entries, so scores match by
+    construction. Scale: candidate generation is the brute-force top-k
+    scan shape; everything after operates on ≤8 rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
+    )
+    units = with_norm.select(
+        "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
+    )
+    q = units.filter(F.col("vec_id") == 0).select(F.col("unit").alias("qu"))
+    cand = (
+        units.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "unit",
+            hround(dot_product(F.col("unit"), F.col("qu")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(8)
+    )
+    s1 = cand.orderBy(F.desc("rel"), "vec_id").limit(1)
+    s1b = s1.select(
+        F.col("vec_id").alias("s1_id"), F.col("unit").alias("s1_unit")
+    )
+    r2 = (
+        cand.crossJoin(F.broadcast(s1b))
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .select(
+            "vec_id", "unit", "rel", "s1_id", "s1_unit",
+            hround(
+                F.lit(0.7) * F.col("rel")
+                - F.lit(0.3) * dot_product(F.col("unit"), F.col("s1_unit")),
+                6,
+            ).alias("score"),
+        )
+    )
+    s2 = r2.orderBy(F.desc("score"), "vec_id").limit(1)
+    s2b = s2.select(
+        "s1_id", "s1_unit",
+        F.col("vec_id").alias("s2_id"), F.col("unit").alias("s2_unit"),
+    )
+    r3 = (
+        cand.crossJoin(F.broadcast(s2b))
+        .filter((F.col("vec_id") != F.col("s1_id")) & (F.col("vec_id") != F.col("s2_id")))
+        .select(
+            "vec_id", "rel",
+            hround(
+                F.lit(0.7) * F.col("rel")
+                - F.lit(0.3)
+                * F.greatest(
+                    dot_product(F.col("unit"), F.col("s1_unit")),
+                    dot_product(F.col("unit"), F.col("s2_unit")),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    s3 = r3.orderBy(F.desc("score"), "vec_id").limit(1)
+    rank = lambda n: F.lit(n).cast("long").alias("rank")  # noqa: E731
+    return (
+        s1.select(rank(1), "vec_id", F.col("rel").alias("relevance"), F.col("rel").alias("mmr_score"))
+        .unionByName(s2.select(rank(2), "vec_id", F.col("rel").alias("relevance"), F.col("score").alias("mmr_score")))
+        .unionByName(s3.select(rank(3), "vec_id", F.col("rel").alias("relevance"), F.col("score").alias("mmr_score")))
+        .orderBy("rank")
+    )

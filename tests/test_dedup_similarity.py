@@ -159,3 +159,30 @@ def test_ivf_probe_recall_vs_bruteforce(spark):
         total += len(exact)
     assert total == 9
     assert hits / total >= 2 / 3, f"IVF recall@3 too low: {hits}/{total}"
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark):
+    """Planted geometry: a (rel .9), its near-dup a2 (rel .8999), and b
+    (rel .85 but ~orthogonal to a in the non-query direction). Greedy
+    relevance would pick [a, a2, b]; MMR at λ=0.7 must demote the dup:
+    [a, b, a2]."""
+    import os
+    import tempfile
+
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),            # query
+        (1, [0.9, 0.436, 0.0], 0),          # a
+        (2, [0.8999, 0.4362, 0.0], 0),      # a2 ~ dup of a
+        (3, [0.85, -0.527, 0.0], 0),        # b: relevant, diverse
+        (4, [0.1, 0.0, 0.995], 0),          # far filler
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        got = [
+            (r["rank"], r.vec_id)
+            for r in REGISTRY["sim_mmr_diversified_topk"].fn(spark, d).collect()
+        ]
+    assert got == [(1, 1), (2, 3), (3, 2)], got

@@ -36,3 +36,17 @@ def test_shard_merge_union_equals_direct(spark):
     # Default lgConfigK=12 on ~15 distinct keys: estimate is near-exact.
     exact = got["exact_distinct_users"]
     assert abs(got["merged_distinct_users"] - exact) <= max(1, 0.05 * exact)
+
+
+def test_bloom_prefilter_no_false_negatives_and_sane_fp(spark):
+    # Bloom filters may only err in one direction: every true member
+    # must pass (n_true_members == n_members and pass ⊇ members), and
+    # the FP rate should sit near the textbook (1-e^(-kn/m))^k ≈ 4.5%
+    # for n=75, m=496, k=4 — an order-of-magnitude corridor guards the
+    # hash spread without overfitting exact counts.
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    r = REGISTRY["sketch_bloom_prefilter"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_true_members == r.n_members
+    assert r.n_pass == r.n_true_members + r.n_false_positives
+    assert 0.0 < r.fp_rate < 0.15

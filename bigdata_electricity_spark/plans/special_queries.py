@@ -939,3 +939,103 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+_CMS_W = 64
+_CMS_D = 4
+
+
+def _cms_duck(key: str, i: str) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || '@' || "
+        f"CAST({key} AS VARCHAR)), 1, 6)) AS BIGINT) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_countmin_user_counts",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT ({_cms_duck('user_id', 'i')}) AS b, i
+        FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+    ), sketch AS (
+        SELECT i, b, COUNT(*) AS c FROM pairs GROUP BY i, b
+    ), truth AS (
+        SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+    ), ppos AS (
+        SELECT user_id, true_n, i, ({_cms_duck('user_id', 'i')}) AS b
+        FROM truth, UNNEST([0, 1, 2, 3]) AS t(i)
+    ), est AS (
+        SELECT p.user_id, p.true_n, MIN(s.c) AS est_n
+        FROM ppos p JOIN sketch s ON p.i = s.i AND p.b = s.b
+        GROUP BY p.user_id, p.true_n
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN est_n = true_n THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(MIN(est_n - true_n) AS BIGINT) AS min_overestimate,
+           CAST(MAX(est_n - true_n) AS BIGINT) AS max_overestimate,
+           CAST(SUM(est_n - true_n) AS BIGINT) AS total_overestimate
+    FROM est
+    """,
+)
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch from relational primitives — the mergeable
+    heavy-hitter counter: d=4 md5-derived hash rows × w=64 buckets
+    (deliberately < |users| so collisions are visible), each bucket a
+    plain COUNT, the estimate the MIN across rows. The audit joins
+    estimates against exact per-user counts: CMS can only OVERcount
+    (est ≥ truth — unit-asserted), and the overestimate profile shows
+    the ε≈e/w error behaving as advertised.
+
+    Scale shape: build is one groupBy over (row, bucket) — 256 cells
+    regardless of stream size, partial-aggregatable, mergeable across
+    shards by cell-wise addition (the same property `sketch_shard_merge`
+    exploits for HLL). Probe side broadcasts the 256-cell sketch.
+    All-integer outputs — no float rounding anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i: int, key="user_id"):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}@"), F.col(key).cast("string"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    pairs = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                for i in range(_CMS_D)
+            ])
+        ).alias("ib")
+    ).select("ib.i", "ib.b")
+    sketch = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    ppos = truth.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                for i in range(_CMS_D)
+            ])
+        ).alias("ib"),
+    ).select("user_id", "true_n", "ib.i", "ib.b")
+    est = (
+        ppos.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("est_n") == F.col("true_n")).cast("long")).alias("n_exact"),
+        F.min(F.col("est_n") - F.col("true_n")).alias("min_overestimate"),
+        F.max(F.col("est_n") - F.col("true_n")).alias("max_overestimate"),
+        F.sum(F.col("est_n") - F.col("true_n")).alias("total_overestimate"),
+    )

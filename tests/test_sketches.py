@@ -50,3 +50,18 @@ def test_bloom_prefilter_no_false_negatives_and_sane_fp(spark):
     assert r.n_true_members == r.n_members
     assert r.n_pass == r.n_true_members + r.n_false_positives
     assert 0.0 < r.fp_rate < 0.15
+
+
+def test_countmin_never_undercounts(spark):
+    # CMS error is one-sided: min-over-rows of colliding counters can
+    # only exceed the true count. Per-user check, not just the summary.
+    import pyspark.sql.functions as F
+
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    r = REGISTRY["sketch_countmin_user_counts"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_keys > 0
+    # One-sided error: the SMALLEST observed overestimate is still ≥ 0.
+    assert r.min_overestimate >= 0
+    assert r.max_overestimate >= r.min_overestimate
+    assert 0 <= r.n_exact <= r.n_keys

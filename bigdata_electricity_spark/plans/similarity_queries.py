@@ -984,3 +984,98 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3.select(rank(3), "vec_id", F.col("rel").alias("relevance"), F.col("score").alias("mmr_score")))
         .orderBy("rank")
     )
+
+
+def _rrf_list_duck(qid: int) -> str:
+    return f"""
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rnk
+        FROM (
+            SELECT vec_id,
+                   {_R6.format(x=_MMR_DOT.format(a='unit', b='qu'))} AS rel
+            FROM units, (SELECT unit AS qu FROM units WHERE vec_id = {qid}) q
+            WHERE vec_id NOT IN (0, 1)
+            ORDER BY rel DESC, vec_id
+            LIMIT 20
+        )
+    """
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH units AS ({_DUCK_UNITS}),
+    l0 AS ({_rrf_list_duck(0)}),
+    l1 AS ({_rrf_list_duck(1)}),
+    fused AS (
+        SELECT COALESCE(l0.vec_id, l1.vec_id) AS vec_id,
+               (CASE WHEN l0.rnk IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN l1.rnk IS NULL THEN 0 ELSE 1 END) AS n_lists,
+               (COALESCE(CAST(1 AS DOUBLE) / (60 + l0.rnk), 0.0)
+                + COALESCE(CAST(1 AS DOUBLE) / (60 + l1.rnk), 0.0)) AS rrf
+        FROM l0 FULL OUTER JOIN l1 ON l0.vec_id = l1.vec_id
+    )
+    SELECT vec_id, CAST(n_lists AS INT) AS n_lists,
+           floor(rrf * 100000000.0 + 0.5) / 100000000.0 AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — the
+    standard hybrid-search combiner (it needs only RANKS, so it fuses
+    heterogeneous scorers: two ANN queries here; BM25 + ANN in a real
+    stack, see `text_bm25_topk`). Top-20 per query vector (vec 0 and
+    vec 1), full-outer join on candidate id, score = Σ 1/(60+rank),
+    absent list contributes 0.
+
+    Scale shape: each ranking is the brute-force top-k scan; the
+    row_number window runs AFTER the limit, over ≤20 rows (the one
+    deliberately tiny single-partition spot — post-top-k, not on data).
+    Ranks come from 6-decimal-rounded cosines with id tie-breaks, so
+    both engines rank identically; the fused score rounds at 1e-8 (its
+    values are sums of exact 1/(60+r) rationals ~0.016 apart).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
+    )
+    units = with_norm.select(
+        "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
+    )
+
+    def ranking(qid: int) -> DataFrame:
+        q = units.filter(F.col("vec_id") == qid).select(F.col("unit").alias("qu"))
+        top = (
+            units.filter(~F.col("vec_id").isin(0, 1))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id", hround(dot_product(F.col("unit"), F.col("qu")), 6).alias("rel")
+            )
+            .orderBy(F.desc("rel"), "vec_id")
+            .limit(20)
+        )
+        w = Window.orderBy(F.desc("rel"), "vec_id")
+        return top.select("vec_id", F.row_number().over(w).alias(f"rnk{qid}"))
+
+    l0, l1 = ranking(0), ranking(1)
+    fused = (
+        l0.join(l1, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            (
+                F.col("rnk0").isNotNull().cast("int")
+                + F.col("rnk1").isNotNull().cast("int")
+            ).alias("n_lists"),
+            (
+                F.coalesce(F.lit(1.0) / (F.col("rnk0") + 60), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.col("rnk1") + 60), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select("vec_id", "n_lists", hround(F.col("rrf"), 8).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "vec_id")
+        .limit(10)
+    )

@@ -469,3 +469,90 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# BM25 (Lucene idf form): k1=1.2, b=0.75, query = {hash, join, scan}.
+_BM25_Q = ("hash", "join", "scan")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens
+    ), tf AS (
+        SELECT doc_id, t.w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM d, UNNEST(d.w) AS t(w)
+        WHERE t.w IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, t.w
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * lens.dl / corpus.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN lens ON tf.doc_id = lens.doc_id
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(score * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene idf, k1=1.2, b=0.75) for the query
+    {hash, join, scan} — the lexical half of a hybrid search stack (the
+    embedding half is the sim_* ladder; `sim_rrf_fusion` fuses two
+    rankings). Completes text retrieval beyond raw TF-IDF: BM25's tf
+    saturation and length normalization are what production keyword
+    search actually runs.
+
+    Scale shape: tf is one explode+groupBy restricted to the 3 query
+    terms BEFORE the shuffle (the match filter prunes ~99% of postings
+    at the map side); df and corpus stats are tiny broadcast sides; the
+    top-10 is TakeOrdered. ln() is libm-grade on both engines and the
+    score rounds at 6 decimals before ranking (tie-break doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    lens = d.select("doc_id", F.size("w").cast("double").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_Q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (
+        F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        scored.select("doc_id", hround(F.col("score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

@@ -989,3 +989,118 @@ def agg_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n_orders", "gini")
         .orderBy("priority")
     )
+
+
+@query(
+    "array_function_zoo",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT l_orderkey AS orderkey,
+               list_sort(list(l_quantity)) AS q
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        GROUP BY l_orderkey
+    )
+    SELECT orderkey,
+           CAST(len(q) AS INT) AS n_items,
+           CAST(len(list_filter(q, x -> x > 25.0)) AS INT) AS n_over25,
+           len(list_filter(q, x -> x = 50.0)) > 0 AS has_50,
+           len(list_filter(q, x -> NOT (x > 0.0))) = 0 AS all_positive,
+           {dround('list_sum(q)', 4)} AS total_qty,
+           {dround('list_sum(list_transform(q, (x, i) -> x * i))', 4)} AS pos_weighted
+    FROM arrs
+    ORDER BY orderkey
+    """,
+)
+def array_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array higher-order-function surface in one oracle-checked
+    sweep: collect_list→sort_array (deterministic arrays from an
+    unordered aggregate), `filter`, `exists`, `forall`, `aggregate`
+    (sequential double fold), and the INDEXED two-arg `transform`
+    lambda. The index convention differs across engines — Spark's i is
+    0-based, DuckDB's is 1-based — so the Spark side weights by (i+1);
+    this zoo pins that equivalence the individual entries rely on.
+
+    Scale shape: one groupBy on the join key; every HOF then runs
+    row-local over that key's array (bounded by lines-per-order). The
+    sort inside each array is the determinism price of collect_list —
+    at scale prefer sort_array over any assumption about arrival order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("q"))
+    )
+    total = F.aggregate(
+        F.col("q"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.transform(F.col("q"), lambda x, i: (i + 1).cast("double")),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        arrs.select(
+            "orderkey",
+            F.size("q").alias("n_items"),
+            F.size(F.filter(F.col("q"), lambda x: x > 25.0)).alias("n_over25"),
+            F.exists(F.col("q"), lambda x: x == 50.0).alias("has_50"),
+            F.forall(F.col("q"), lambda x: x > 0.0).alias("all_positive"),
+            hround(total, 4).alias("total_qty"),
+            hround(weighted, 4).alias("pos_weighted"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "map_type_roundtrip",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) AS total_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface — the one nested column kind the rest of the
+    registry doesn't touch: per-user event-type counters packed into a
+    map<string,bigint> (`map_from_entries` over a sorted entry list —
+    maps from unordered aggregates need the same determinism discipline
+    as arrays), then consumed via `size`, `map_values` fold, and
+    `element_at` lookup. The oracle recomputes the same figures straight
+    from the rows, certifying the pack/lookup round-trip loses nothing.
+
+    Scale shape: a per-user map is bounded by the event-type vocabulary
+    (5 here) — the natural layout for per-entity counter state (the
+    batch cousin of the streaming state store's per-key map).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        maps.select(
+            "user_id",
+            F.size("m").cast("long").alias("n_types"),
+            total.alias("total_events"),
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0).cast("long")).alias(
+                "n_clicks"
+            ),
+        )
+        .orderBy("user_id")
+    )

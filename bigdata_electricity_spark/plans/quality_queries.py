@@ -1017,3 +1017,50 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("true_n") + noise, 4).alias("noisy_count"),
         F.lit(0.1).alias("epsilon"),
     ).orderBy("event_type")
+
+
+@query(
+    "abtest_power_analysis",
+    oracle=f"""
+    WITH s AS (
+        SELECT var_pop(value) AS sigma2, AVG(value) AS mu
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT {dround('mu', 4)} AS baseline_mean,
+           {dround('sigma2', 4)} AS variance,
+           CAST(ceil(2.0 * power(CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE), 2)
+                * sigma2 / power(CAST(0.05 AS DOUBLE) * mu, 2)) AS BIGINT) AS n_per_arm_5pct,
+           CAST(ceil(2.0 * power(CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE), 2)
+                * sigma2 / power(CAST(0.10 AS DOUBLE) * mu, 2)) AS BIGINT) AS n_per_arm_10pct
+    FROM s
+    """,
+)
+def abtest_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner — the question asked BEFORE any
+    z/t/MWU test runs: with the observed purchase-value variance, how
+    many users per arm detect a 5% (resp. 10%) lift in the mean at
+    α=0.05, power 0.8? Closed form n = 2(z_{{α/2}}+z_β)²σ²/δ² with the
+    z constants inlined as shared literals (1.959964, 0.841621) so both
+    engines compute the identical expression — no erf/quantile function
+    crossing engines.
+
+    One aggregate over the metric stream; the planner itself is a 1-row
+    projection. Completes the experimentation ladder: plan
+    (power analysis) → run (z/t/chi²/MWU/KS) → read out (significance).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "purchase").agg(
+        F.var_pop("value").alias("sigma2"), F.avg("value").alias("mu")
+    )
+    z = F.lit(1.959964) + F.lit(0.841621)
+    def n_for(frac: float):
+        return F.ceil(
+            F.lit(2.0) * F.pow(z, 2) * F.col("sigma2")
+            / F.pow(F.lit(frac) * F.col("mu"), 2)
+        ).cast("long")
+    return s.select(
+        hround(F.col("mu"), 4).alias("baseline_mean"),
+        hround(F.col("sigma2"), 4).alias("variance"),
+        n_for(0.05).alias("n_per_arm_5pct"),
+        n_for(0.10).alias("n_per_arm_10pct"),
+    )

@@ -711,3 +711,73 @@ def audit_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    ORDER BY fk_edge
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema — the pre-flight every warehouse load runs: per edge, child
+    row count and orphan count (children whose parent key doesn't
+    exist). Orphans here are structural corruption; the oracle's
+    NOT-EXISTS twin certifies the anti-join semantics including
+    null-key behavior.
+
+    Scale shape: each edge is ONE left-anti join; parent sides are the
+    dimension tables (broadcast), so the fact-side scan streams once
+    per edge with no wide shuffle. All-integer output.
+    """
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        c, p = tables[child], tables[parent]
+        orphans = c.join(
+            F.broadcast(p.select(pk)), c[ck] == F.col(pk), "left_anti"
+        )
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("fk_edge")

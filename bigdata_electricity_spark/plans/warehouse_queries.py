@@ -781,3 +781,104 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out.orderBy("fk_edge")
+
+
+@query(
+    "maintain_parallel_variance_merge",
+    oracle=f"""
+    WITH halves AS (
+        SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS half,
+               value
+        FROM events
+    ), parts AS (
+        SELECT half,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(value) AS mean,
+               var_pop(value) * COUNT(*) AS m2
+        FROM halves GROUP BY half
+    ), merged AS (
+        SELECT a.n + b.n AS n,
+               (a.n * a.mean + b.n * b.mean) / (a.n + b.n) AS mean,
+               a.m2 + b.m2 + (b.mean - a.mean) * (b.mean - a.mean)
+                   * a.n * b.n / (a.n + b.n) AS m2
+        FROM (SELECT * FROM parts WHERE half = 0) a,
+             (SELECT * FROM parts WHERE half = 1) b
+    ), direct AS (
+        SELECT var_pop(value) AS v FROM halves
+    )
+    SELECT CAST(merged.n AS BIGINT) AS n_rows,
+           {dround('merged.mean', 6)} AS mean,
+           {dround('merged.m2 / merged.n', 2)} AS var_merged,
+           abs(merged.m2 / merged.n - direct.v) < CAST(0.000001 AS DOUBLE) AS merge_matches_direct
+    FROM merged, direct
+    """,
+)
+def maintain_parallel_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chan-formula variance merging — the algebra that makes variance a
+    MERGEABLE aggregate (the reason var_pop survives partial
+    aggregation and shard-parallel pipelines at all): compute (n, mean,
+    M2) independently per half-month shard, merge with
+    M2 = M2ₐ + M2ᵦ + (μᵦ−μₐ)²·nₐnᵦ/(nₐ+nᵦ), and certify the merged
+    variance equals the direct single-pass var_pop to 1e-6 (flag
+    computed identically on both engines). The explicit form of what
+    `maintain_incremental_agg` exercises through Spark's own partial
+    aggregation.
+
+    Scale shape: per-shard states are 3 doubles; merging is O(#shards)
+    arithmetic — this is how per-day profile stats fold into monthly
+    ones without rescanning history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        "value",
+    )
+    parts = ev.groupBy("half").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mean"),
+        (F.var_pop("value") * F.count(F.lit(1))).alias("m2"),
+    )
+    a = parts.filter(F.col("half") == 0).select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("m2").alias("m2a")
+    )
+    b = parts.filter(F.col("half") == 1).select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("m2").alias("m2b")
+    )
+    direct = ev.agg(F.var_pop("value").alias("v"))
+    merged = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(direct))
+        .select(
+            (F.col("na") + F.col("nb")).cast("long").alias("n_rows"),
+            hround(
+                (F.col("na") * F.col("ma") + F.col("nb") * F.col("mb"))
+                / (F.col("na") + F.col("nb")),
+                6,
+            ).alias("mean"),
+            hround(
+                (
+                    F.col("m2a")
+                    + F.col("m2b")
+                    + (F.col("mb") - F.col("ma")) * (F.col("mb") - F.col("ma"))
+                    * F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
+                )
+                / (F.col("na") + F.col("nb")),
+                2,
+            ).alias("var_merged"),
+            (
+                F.abs(
+                    (
+                        F.col("m2a")
+                        + F.col("m2b")
+                        + (F.col("mb") - F.col("ma")) * (F.col("mb") - F.col("ma"))
+                        * F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
+                    )
+                    / (F.col("na") + F.col("nb"))
+                    - F.col("v")
+                )
+                < F.lit(1e-6)
+            ).alias("merge_matches_direct"),
+        )
+    )
+    return merged

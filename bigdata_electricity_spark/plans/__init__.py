@@ -22,5 +22,6 @@ from . import training_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import warehouse_queries  # noqa: E402,F401
+from . import insight_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

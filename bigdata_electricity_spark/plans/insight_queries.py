@@ -1,0 +1,367 @@
+"""Lifecycle / frontier / anomaly analytics: survival curves, interval
+algebra, skyline queries, seasonal-residual anomaly detection.
+
+Extension surface beyond the reference (its analytics stop at grouped
+aggregates and rank windows — SQLOperations.scala:39-153 has no
+survival/interval/skyline shapes). Everything here is window+aggregate
+composition: partitioned windows, no per-row Python, no global sorts on
+unbounded inputs (the one global window in the skyline runs over the
+per-spend-group table, which is aggregate-bounded, not row-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+
+@query(
+    "survival_session_km",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts
+        FROM flagged
+    ), lifetimes AS (
+        SELECT CAST(5 * floor(date_diff('second', MIN(ts), MAX(ts)) / 300.0)
+                    AS BIGINT) AS t_min5,
+               CASE WHEN MAX(ts) < (SELECT MAX(ts) - INTERVAL 30 MINUTE
+                                    FROM events)
+                    THEN 1 ELSE 0 END AS observed
+        FROM sess GROUP BY user_id, session_id
+    ), per_t AS (
+        SELECT t_min5, COUNT(*) AS n_total,
+               CAST(SUM(observed) AS BIGINT) AS n_events
+        FROM lifetimes GROUP BY t_min5
+    ), at_risk AS (
+        SELECT t_min5, n_events,
+               SUM(n_total) OVER (ORDER BY t_min5 DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM per_t
+    ), factors AS (
+        SELECT t_min5, n_events, n_risk,
+               1.0 - CAST(n_events AS DOUBLE) / n_risk AS f
+        FROM at_risk
+    ), km AS (
+        SELECT t_min5, n_events, n_risk,
+               CASE WHEN MIN(f) OVER cum = 0.0 THEN 0.0
+                    ELSE exp(SUM(ln(CASE WHEN f = 0.0 THEN 1.0 ELSE f END))
+                             OVER cum)
+               END AS surv
+        FROM factors
+        WINDOW cum AS (ORDER BY t_min5 ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT t_min5, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           {dround('surv', 6)} AS survival
+    FROM km WHERE n_events > 0 ORDER BY t_min5
+    """,
+)
+def survival_session_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session lifetimes (5-minute grid).
+
+    Sessions come from the 30-min-gap sessionizer (same island logic as
+    `events_sessionization`); a session is right-censored when it runs
+    into the end of the observation window (last event within 30 min of
+    the corpus max ts — its true end was never observed). Death times
+    are bucketed to a 5-minute grid and the product-limit estimator
+    S(t) = prod_{t_i<=t} (1 - d_i/n_i) is evaluated per bucket via
+    exp(cumsum(ln(factor))) with an explicit zero-factor guard — Spark
+    has no product window aggregate, and this form keeps the cumulative
+    product a partitioned-window primitive on both engines.
+
+    Scale: sessionization windows are user-partitioned; the KM table
+    itself is |distinct death buckets| rows (bounded by max session
+    length / 5 min), so the final global window is trivially small.
+    Censoring cutoff derives from a 1-row global max — broadcast join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cutoff = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTE")).alias("cutoff_ts")
+    )
+    lifetimes = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            (
+                5
+                * F.floor(
+                    (F.unix_timestamp("s_end") - F.unix_timestamp("s_start")) / F.lit(300.0)
+                )
+            )
+            .cast("long")
+            .alias("t_min5"),
+            F.when(F.col("s_end") < F.col("cutoff_ts"), 1).otherwise(0).alias("observed"),
+        )
+    )
+    per_t = lifetimes.groupBy("t_min5").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum("n_total").over(
+            Window.orderBy(F.col("t_min5").desc()).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cum = Window.orderBy("t_min5").rowsBetween(Window.unboundedPreceding, 0)
+    factors = at_risk.withColumn(
+        "f", F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk")
+    )
+    f_safe = F.when(F.col("f") == 0.0, F.lit(1.0)).otherwise(F.col("f"))
+    km = factors.withColumn(
+        "surv",
+        F.when(F.min("f").over(cum) == 0.0, F.lit(0.0)).otherwise(
+            F.exp(F.sum(F.log(f_safe)).over(cum))
+        ),
+    )
+    return (
+        km.filter(F.col("n_events") > 0)
+        .select(
+            "t_min5",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "n_events",
+            hround("surv", 6).alias("survival"),
+        )
+        .orderBy("t_min5")
+    )
+
+
+@query(
+    "intervals_user_active_runs",
+    oracle="""
+    WITH hours AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h
+        FROM events
+    ), flagged AS (
+        SELECT user_id, h,
+               CASE WHEN LAG(h) OVER (PARTITION BY user_id ORDER BY h)
+                         IS NULL
+                         OR h > LAG(h) OVER (PARTITION BY user_id ORDER BY h) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hours
+    ), islands AS (
+        SELECT user_id, h,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island_id,
+               MAX(h) - MIN(h) + 1 AS run_len
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS active_hours,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def intervals_user_active_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a sparse point set: maximal runs of
+    consecutive active hours per user.
+
+    The canonical island detection: distinct active hour indexes per
+    user, flag a new island when the hour skips (h > prev + 1), running
+    sum of flags as island id, roll up to run lengths. One
+    user-partitioned window over the distinct-hour table — no calendar
+    spine join, no explode of inactive hours (a dense 100 TB calendar
+    cross join is the anti-pattern this replaces). All-integer output,
+    exact cross-engine hash.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    flagged = hours.withColumn(
+        "new_island",
+        F.when(
+            F.lag("h").over(w).isNull() | (F.col("h") > F.lag("h").over(w) + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("h") - F.min("h") + 1).alias("run_len")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").cast("long").alias("active_hours"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "skyline_customer_frontier",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               {dround('SUM(o_totalprice)', 2)} AS spend,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day
+        FROM orders GROUP BY o_custkey
+    ), per_spend AS (
+        SELECT spend, MAX(last_day) AS best_day,
+               DENSE_RANK() OVER (ORDER BY spend DESC) AS srank
+        FROM per_cust GROUP BY spend
+    ), frontier AS (
+        SELECT spend, best_day,
+               MAX(best_day) OVER (ORDER BY srank
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_best
+        FROM per_spend
+    )
+    SELECT c.o_custkey AS custkey, c.spend, c.last_day
+    FROM per_cust c
+    JOIN frontier f
+      ON c.spend = f.spend AND c.last_day = f.best_day
+    WHERE f.prev_best IS NULL OR f.best_day > f.prev_best
+    ORDER BY c.spend DESC, c.o_custkey
+    """,
+)
+def skyline_customer_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): customers not weakly dominated on
+    (total spend, recency) — nobody else has >= spend AND >= last order
+    date with at least one strict.
+
+    Sort-based skyline without the O(n^2) dominance self-join: collapse
+    to one row per distinct spend (keeping its max date), then a single
+    running-max over the spend-DESC sequence marks frontier spend
+    levels; joining back on (spend, max date) recovers the customers.
+    The only global window runs over |distinct spend| aggregate rows.
+    Spend is rounded BEFORE the frontier test on both engines so the
+    ordering key is cross-engine stable (r6 MMR lesson).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        hround(F.sum("o_totalprice"), 2).alias("spend"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+    )
+    per_spend = per_cust.groupBy("spend").agg(F.max("last_day").alias("best_day"))
+    per_spend = per_spend.withColumn(
+        "srank", F.dense_rank().over(Window.orderBy(F.col("spend").desc()))
+    )
+    frontier = (
+        per_spend.withColumn(
+            "prev_best",
+            F.max("best_day").over(
+                Window.orderBy("srank").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .filter(F.col("prev_best").isNull() | (F.col("best_day") > F.col("prev_best")))
+        .select(F.col("spend").alias("f_spend"), F.col("best_day").alias("f_day"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(frontier),
+            on=[
+                F.col("spend") == F.col("f_spend"),
+                F.col("last_day") == F.col("f_day"),
+            ],
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "spend",
+            "last_day",
+        )
+        .orderBy(F.col("spend").desc(), "custkey")
+    )
+
+
+@query(
+    "anomaly_seasonal_residual",
+    oracle=f"""
+    WITH cells AS (
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS h,
+               AVG(value) AS m, STDDEV_SAMP(value) AS s
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT e.event_type, dayofweek(e.ts) + 1 AS dow,
+               {dround('abs((e.value - c.m) / c.s)', 4)} AS abs_z
+        FROM events e
+        JOIN cells c ON dayofweek(e.ts) + 1 = c.dow AND hour(e.ts) = c.h
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE abs_z > 3.0) AS BIGINT) AS n_anomalies,
+           MAX(abs_z) AS max_abs_z
+    FROM scored GROUP BY event_type, dow ORDER BY event_type, dow
+    """,
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection: z-score each event against
+    its hour-of-week cell profile (168 cells), flag |z| > 3.
+
+    The STL-lite pattern: the seasonal component is the cell mean, the
+    residual scale the cell sample-stddev; anomalies are 3-sigma
+    residuals. Complements `events_rolling_anomaly` (trailing-window
+    baseline): this baseline is periodic, catching "normal for 3am
+    Sunday, anomalous for 3pm Monday" cases a trailing window blurs.
+    The 168-row profile broadcast-joins back to events — one shuffle
+    for the profile agg, map-side scoring after. |z| is rounded to 4
+    decimals BEFORE the threshold and max on both engines so the
+    flag count can't flap on float noise.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("h")
+    ).agg(F.avg("value").alias("m"), F.stddev_samp("value").alias("s"))
+    scored = events.join(
+        F.broadcast(cells),
+        on=[F.dayofweek(events.ts) == cells.dow, F.hour(events.ts) == cells.h],
+    ).select(
+        "event_type",
+        cells.dow.alias("dow"),
+        hround(F.abs((F.col("value") - F.col("m")) / F.col("s")), 4).alias("abs_z"),
+    )
+    return (
+        scored.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("abs_z") > 3.0, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+            F.max("abs_z").alias("max_abs_z"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_events",
+            "n_anomalies",
+            "max_abs_z",
+        )
+        .orderBy("event_type", "dow")
+    )

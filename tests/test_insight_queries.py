@@ -1,0 +1,138 @@
+"""Independent verification of the insight-query semantics at sf0.001.
+
+The registry parity test already compares these entries against their
+DuckDB oracles — but the oracle is the same algorithm transcribed, so
+these tests verify the *semantics* a second way: pure-Python
+recomputation from the raw parquet (intervals, anomaly), dominance
+properties checked against the full candidate set (skyline), and
+estimator invariants (Kaplan-Meier).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from bigdata_electricity_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_user_active_runs_match_python(spark, events_pdf):
+    got = {
+        r["user_id"]: (r["n_runs"], r["active_hours"], r["longest_run"])
+        for r in REGISTRY["intervals_user_active_runs"].fn(spark, SF_DIR).collect()
+    }
+    ts = pd.to_datetime(events_pdf["ts"])
+    hours = (ts.astype("datetime64[s]").astype("int64") // 3600).astype("int64")
+    want = {}
+    for uid, hs in hours.groupby(events_pdf["user_id"]):
+        uniq = sorted(set(hs))
+        runs = []
+        start = prev = uniq[0]
+        for h in uniq[1:]:
+            if h > prev + 1:
+                runs.append(prev - start + 1)
+                start = h
+            prev = h
+        runs.append(prev - start + 1)
+        want[uid] = (len(runs), sum(runs), max(runs))
+    assert got == want
+
+
+def test_skyline_dominance_properties(spark):
+    out = REGISTRY["skyline_customer_frontier"].fn(spark, SF_DIR).collect()
+    import duckdb
+
+    per_cust = duckdb.sql(
+        f"""
+        SELECT o_custkey, floor(SUM(o_totalprice)*100.0+0.5)/100.0 AS spend,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day
+        FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey
+        """
+    ).fetchall()
+    frontier = {r["custkey"] for r in out}
+    assert frontier  # non-degenerate
+    pts = {k: (s, d) for k, s, d in per_cust}
+
+    def dominated(k):
+        s, d = pts[k]
+        return any(
+            (s2 >= s and d2 >= d and (s2 > s or d2 > d))
+            for k2, (s2, d2) in pts.items()
+            if k2 != k
+        )
+
+    for k in frontier:
+        assert not dominated(k), f"frontier customer {k} is dominated"
+    for k in pts:
+        if k not in frontier:
+            assert dominated(k), f"non-frontier customer {k} is undominated"
+
+
+def test_km_estimator_invariants(spark):
+    rows = REGISTRY["survival_session_km"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 3  # non-degenerate curve
+    prev_t, prev_s, prev_risk = -1, 1.0 + 1e-9, None
+    running = 1.0
+    for r in rows:
+        assert r["t_min5"] > prev_t
+        assert 0.0 <= r["survival"] < prev_s  # strictly decreasing at death times
+        assert r["n_events"] >= 1
+        assert r["n_events"] <= r["n_risk"]
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk  # at-risk shrinks over time
+        running *= 1.0 - r["n_events"] / r["n_risk"]
+        assert math.isclose(r["survival"], running, abs_tol=5e-7)
+        prev_t, prev_s, prev_risk = r["t_min5"], r["survival"], r["n_risk"]
+
+
+def test_seasonal_anomaly_counts_match_pandas(spark, events_pdf):
+    out = REGISTRY["anomaly_seasonal_residual"].fn(spark, SF_DIR).collect()
+    pdf = events_pdf.copy()
+    ts = pd.to_datetime(pdf["ts"])
+    pdf["dow"] = ts.dt.dayofweek.map(lambda d: (d + 1) % 7 + 1)  # Spark: 1=Sunday
+    pdf["h"] = ts.dt.hour
+    g = pdf.groupby(["dow", "h"])["value"]
+    stats = g.agg(["mean", "std"]).rename(columns={"mean": "m", "std": "s"})
+    merged = pdf.merge(stats, on=["dow", "h"])
+    z = ((merged["value"] - merged["m"]) / merged["s"]).abs()
+    merged = merged[z.notna()].copy()  # 1-sample cells: NULL std on both engines
+    merged["abs_z"] = (z[z.notna()] * 10000.0 + 0.5).apply(math.floor) / 10000.0
+    want_anom = (
+        merged[merged["abs_z"] > 3.0].groupby(["event_type", "dow"]).size().to_dict()
+    )
+    got_anom = {
+        (r["event_type"], r["dow"]): r["n_anomalies"] for r in out if r["n_anomalies"]
+    }
+    assert got_anom == {k: v for k, v in want_anom.items() if v}
+
+
+def test_seasonal_anomaly_nonvacuous_at_driver_sf():
+    """sf0.001 has too few events per cell for 3-sigma hits; the driver's
+    sf0.01 gate must exercise the anomaly branch — pin that here."""
+    import duckdb
+
+    n = duckdb.sql(
+        """
+        WITH c AS (
+            SELECT dayofweek(ts) AS dow, hour(ts) AS h,
+                   AVG(value) AS m, STDDEV_SAMP(value) AS s
+            FROM '/root/testdata/sf0.01/events.parquet' GROUP BY 1, 2
+        )
+        SELECT COUNT(*) FROM '/root/testdata/sf0.01/events.parquet' e
+        JOIN c ON dayofweek(e.ts) = c.dow AND hour(e.ts) = c.h
+        WHERE abs((e.value - c.m) / c.s) > 3.0
+        """
+    ).fetchone()[0]
+    assert n > 0

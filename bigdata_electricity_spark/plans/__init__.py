@@ -23,5 +23,6 @@ from . import quality_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import warehouse_queries  # noqa: E402,F401
 from . import insight_queries  # noqa: E402,F401
+from . import corpus_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

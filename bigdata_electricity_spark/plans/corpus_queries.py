@@ -1,0 +1,267 @@
+"""Corpus-science extensions: sub-document dedup and tokenizer
+vocabulary induction.
+
+Training-corpus surface beyond the reference (its text path stops at
+loading — SURVEY §2.1); these are the ops a 100 TB pretraining pipeline
+runs between raw text and the tokenizer:
+
+- segment-level exact dedup (the CCNet/paragraph-dedup shape: drop
+  repeated spans corpus-wide, keep first occurrence, reconstruct docs);
+- byte-pair-encoding merge induction (the count-pairs -> pick-best ->
+  apply-merge loop), run as unrolled declarative rounds over the
+  |vocab|-bounded distinct-word table — the corpus is scanned exactly
+  once for word frequencies; every later round touches only the tiny
+  symbol table, which is what makes BPE training feasible at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.loaders import load_table
+from .registry import query
+
+SEG_TOKENS = 16
+BPE_ROUNDS = 3
+
+
+@query(
+    "dedup_segment_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(t[(i*{SEG_TOKENS}+1):(i*{SEG_TOKENS}+{SEG_TOKENS})], ' ') AS seg
+        FROM toks,
+             UNNEST(generate_series(0,
+                 CAST(ceil(len(t) / {SEG_TOKENS}.0) AS INT) - 1)) AS u(i)
+    ), ranked AS (
+        SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id
+    ), kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_fp
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_segs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_fp, md5('')) AS kept_fp
+    FROM per_doc p LEFT JOIN kept k ON p.doc_id = k.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: drop repeated 16-token segments
+    corpus-wide (first occurrence by (doc_id, seg_idx) wins), then
+    reconstruct each document from its surviving segments.
+
+    The paragraph-dedup shape of CCNet-style pipelines, at fixed
+    segment grain because this corpus has no paragraph breaks. One
+    explode to |segments| rows, one window partitioned by segment text
+    (at 100 TB: partition by xxhash64(seg) and carry the text — the
+    shuffle key must be the fingerprint, never the body; here segments
+    are <= 16 tokens so the string key is already small), one grouped
+    re-assembly. Docs that lose every segment (exact doc dups) come
+    back with n_kept = 0 via the left join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t)/{SEG_TOKENS}.0) as int)-1),"
+                f" i -> array_join(slice(t, i*{SEG_TOKENS}+1, {SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    ranked = segs.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("seg").orderBy("doc_id", "seg_idx")),
+    )
+    per_doc = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+    )
+    return (
+        per_doc.join(kept.withColumnRenamed("doc_id", "k_doc_id"),
+                     per_doc.doc_id == F.col("k_doc_id"), "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_merge_step(lhs: F.Column, rhs: F.Column):
+    """Greedy left-to-right application of merge (lhs, rhs) as a string
+    fold: acc holds the already-merged prefix (space-separated symbols).
+
+    Matches list_reduce semantics: empty acc (only before the first
+    element) becomes the element; when acc's last symbol is `lhs` and
+    the incoming symbol is `rhs`, the pair fuses — and the fused symbol
+    cannot fuse again as `lhs` this round, which is exactly greedy BPE
+    ('a a a a' + (a,a) -> 'aa aa', not 'aaa a').
+    """
+
+    def merge(acc: F.Column, x: F.Column) -> F.Column:
+        tail_is_lhs = (acc == lhs) | acc.endswith(F.concat(F.lit(" "), lhs))
+        fused = F.when(acc == lhs, F.concat(lhs, rhs)).otherwise(
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.length(lhs)), lhs, rhs
+            )
+        )
+        return (
+            F.when(acc == F.lit(""), x)
+            .when(tail_is_lhs & (x == rhs), fused)
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    return merge
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB twin: same fold via list_reduce (string
+    accumulator — DuckDB's reduce has no initial value, so the
+    accumulator type must match the element type)."""
+    parts = [
+        """
+    WITH wf AS (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+    ), s0 AS (
+        SELECT word, freq,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM wf
+    )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f""", p{r} AS (
+        SELECT string_split(sym, ' ')[i] AS lhs,
+               string_split(sym, ' ')[i + 1] AS rhs,
+               SUM(freq) AS pair_count
+        FROM s{r - 1},
+             UNNEST(generate_series(1, len(string_split(sym, ' ')) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ), b{r} AS (
+        SELECT lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+        FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ), s{r} AS (
+        SELECT word, freq,
+               (SELECT list_reduce(string_split(s{r - 1}.sym, ' '), (acc, x) ->
+                   CASE WHEN (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                             AND x = b.rhs
+                        THEN CASE WHEN acc = b.lhs THEN b.lhs || b.rhs
+                             ELSE substr(acc, 1, len(acc) - len(b.lhs))
+                                  || b.lhs || b.rhs END
+                        ELSE acc || ' ' || x END)
+                FROM b{r} b) AS sym
+        FROM s{r - 1}
+    )"""
+        )
+    selects = [
+        f"SELECT {r} AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_round"
+
+
+@query("vocab_bpe_merges", oracle=_bpe_oracle())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction: 3 unrolled merge rounds
+    (count adjacent symbol pairs -> pick the most frequent, ties broken
+    lexicographically -> apply the merge greedily left-to-right).
+
+    The corpus is scanned ONCE for word frequencies; every round after
+    runs on the distinct-word symbol table (|vocab| rows), so round
+    cost is independent of corpus size — the property that makes BPE
+    training distributable. The merge application is a per-word fold
+    (F.aggregate with a string accumulator) identical in semantics to
+    the oracle's list_reduce; pair counting explodes the symbol arrays
+    with the weights attached (never per-corpus-token). All-integer /
+    string output — exact cross-engine hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym_tab = wf.select(
+        "word",
+        "freq",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+    )
+    best_rounds: list[DataFrame] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = sym_tab.select(
+            "word", "freq", "sym", F.split("sym", " ").alias("syms")
+        )
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms)-1)").alias("lhs"),
+                        F.expr("slice(syms, 2, size(syms)-1)").alias("rhs"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), "lhs", "rhs"
+        ).limit(1)
+        best_rounds.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_count",
+            )
+        )
+        merged_sym = F.aggregate(
+            F.col("syms"),
+            F.lit(""),
+            _bpe_merge_step(F.col("b_lhs"), F.col("b_rhs")),
+        )
+        sym_tab = (
+            syms.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("lhs").alias("b_lhs"), F.col("rhs").alias("b_rhs")
+                    )
+                )
+            )
+            .select("word", "freq", merged_sym.alias("sym"))
+        )
+    out = best_rounds[0]
+    for b in best_rounds[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")

@@ -365,3 +365,127 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration twin. Every covariance cell and every
+    iterate component is half-up rounded at 1e-9 on both engines (the
+    kmeans_dataframe_lloyd idiom), so cross-engine float-sum noise
+    (~1e-13) can never drift the iteration."""
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+               unnest(embedding) AS xv
+        FROM embeddings
+    ), mu AS (
+        SELECT j, AVG(xv) AS m FROM x GROUP BY j
+    ), cent AS (
+        SELECT x.vec_id, x.j, x.xv - mu.m AS xc FROM x JOIN mu USING (j)
+    ), cov AS (
+        SELECT a.j AS j, b.j AS k,
+               {r9('SUM(a.xc * b.xc) / ((SELECT COUNT(*) FROM embeddings) - 1)')} AS c
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+        GROUP BY a.j, b.j
+    ), v0 AS (
+        SELECT j, CAST(0.125 AS DOUBLE) AS v FROM mu
+    )"""
+    prev = "v0"
+    for i in (1, 2, 3):
+        sql += f""", w{i} AS (
+        SELECT cov.j, SUM(cov.c * {prev}.v) AS w
+        FROM cov JOIN {prev} ON cov.k = {prev}.j GROUP BY cov.j
+    ), v{i} AS (
+        SELECT j, {r9(f'w / sqrt((SELECT SUM(w * w) FROM w{i}))')} AS v FROM w{i}
+    )"""
+        prev = f"v{i}"
+    sql += f""", wl AS (
+        SELECT cov.j, SUM(cov.c * v3.v) AS w
+        FROM cov JOIN v3 ON cov.k = v3.j GROUP BY cov.j
+    ), lam AS (
+        SELECT {dround('SUM(v3.v * wl.w)', 6)} AS eigval
+        FROM v3 JOIN wl USING (j)
+    ), sgn AS (
+        SELECT CASE WHEN v < 0.0 THEN -1.0 ELSE 1.0 END AS s
+        FROM v3 ORDER BY abs(v) DESC, j LIMIT 1
+    )
+    SELECT CAST(v3.j AS INT) AS dim_j,
+           {dround('v3.v * sgn.s', 6)} AS loading,
+           lam.eigval
+    FROM v3, sgn, lam
+    ORDER BY dim_j
+    """
+    return sql
+
+
+@query("embedding_pca_top_component", oracle=_pca_oracle())
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the 64-dim embedding cloud: sample
+    covariance matrix + 3 unrolled power-iteration rounds, entirely as
+    declarative joins/aggregates.
+
+    Rounding at 1e-9 after the covariance and after each normalized
+    iterate keeps both engines in float lockstep (the iterative-
+    algorithm-as-hashable-query idiom from kmeans_dataframe_lloyd);
+    the sign is fixed by the largest-|loading| component so the
+    eigenvector's inherent sign ambiguity can't flip the hash.
+
+    Scale: the covariance build here is an explode + self-join on
+    vec_id (d^2 rows per vector) — fine for d=64 at test SFs and fully
+    declarative for the oracle; at 100 TB replace the self-join with
+    per-partition Gram-matrix partials (mapInPandas emitting d^2-cell
+    partial sums, one final d^2-row reduce — O(d^2) state per task,
+    corpus scanned once). Power iteration cost is |d^2| per round
+    regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "xv")
+    ).select("vec_id", (F.col("p") + 1).alias("j"), "xv")
+    mu = x.groupBy("j").agg(F.avg("xv").alias("m"))
+    cent = x.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("xv") - F.col("m")).alias("xc")
+    )
+    a = cent.select("vec_id", F.col("j").alias("cj"), F.col("xc").alias("xa"))
+    b = cent.select("vec_id", F.col("j").alias("ck"), F.col("xc").alias("xb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("cj").alias("j"), F.col("ck").alias("k"))
+        .agg(hround(F.sum(F.col("xa") * F.col("xb")) / F.lit(float(n - 1)), 9).alias("c"))
+    )
+    v = mu.select("j", F.lit(0.125).alias("v"))
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("j").alias("k"), "v")), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "j", hround(F.col("w") / F.col("nrm"), 9).alias("v")
+        )
+    wl = (
+        cov.join(F.broadcast(v.select(F.col("j").alias("k"), "v")), "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+    )
+    lam = (
+        v.join(wl, "j")
+        .agg(hround(F.sum(F.col("v") * F.col("w")), 6).alias("eigval"))
+    )
+    sgn = (
+        v.orderBy(F.abs("v").desc(), "j")
+        .limit(1)
+        .select(F.when(F.col("v") < 0.0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("int").alias("dim_j"),
+            hround(F.col("v") * F.col("s"), 6).alias("loading"),
+            "eigval",
+        )
+        .orderBy("dim_j")
+    )

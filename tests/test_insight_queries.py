@@ -136,3 +136,32 @@ def test_seasonal_anomaly_nonvacuous_at_driver_sf():
         """
     ).fetchone()[0]
     assert n > 0
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """Same 3-round power iteration in numpy must reproduce the loadings
+    (to rounding), and the Rayleigh quotient must sit within the true
+    spectral range and near the true top eigenvalue."""
+    import numpy as np
+
+    rows = REGISTRY["embedding_pca_top_component"].fn(spark, SF_DIR).collect()
+    v_got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim_j"])])
+    lam_got = rows[0]["eigval"]
+
+    X = np.stack(pd.read_parquet(f"{SF_DIR}/embeddings.parquet")["embedding"].to_numpy())
+    X = X.astype(np.float64)
+    C = np.cov(X, rowvar=False, ddof=1)
+    C = np.floor(C * 1e9 + 0.5) / 1e9
+    v = np.full(C.shape[0], 0.125)
+    for _ in range(3):
+        w = C @ v
+        v = np.floor((w / np.linalg.norm(w)) * 1e9 + 0.5) / 1e9
+    lam = float(v @ (C @ v))
+    m = np.argmax(np.abs(v))
+    if v[m] < 0:
+        v = -v
+    assert np.allclose(v_got, np.floor(v * 1e6 + 0.5) / 1e6, atol=2e-6)
+    assert abs(lam_got - lam) < 1e-4
+    true_top = float(np.linalg.eigvalsh(C)[-1])
+    assert lam_got <= true_top + 1e-6  # Rayleigh quotient never exceeds lambda_max
+    assert lam_got >= 0.5 * true_top  # 3 rounds already in the top of the spectrum

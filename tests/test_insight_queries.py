@@ -165,3 +165,39 @@ def test_pca_top_component_matches_numpy(spark):
     true_top = float(np.linalg.eigvalsh(C)[-1])
     assert lam_got <= true_top + 1e-6  # Rayleigh quotient never exceeds lambda_max
     assert lam_got >= 0.5 * true_top  # 3 rounds already in the top of the spectrum
+
+
+def test_kcore_peel_matches_python(spark):
+    """Re-peel the same graph with a driver-side set implementation and
+    compare the full trajectory (run at sf0.01 — sf0.001's co-purchase
+    graph is dense enough that nothing peels, which would be vacuous)."""
+    import collections
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["graph_kcore_peel"].fn(spark, sf).collect()
+    edges = set(
+        duckdb.sql(
+            f"""
+            SELECT a.l_partkey, b.l_partkey
+            FROM '{sf}/lineitem.parquet' a JOIN '{sf}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        deg = collections.Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        bad = {n for n, d in deg.items() if d < 3}
+        edges = {(u, v) for u, v in edges if u not in bad and v not in bad}
+        nodes = {n for e in edges for n in e}
+        assert (r["n_removed"], r["n_nodes_after"], r["n_edges_after"]) == (
+            len(bad),
+            len(nodes),
+            len(edges),
+        ), f"round {r['peel_round']} diverges"
+    assert rows[0]["n_removed"] > 0  # non-degenerate at sf0.01

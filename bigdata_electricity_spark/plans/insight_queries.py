@@ -594,3 +594,206 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("peel_round")
+
+
+BOOT_B = 64
+# Cumulative Poisson(1) CDF at k = 0..7; draws above the last threshold
+# cap at 8. Literals are exact IEEE doubles, identical on both engines.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "CAST(CAST(('0x' || substr(md5('bs' || CAST(o_orderkey AS VARCHAR) || ':' ||"
+        " CAST(b AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0"
+    )
+    ladder = " ".join(
+        f"WHEN u < CAST({t!r} AS DOUBLE) THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"""
+    WITH expanded AS (
+        SELECT o_orderkey, o_totalprice, b, {u} AS u
+        FROM orders CROSS JOIN (SELECT unnest(generate_series(1, {BOOT_B})) AS b)
+    ), weighted AS (
+        SELECT b, o_totalprice, CASE {ladder} ELSE 8 END AS w FROM expanded
+    ), reps AS (
+        SELECT b, {dround('SUM(w * o_totalprice) / SUM(w)', 9)} AS m_b
+        FROM weighted GROUP BY b
+    ), ranked AS (
+        SELECT m_b, ROW_NUMBER() OVER (ORDER BY m_b, b) AS rn FROM reps
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           {BOOT_B} AS boot_reps,
+           (SELECT {dround('AVG(o_totalprice)', 4)} FROM orders) AS mean_full,
+           (SELECT {dround('m_b', 4)} FROM ranked WHERE rn = 2) AS ci_lo,
+           (SELECT {dround('m_b', 4)} FROM ranked WHERE rn = {BOOT_B - 1}) AS ci_hi
+    """
+
+
+@query("stats_bootstrap_ci_mean", oracle=_bootstrap_oracle())
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean(o_totalprice) via the
+    Poisson bootstrap — the resampling scheme that distributes: instead
+    of drawing n rows with replacement (impossible without global
+    coordination), each row enters replica b with weight ~ Poisson(1),
+    derived here from a salted md5 draw so the resample is
+    content-addressed and engine-independent (the
+    `sample_hash_bernoulli` trick, lifted to weighted resampling).
+
+    One explode to n x B rows, one groupBy(b) for replica means — fully
+    map-side-combinable; the CI is order statistics 2 and B-1 of the 64
+    replica means (ceil(0.025*B) from each tail, no interpolation —
+    interpolated quantile definitions differ across engines). Replica
+    means are 1e-9-rounded before ranking so float-sum order can't swap
+    near-equal ranks. At 100 TB: B explodes the scan, not the shuffle —
+    the shuffle carries B partial aggregates per map task.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    expanded = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0),
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        expanded.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            hround(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 9
+            ).alias("m_b")
+        )
+    )
+    ranked = reps.withColumn("rn", F.row_number().over(Window.orderBy("m_b", "b")))
+    full = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        hround(F.avg("o_totalprice"), 4).alias("mean_full"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(hround("m_b", 4).alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(hround("m_b", 4).alias("ci_hi"))
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            F.lit(BOOT_B).alias("boot_reps"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+@query(
+    "stats_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS x, dayofweek(ts) + 1 AS y, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells
+    ), px AS (
+        SELECT x, SUM(c) AS cx FROM cells GROUP BY x
+    ), py AS (
+        SELECT y, SUM(c) AS cy FROM cells GROUP BY y
+    ), joined AS (
+        SELECT cells.c, px.cx, py.cy, tot.n
+        FROM cells JOIN px USING (x) JOIN py USING (y), tot
+    ), agg AS (
+        SELECT MAX(n) AS n,
+               SUM((c / n) * ln((c * n) / (CAST(cx AS DOUBLE) * cy))) AS mi
+        FROM joined
+    ), hx AS (
+        SELECT -SUM((cx / tot.n) * ln(cx / tot.n)) AS h FROM px, tot
+    ), hy AS (
+        SELECT -SUM((cy / tot.n) * ln(cy / tot.n)) AS h FROM py, tot
+    )
+    SELECT CAST(agg.n AS BIGINT) AS n_events,
+           {dround('hx.h', 6)} AS h_event_type,
+           {dround('hy.h', 6)} AS h_dow,
+           {dround('agg.mi', 6)} AS mi_nats,
+           {dround('agg.mi / sqrt(hx.h * hy.h)', 6)} AS nmi
+    FROM agg, hx, hy
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event_type and day-of-week,
+    with both marginal entropies and the sqrt-normalized NMI.
+
+    Dependence detection complementary to `abtest_chi_square_dow`: MI
+    measures *how much* the joint deviates from independence in
+    information units, not just whether. Everything reduces over the
+    |X|x|Y| contingency cells (35 rows here): one corpus-scan groupBy,
+    then all probability math happens on the tiny cell table —
+    marginals are grouped sums of the cells, never a second scan.
+    ln() noise is 1-ulp per term; rounding at 1e-6 over <=35 terms is
+    noise-proof.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").cast("double").alias("n"))
+    px = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    py = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    joined = (
+        cells.join(F.broadcast(px), "x")
+        .join(F.broadcast(py), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.col("c") / F.col("n"))
+            * F.log((F.col("c") * F.col("n")) / (F.col("cx").cast("double") * F.col("cy")))
+        ).alias("mi"),
+    )
+    hx = (
+        px.crossJoin(F.broadcast(tot))
+        .agg((-F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n")))).alias("hx"))
+    )
+    hy = (
+        py.crossJoin(F.broadcast(tot))
+        .agg((-F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n")))).alias("hy"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            hround("hx", 6).alias("h_event_type"),
+            hround("hy", 6).alias("h_dow"),
+            hround("mi", 6).alias("mi_nats"),
+            hround(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+        )
+    )

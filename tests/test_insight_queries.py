@@ -201,3 +201,38 @@ def test_kcore_peel_matches_python(spark):
             len(edges),
         ), f"round {r['peel_round']} diverges"
     assert rows[0]["n_removed"] > 0  # non-degenerate at sf0.01
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """The Poisson-bootstrap CI must bracket the sample mean and have
+    width of the same order as the normal-theory CI (1.96*sd/sqrt(n))."""
+    import numpy as np
+
+    r = REGISTRY["stats_bootstrap_ci_mean"].fn(spark, SF_DIR).collect()[0]
+    assert r["ci_lo"] < r["mean_full"] < r["ci_hi"]
+    y = pd.read_parquet(f"{SF_DIR}/orders.parquet")["o_totalprice"].to_numpy()
+    theory_half = 1.96 * np.std(y, ddof=1) / np.sqrt(len(y))
+    boot_half = (r["ci_hi"] - r["ci_lo"]) / 2.0
+    assert 0.4 < boot_half / theory_half < 2.5
+
+
+def test_mutual_information_matches_scipy_style(spark, events_pdf):
+    """Recompute MI/entropies from the raw contingency table in numpy."""
+    import numpy as np
+
+    r = REGISTRY["stats_mutual_information"].fn(spark, SF_DIR).collect()[0]
+    pdf = events_pdf.copy()
+    ts = pd.to_datetime(pdf["ts"])
+    pdf["dow"] = ts.dt.dayofweek.map(lambda d: (d + 1) % 7 + 1)
+    ct = pdf.groupby(["event_type", "dow"]).size().unstack(fill_value=0).to_numpy()
+    p = ct / ct.sum()
+    px, py = p.sum(axis=1), p.sum(axis=0)
+    nz = p > 0
+    mi = float((p[nz] * np.log(p[nz] / np.outer(px, py)[nz])).sum())
+    hx = float(-(px[px > 0] * np.log(px[px > 0])).sum())
+    hy = float(-(py[py > 0] * np.log(py[py > 0])).sum())
+    assert abs(r["mi_nats"] - mi) < 1e-5
+    assert abs(r["h_event_type"] - hx) < 1e-5
+    assert abs(r["h_dow"] - hy) < 1e-5
+    assert 0.0 <= r["nmi"] <= 1.0
+    assert r["mi_nats"] <= min(hx, hy) + 1e-9  # MI bounded by marginal entropies

@@ -797,3 +797,126 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
         )
     )
+
+
+GD_ROUNDS = 5
+GD_LR = 0.3
+
+
+def _gd_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT len(string_split(text, ' ')) AS f1,
+               len(list_distinct(string_split(text, ' '))) AS f2,
+               CAST(n_chars AS DOUBLE) AS fy
+        FROM documents
+    ), stats AS MATERIALIZED (
+        SELECT {r9('AVG(f1)')} AS m1, {r9('STDDEV_SAMP(f1)')} AS s1,
+               {r9('AVG(f2)')} AS m2, {r9('STDDEV_SAMP(f2)')} AS s2,
+               {r9('AVG(fy)')} AS my, {r9('STDDEV_SAMP(fy)')} AS sy,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM feats
+    ), d AS MATERIALIZED (
+        SELECT (f1 - m1) / s1 AS x1,
+               (f2 - m2) / s2 AS x2,
+               (fy - my) / sy AS y,
+               n
+        FROM feats, stats
+    ), p0 AS (SELECT CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+                     CAST(0.0 AS DOUBLE) AS b)"""
+    for r in range(1, GD_ROUNDS + 1):
+        p = r - 1
+        sql += f""", g{r} AS (
+        SELECT {r9(f'w1 - {GD_LR} * 2.0 / MAX(d.n) * SUM((w1*x1 + w2*x2 + b - y) * x1)')} AS w1,
+               {r9(f'w2 - {GD_LR} * 2.0 / MAX(d.n) * SUM((w1*x1 + w2*x2 + b - y) * x2)')} AS w2,
+               {r9(f'b - {GD_LR} * 2.0 / MAX(d.n) * SUM(w1*x1 + w2*x2 + b - y)')} AS b
+        FROM d, p{p} GROUP BY w1, w2, b
+    ), p{r} AS (SELECT w1, w2, b FROM g{r})
+    , e{r} AS (
+        SELECT {dround('AVG((w1*x1 + w2*x2 + b - y) * (w1*x1 + w2*x2 + b - y))', 6)} AS mse
+        FROM d, p{r}
+    )"""
+    selects = [
+        f"SELECT {r} AS gd_round, {dround('w1', 6)} AS w1, {dround('w2', 6)} AS w2,"
+        f" {dround('b', 6)} AS b, e{r}.mse FROM p{r}, e{r}"
+        for r in range(1, GD_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY gd_round"
+
+
+@query("ml_gd_linreg_rounds", oracle=_gd_oracle())
+def ml_gd_linreg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gradient descent for linear regression (standardized
+    n_chars ~ token count + distinct-token count over documents — a
+    genuinely learnable relation, corr ~0.998), 5 unrolled rounds, as
+    pure scan+aggregate plans — the optimizer-as-declarative-query
+    member of the iterative family (`kmeans_dataframe_lloyd` = EM,
+    `embedding_pca_top_component` = power iteration, this = GD).
+
+    Each round is ONE full-scan aggregate (three gradient sums computed
+    together, map-side combinable) against the 1-row broadcast
+    parameter table, plus one MSE scan for the trajectory report —
+    exactly how distributed GD runs at 100 TB (the gradient is an
+    aggregate; parameters are the broadcast state). Standardization
+    stats and each parameter update are 1e-9 half-up rounded on both
+    engines (float-lockstep idiom), so the whole 5-round trajectory is
+    hash-checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(F.split("text", " ").alias("toks"), "n_chars").select(
+        F.size("toks").alias("f1"),
+        F.size(F.array_distinct("toks")).alias("f2"),
+        F.col("n_chars").cast("double").alias("fy"),
+    )
+    stats = feats.agg(
+        hround(F.avg("f1"), 9).alias("m1"),
+        hround(F.stddev_samp("f1"), 9).alias("s1"),
+        hround(F.avg("f2"), 9).alias("m2"),
+        hround(F.stddev_samp("f2"), 9).alias("s2"),
+        hround(F.avg("fy"), 9).alias("my"),
+        hround(F.stddev_samp("fy"), 9).alias("sy"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    d = feats.crossJoin(F.broadcast(stats)).select(
+        ((F.col("f1") - F.col("m1")) / F.col("s1")).alias("x1"),
+        ((F.col("f2") - F.col("m2")) / F.col("s2")).alias("x2"),
+        ((F.col("fy") - F.col("my")) / F.col("sy")).alias("y"),
+        "n",
+    )
+    p = stats.select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
+    )
+    out_rows: list[DataFrame] = []
+    for r in range(1, GD_ROUNDS + 1):
+        resid = F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2") + F.col("b") - F.col("y")
+        step = F.lit(GD_LR) * F.lit(2.0) / F.max("n")
+        p = (
+            d.crossJoin(F.broadcast(p))
+            .groupBy("w1", "w2", "b")
+            .agg(
+                hround(F.col("w1") - step * F.sum(resid * F.col("x1")), 9).alias("nw1"),
+                hround(F.col("w2") - step * F.sum(resid * F.col("x2")), 9).alias("nw2"),
+                hround(F.col("b") - step * F.sum(resid), 9).alias("nb"),
+            )
+            .select(
+                F.col("nw1").alias("w1"), F.col("nw2").alias("w2"), F.col("nb").alias("b")
+            )
+        )
+        mse = (
+            d.crossJoin(F.broadcast(p))
+            .agg(hround(F.avg(resid * resid), 6).alias("mse"))
+        )
+        out_rows.append(
+            p.crossJoin(F.broadcast(mse)).select(
+                F.lit(r).alias("gd_round"),
+                hround("w1", 6).alias("w1"),
+                hround("w2", 6).alias("w2"),
+                hround("b", 6).alias("b"),
+                "mse",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("gd_round")

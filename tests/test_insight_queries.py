@@ -236,3 +236,38 @@ def test_mutual_information_matches_scipy_style(spark, events_pdf):
     assert abs(r["h_dow"] - hy) < 1e-5
     assert 0.0 <= r["nmi"] <= 1.0
     assert r["mi_nats"] <= min(hx, hy) + 1e-9  # MI bounded by marginal entropies
+
+
+def test_gd_linreg_matches_numpy_and_descends(spark):
+    """Identical 5-round GD in numpy (with the same 1e-9 lockstep
+    rounding) must reproduce the trajectory; MSE must strictly descend
+    and beat the null model by 10x at round 5."""
+    import numpy as np
+
+    rows = REGISTRY["ml_gd_linreg_rounds"].fn(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    f1 = toks.str.len().to_numpy(dtype=float)
+    f2 = toks.apply(lambda t: len(set(t))).to_numpy(dtype=float)
+    fy = docs["n_chars"].to_numpy(dtype=float)
+
+    r9 = lambda a: np.floor(np.asarray(a) * 1e9 + 0.5) / 1e9  # noqa: E731
+    m1, s1 = r9(f1.mean()), r9(f1.std(ddof=1))
+    m2, s2 = r9(f2.mean()), r9(f2.std(ddof=1))
+    my, sy = r9(fy.mean()), r9(fy.std(ddof=1))
+    x1, x2, y = (f1 - m1) / s1, (f2 - m2) / s2, (fy - my) / sy
+    n = float(len(y))
+    w1 = w2 = b = 0.0
+    prev_mse = 1.0 + 1e9
+    for r in rows:
+        resid = w1 * x1 + w2 * x2 + b - y
+        w1 = float(r9(w1 - 0.3 * 2.0 / n * (resid * x1).sum()))
+        w2 = float(r9(w2 - 0.3 * 2.0 / n * (resid * x2).sum()))
+        b = float(r9(b - 0.3 * 2.0 / n * resid.sum()))
+        mse = float(((w1 * x1 + w2 * x2 + b - y) ** 2).mean())
+        assert abs(r["w1"] - w1) < 2e-6 and abs(r["w2"] - w2) < 2e-6
+        assert abs(r["b"] - b) < 2e-6
+        assert abs(r["mse"] - mse) < 1e-5
+        assert r["mse"] < prev_mse  # strict descent
+        prev_mse = r["mse"]
+    assert rows[-1]["mse"] < 0.1  # explains >90% of variance by round 5

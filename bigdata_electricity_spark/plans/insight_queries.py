@@ -920,3 +920,105 @@ def ml_gd_linreg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out.orderBy("gd_round")
+
+
+@query(
+    "ml_isotonic_fit",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_quantity AS x, COUNT(*) AS w, SUM(l_extendedprice) AS s
+        FROM lineitem GROUP BY l_quantity
+    ), ordered AS (
+        SELECT x, w, s,
+               ROW_NUMBER() OVER (ORDER BY x) AS idx,
+               SUM(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(s) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cs
+        FROM g
+    ), pairs AS (
+        SELECT i.idx AS i, j.idx AS j,
+               {dround('(j.cs - i.cs + i.s) / (j.cw - i.cw + i.w)', 9)} AS a
+        FROM ordered i JOIN ordered j ON i.idx <= j.idx
+    ), suffix_min AS (
+        SELECT i, j,
+               MIN(a) OVER (PARTITION BY i ORDER BY j DESC
+                            ROWS UNBOUNDED PRECEDING) AS b
+        FROM pairs
+    ), fitted AS (
+        SELECT j AS idx, MAX(b) AS fit FROM suffix_min GROUP BY j
+    )
+    SELECT o.x, CAST(o.w AS BIGINT) AS n_obs,
+           {dround('o.s / o.w', 6)} AS raw_avg,
+           {dround('f.fit', 6)} AS iso_fit
+    FROM ordered o JOIN fitted f ON o.idx = f.idx
+    ORDER BY o.x
+    """,
+)
+def ml_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of avg(l_extendedprice) on
+    l_quantity via the closed-form minimax characterization of the PAV
+    solution: fit(k) = max_{{i<=k}} min_{{j>=k}} wavg(y[i..j]) — no
+    iterative pooling, just prefix sums, one bounded non-equi
+    self-join, a suffix-min window, and a grouped max.
+
+    The heavy lifting (groupBy x) reduces the corpus to |distinct x|
+    rows (<=50 quantity levels) BEFORE any quadratic work, so the
+    O(|x|^2) interval table is tiny and independent of corpus size —
+    the right shape at 100 TB (never PAV over raw rows). Interval
+    averages are 1e-9-rounded before min/max so cross-engine float
+    noise can't flip the argmin. Output is the monotone step fit next
+    to the raw per-level average.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").alias("x")).agg(
+        F.count(F.lit(1)).alias("w"), F.sum("l_extendedprice").alias("s")
+    )
+    wo = Window.orderBy("x")
+    ordered = g.select(
+        "x",
+        "w",
+        "s",
+        F.row_number().over(wo).alias("idx"),
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("s").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+    )
+    i = ordered.select(
+        F.col("idx").alias("i"),
+        F.col("w").alias("iw"),
+        F.col("s").alias("is_"),
+        F.col("cw").alias("icw"),
+        F.col("cs").alias("ics"),
+    )
+    j = ordered.select(
+        F.col("idx").alias("j"), F.col("cw").alias("jcw"), F.col("cs").alias("jcs")
+    )
+    pairs = (
+        i.join(F.broadcast(j), F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            hround(
+                (F.col("jcs") - F.col("ics") + F.col("is_"))
+                / (F.col("jcw") - F.col("icw") + F.col("iw")),
+                9,
+            ).alias("a"),
+        )
+    )
+    suffix_min = pairs.withColumn(
+        "b",
+        F.min("a").over(
+            Window.partitionBy("i")
+            .orderBy(F.col("j").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    fitted = suffix_min.groupBy("j").agg(F.max("b").alias("fit"))
+    return (
+        ordered.join(fitted, ordered.idx == fitted.j)
+        .select(
+            "x",
+            F.col("w").cast("long").alias("n_obs"),
+            hround(F.col("s") / F.col("w"), 6).alias("raw_avg"),
+            hround("fit", 6).alias("iso_fit"),
+        )
+        .orderBy("x")
+    )

@@ -271,3 +271,44 @@ def test_gd_linreg_matches_numpy_and_descends(spark):
         assert r["mse"] < prev_mse  # strict descent
         prev_mse = r["mse"]
     assert rows[-1]["mse"] < 0.1  # explains >90% of variance by round 5
+
+
+def test_isotonic_fit_matches_pav(spark):
+    """The minimax closed form must equal classic pool-adjacent-
+    violators pooling, and the fit must be monotone non-decreasing."""
+    rows = REGISTRY["ml_isotonic_fit"].fn(spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["x"])
+    fits = [r["iso_fit"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))  # monotone
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    g = (
+        li.groupby("l_quantity")["l_extendedprice"]
+        .agg(["count", "sum"])
+        .sort_index()
+    )
+    # classic PAV: pool blocks while a violator exists
+    blocks = [[w, s] for w, s in zip(g["count"], g["sum"])]  # [weight, sum]
+    k = 0
+    while k < len(blocks) - 1:
+        if blocks[k][1] / blocks[k][0] > blocks[k + 1][1] / blocks[k + 1][0] + 1e-12:
+            blocks[k][0] += blocks[k + 1][0]
+            blocks[k][1] += blocks[k + 1][1]
+            del blocks[k + 1]
+            k = max(k - 1, 0)
+        else:
+            k += 1
+    # expand blocks back to per-level fits
+    expanded = []
+    bi, used = 0, 0
+    counts = list(g["count"])
+    for lev_w in counts:
+        expanded.append(blocks[bi][1] / blocks[bi][0])
+        used += lev_w
+        block_w = blocks[bi][0]
+        if used >= block_w:
+            bi += 1
+            used = 0
+    assert len(expanded) == len(fits)
+    for got, want in zip(fits, expanded):
+        assert abs(got - want) < 1e-4

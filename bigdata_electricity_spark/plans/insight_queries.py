@@ -1022,3 +1022,84 @@ def ml_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x")
     )
+
+
+_TWO_PI = 6.283185307179586
+
+
+@query(
+    "events_periodogram",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS th,
+               {dround('SUM(value)', 6)} AS xv
+        FROM events GROUP BY 1
+    ), base AS (
+        SELECT th - (SELECT MIN(th) FROM h) AS t, xv,
+               xv - (SELECT AVG(xv) FROM h) AS xc
+        FROM h
+    ), spans AS (
+        SELECT p.period_hours, base.t, base.xc
+        FROM base CROSS JOIN (SELECT unnest([6, 12, 24, 168]) AS period_hours) p
+    ), spectral AS (
+        SELECT period_hours,
+               SUM(xc * cos({_TWO_PI} * t / period_hours)) AS c,
+               SUM(xc * sin({_TWO_PI} * t / period_hours)) AS s,
+               COUNT(*) AS n
+        FROM spans GROUP BY period_hours
+    ), floor_ AS (
+        SELECT 2.0 * VAR_POP(xc) AS nf FROM base
+    )
+    SELECT CAST(period_hours AS INT) AS period_hours,
+           {dround('(c * c + s * s) * 2.0 / n', 2)} AS power,
+           {dround('floor_.nf', 2)} AS noise_floor,
+           {dround('((c * c + s * s) * 2.0 / n) / floor_.nf', 4)} AS snr
+    FROM spectral, floor_
+    ORDER BY period_hours
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity detection: single-frequency DFT power of the hourly
+    value series at candidate periods (6h, 12h, 24h, weekly), with the
+    white-noise floor (2*var) and the SNR against it — the spectral
+    complement to `seasonality_profile_events` (which *assumes* the
+    period; this *finds* it: the 24h band carries ~200x the 6h power
+    on this data).
+
+    One corpus-scan groupBy to the hourly series, then the spectral
+    sums are plain aggregates over |hours| x |candidate periods| rows —
+    map-side combinable, no FFT machinery needed for a handful of
+    candidate bands (the standard trick for petabyte telemetry: you
+    probe named periods, not the full spectrum). Hourly sums are
+    1e-6-rounded before the trig sums so engine float-sum order can't
+    leak into the 1e-2-rounded powers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("th")
+    ).agg(hround(F.sum("value"), 6).alias("xv"))
+    gstats = h.agg(F.min("th").alias("t0"), F.avg("xv").alias("mu"))
+    base = h.crossJoin(F.broadcast(gstats)).select(
+        (F.col("th") - F.col("t0")).alias("t"),
+        (F.col("xv") - F.col("mu")).alias("xc"),
+    )
+    periods = F.explode(F.array(*[F.lit(p) for p in (6, 12, 24, 168)]))
+    spans = base.select("t", "xc", periods.alias("period_hours"))
+    phase = F.lit(_TWO_PI) * F.col("t") / F.col("period_hours")
+    spectral = spans.groupBy("period_hours").agg(
+        F.sum(F.col("xc") * F.cos(phase)).alias("c"),
+        F.sum(F.col("xc") * F.sin(phase)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nf = base.agg((F.lit(2.0) * F.var_pop("xc")).alias("nf"))
+    power = (F.col("c") * F.col("c") + F.col("s") * F.col("s")) * F.lit(2.0) / F.col("n")
+    return (
+        spectral.crossJoin(F.broadcast(nf))
+        .select(
+            F.col("period_hours").cast("int").alias("period_hours"),
+            hround(power, 2).alias("power"),
+            hround("nf", 2).alias("noise_floor"),
+            hround(power / F.col("nf"), 4).alias("snr"),
+        )
+        .orderBy("period_hours")
+    )

@@ -312,3 +312,23 @@ def test_isotonic_fit_matches_pav(spark):
     assert len(expanded) == len(fits)
     for got, want in zip(fits, expanded):
         assert abs(got - want) < 1e-4
+
+
+def test_periodogram_matches_numpy(spark, events_pdf):
+    import numpy as np
+
+    rows = {r["period_hours"]: r for r in REGISTRY["events_periodogram"].fn(spark, SF_DIR).collect()}
+    ts = pd.to_datetime(events_pdf["ts"])
+    th = ts.astype("datetime64[s]").astype("int64") // 3600
+    hourly = events_pdf.groupby(th)["value"].sum()
+    xv = np.floor(hourly.to_numpy() * 1e6 + 0.5) / 1e6
+    t = (hourly.index - hourly.index.min()).to_numpy().astype(float)
+    xc = xv - xv.mean()
+    nf = 2.0 * xc.var()
+    for T, r in rows.items():
+        c = (xc * np.cos(2 * np.pi * t / T)).sum()
+        s = (xc * np.sin(2 * np.pi * t / T)).sum()
+        p = (c * c + s * s) * 2.0 / len(xc)
+        assert abs(r["power"] - p) < max(1e-2, 1e-9 * abs(p) * 1e4)
+        assert abs(r["noise_floor"] - nf) < 0.05
+        assert abs(r["snr"] - p / nf) < 1e-3

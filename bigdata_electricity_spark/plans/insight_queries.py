@@ -1103,3 +1103,75 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period_hours")
     )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS h,
+               CAST(user_id // 10 AS BIGINT) AS ub,
+               event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3, 4
+    ), totals AS (
+        SELECT dow, h, ub, COUNT(*) AS l_div, CAST(SUM(c) AS BIGINT) AS n
+        FROM cells GROUP BY dow, h, ub
+    ), ent AS (
+        SELECT c.dow, c.h, c.ub,
+               exp(-SUM((c.c / CAST(t.n AS DOUBLE))
+                        * ln(c.c / CAST(t.n AS DOUBLE)))) AS ent_l
+        FROM cells c JOIN totals t USING (dow, h, ub)
+        GROUP BY c.dow, c.h, c.ub
+    )
+    SELECT t.l_div,
+           COUNT(*) AS n_groups,
+           CAST(SUM(t.n) AS BIGINT) AS n_events,
+           {dround('MIN(e.ent_l)', 4)} AS min_entropy_l,
+           t.l_div < 3 AS at_risk
+    FROM totals t JOIN ent e USING (dow, h, ub)
+    GROUP BY t.l_div ORDER BY t.l_div
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit: for each quasi-identifier group (day-of-week,
+    hour, user-id bucket), how many DISTINCT sensitive values
+    (event_type) it contains, plus the entropy l-diversity exp(H) of
+    the worst group at each level — the k-anonymity follow-up
+    (`privacy_k_anonymity` bounds group SIZE; a size-50 group whose
+    sensitive attribute is constant still leaks, which is exactly what
+    l < 3 flags here).
+
+    Two partial-aggregatable groupBys (QI+sensitive cells, then per-QI
+    rollup) and one aggregate-to-aggregate join for the entropy — the
+    sensitive-value distribution never leaves the aggregate domain.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("h"),
+        (F.col("user_id") / 10).cast("long").alias("ub"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    totals = cells.groupBy("dow", "h", "ub").agg(
+        F.count(F.lit(1)).alias("l_div"), F.sum("c").cast("long").alias("n")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    ent = (
+        cells.join(totals, ["dow", "h", "ub"])
+        .groupBy("dow", "h", "ub")
+        .agg(F.exp(-F.sum(p * F.log(p))).alias("ent_l"))
+    )
+    return (
+        totals.join(ent, ["dow", "h", "ub"])
+        .groupBy("l_div")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").cast("long").alias("n_events"),
+            hround(F.min("ent_l"), 4).alias("min_entropy_l"),
+        )
+        .select(
+            "l_div", "n_groups", "n_events", "min_entropy_l",
+            (F.col("l_div") < 3).alias("at_risk"),
+        )
+        .orderBy("l_div")
+    )

@@ -1175,3 +1175,95 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_div")
     )
+
+
+import math as _math
+
+# SPRT for purchase-rate hypotheses p0=0.18 vs p1=0.22, alpha=beta=0.05.
+# The per-observation increments are exact double literals shared by both
+# engines, so the LLR (a*successes + b*failures) is bit-identical.
+_SPRT_A = _math.log(0.22 / 0.18)
+_SPRT_B = _math.log(0.78 / 0.82)
+_SPRT_UP = _math.log(0.95 / 0.05)
+_SPRT_LO = _math.log(0.05 / 0.95)
+
+
+@query(
+    "abtest_sprt_sequential",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+               ts, event_id
+        FROM events
+    ), walked AS (
+        SELECT grp,
+               ROW_NUMBER() OVER w AS t,
+               SUM(x) OVER (PARTITION BY grp ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS s
+        FROM obs
+        WINDOW w AS (PARTITION BY grp ORDER BY ts, event_id)
+    ), llr AS (
+        SELECT grp, t, s,
+               {_SPRT_A!r} * s + {_SPRT_B!r} * (t - s) AS llr
+        FROM walked
+    )
+    SELECT grp,
+           MAX(t) AS n_events,
+           CAST(MAX(s) AS BIGINT) AS n_success,
+           {dround('arg_max(llr, t)', 6)} AS llr_final,
+           COALESCE(MIN(CASE WHEN llr >= {_SPRT_UP!r} THEN t END), -1) AS first_up_cross,
+           COALESCE(MIN(CASE WHEN llr <= {_SPRT_LO!r} THEN t END), -1) AS first_lo_cross
+    FROM llr GROUP BY grp ORDER BY grp
+    """,
+)
+def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test, replayed over the
+    event stream: per cohort (even/odd user_id), the cumulative
+    log-likelihood ratio for purchase-rate hypotheses p1=0.22 vs
+    p0=0.18, with the first step crossing each 5%-error Wald boundary
+    (+-ln 19) — the sequential complement of the fixed-horizon tests
+    (`abtest_priority_ztest`, `abtest_welch_ttest`): it answers "when
+    could we have stopped", not just "is it significant now".
+
+    The LLR is linear in the running success count (a*S_t + b*(t-S_t)
+    with constant exact-double increments), so the whole walk is one
+    cohort-partitioned cumulative-sum window and the boundary scan is
+    a conditional min — bit-identical across engines, no rounding
+    needed before the crossing comparison. Sequential by nature: each
+    cohort's walk is one ordered partition (at scale, evaluate at
+    micro-batch checkpoints instead of per event — the boundary
+    crossing time coarsens, the decision doesn't change).
+    """
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("grp").orderBy("ts", "event_id")
+    walked = obs.select(
+        "grp",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    )
+    llr = walked.withColumn(
+        "llr", F.lit(_SPRT_A) * F.col("s") + F.lit(_SPRT_B) * (F.col("t") - F.col("s"))
+    )
+    final_llr = F.max(F.struct("t", "llr")).getField("llr")
+    return (
+        llr.groupBy("grp")
+        .agg(
+            F.max("t").cast("long").alias("n_events"),
+            F.max("s").cast("long").alias("n_success"),
+            hround(final_llr, 6).alias("llr_final"),
+            F.coalesce(
+                F.min(F.when(F.col("llr") >= _SPRT_UP, F.col("t"))), F.lit(-1)
+            ).cast("long").alias("first_up_cross"),
+            F.coalesce(
+                F.min(F.when(F.col("llr") <= _SPRT_LO, F.col("t"))), F.lit(-1)
+            ).cast("long").alias("first_lo_cross"),
+        )
+        .orderBy("grp")
+    )

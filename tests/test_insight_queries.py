@@ -332,3 +332,28 @@ def test_periodogram_matches_numpy(spark, events_pdf):
         assert abs(r["power"] - p) < max(1e-2, 1e-9 * abs(p) * 1e4)
         assert abs(r["noise_floor"] - nf) < 0.05
         assert abs(r["snr"] - p / nf) < 1e-3
+
+
+def test_sprt_walk_matches_python(spark, events_pdf):
+    """Replay the SPRT walk in pure Python: crossings and final LLR."""
+    import math as m
+
+    a, b = m.log(0.22 / 0.18), m.log(0.78 / 0.82)
+    up, lo = m.log(19.0), -m.log(19.0)
+    got = {r["grp"]: r for r in REGISTRY["abtest_sprt_sequential"].fn(spark, SF_DIR).collect()}
+    pdf = events_pdf.sort_values(["ts", "event_id"])
+    for grp, sub in pdf.groupby(pdf["user_id"] % 2):
+        name = "even" if grp == 0 else "odd"
+        llr, s, first_up, first_lo = 0.0, 0, -1, -1
+        for t, et in enumerate(sub["event_type"], start=1):
+            x = 1 if et == "purchase" else 0
+            s += x
+            llr = a * s + b * (t - s)
+            if first_up == -1 and llr >= up:
+                first_up = t
+            if first_lo == -1 and llr <= lo:
+                first_lo = t
+        r = got[name]
+        assert r["n_events"] == len(sub) and r["n_success"] == s
+        assert r["first_up_cross"] == first_up and r["first_lo_cross"] == first_lo
+        assert abs(r["llr_final"] - llr) < 1e-6

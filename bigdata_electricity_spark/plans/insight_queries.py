@@ -1267,3 +1267,112 @@ def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+MARKOV_ROUNDS = 4
+
+
+def _markov_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH seq AS MATERIALIZED (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    ), pmat AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type,
+               {r9('CAST(COUNT(*) AS DOUBLE) /'
+                   ' SUM(COUNT(*)) OVER (PARTITION BY prev_type)')} AS p
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), states AS MATERIALIZED (
+        SELECT DISTINCT prev_type AS st FROM pmat
+    ), emp AS MATERIALIZED (
+        SELECT event_type AS st,
+               {dround('CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events)', 6)}
+                   AS empirical
+        FROM events GROUP BY event_type
+    ), pi0 AS (
+        SELECT st, 1.0 / (SELECT COUNT(*) FROM states) AS v FROM states
+    )"""
+    prev = "pi0"
+    for i in range(1, MARKOV_ROUNDS + 1):
+        sql += f""", m{i} AS (
+        SELECT pmat.next_type AS st, SUM({prev}.v * pmat.p) AS v
+        FROM {prev} JOIN pmat ON {prev}.st = pmat.prev_type
+        GROUP BY pmat.next_type
+    ), pi{i} AS (
+        SELECT st, {r9(f'v / (SELECT SUM(v) FROM m{i})')} AS v FROM m{i}
+    )"""
+        prev = f"pi{i}"
+    sql += f"""
+    SELECT pi{MARKOV_ROUNDS}.st AS event_type,
+           {dround(f'pi{MARKOV_ROUNDS}.v', 6)} AS pi_stationary,
+           emp.empirical
+    FROM pi{MARKOV_ROUNDS} JOIN emp USING (st)
+    ORDER BY event_type
+    """
+    return sql
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain:
+    4 unrolled pi <- pi P power-iteration rounds from uniform over the
+    row-normalized transition matrix (`events_transition_matrix`'s P,
+    recomputed here at 1e-9 lockstep rounding), next to the empirical
+    type frequencies — if the chain models the stream well, the two
+    columns agree, and a gap flags non-stationary behavior.
+
+    The matrix is |types|^2 rows and the iterate |types| rows, so every
+    round after the one corpus-scan lag+count is negligible at any
+    scale (same shape as `embedding_pca_top_component`). Renormalizing
+    each round keeps rounding drift from accumulating in the simplex.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wp = Window.partitionBy("prev_type")
+    pmat = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            hround(F.col("n").cast("double") / F.sum("n").over(wp), 9).alias("p"),
+        )
+    )
+    states = pmat.select(F.col("prev_type").alias("st")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "st", (F.lit(1.0) / F.col("ns")).alias("v")
+    )
+    for _ in range(MARKOV_ROUNDS):
+        m = (
+            pi.join(F.broadcast(pmat), pi.st == pmat.prev_type)
+            .groupBy(F.col("next_type").alias("st"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+        )
+        tot = m.agg(F.sum("v").alias("tot"))
+        pi = m.crossJoin(F.broadcast(tot)).select(
+            "st", hround(F.col("v") / F.col("tot"), 9).alias("v")
+        )
+    n_events = events.agg(F.count(F.lit(1)).alias("ne"))
+    emp = (
+        events.groupBy(F.col("event_type").alias("st"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_events))
+        .select("st", hround(F.col("c").cast("double") / F.col("ne"), 6).alias("empirical"))
+    )
+    return (
+        pi.join(emp, "st")
+        .select(
+            F.col("st").alias("event_type"),
+            hround("v", 6).alias("pi_stationary"),
+            "empirical",
+        )
+        .orderBy("event_type")
+    )

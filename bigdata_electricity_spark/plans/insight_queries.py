@@ -22,7 +22,7 @@ from .registry import query
     "survival_session_km",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_session
@@ -30,7 +30,7 @@ from .registry import query
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id,
                ts
         FROM flagged
@@ -98,9 +98,7 @@ def survival_session_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = flagged.withColumn(
         "session_id",
-        F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     cutoff = events.agg(
         (F.max("ts") - F.expr("INTERVAL 30 MINUTE")).alias("cutoff_ts")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.rounding import dround, hround
 from ..sources.loaders import load_table
 from .registry import query
 
@@ -265,3 +266,91 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in best_rounds[1:]:
         out = out.unionByName(b)
     return out.orderBy("merge_round")
+
+
+LM_LAMBDA = 0.8
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS MATERIALIZED (
+        SELECT doc_id, t[i] AS v, t[i + 1] AS w
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ), cvw AS (
+        SELECT v, w, COUNT(*) AS c FROM big GROUP BY v, w
+    ), cv AS (
+        SELECT v, SUM(c) AS cv FROM cvw GROUP BY v
+    ), uni AS (
+        SELECT w, COUNT(*) AS cw
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ), scored AS (
+        SELECT b.doc_id,
+               -ln({LM_LAMBDA!r} * (cvw.c / CAST(cv.cv AS DOUBLE))
+                   + {1.0 - LM_LAMBDA!r} * (uni.cw / (SELECT CAST(SUM(cw) AS DOUBLE)
+                                                     FROM uni))) AS nll
+        FROM big b
+        JOIN cvw ON b.v = cvw.v AND b.w = cvw.w
+        JOIN cv ON b.v = cv.v
+        JOIN uni ON b.w = uni.w
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               {dround('exp(AVG(nll))', 4)} AS ppl
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl FROM per_doc
+    ORDER BY ppl DESC, doc_id LIMIT 10
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering, the CCNet/KenLM corpus-quality gate, with
+    the LM trained in the same pass: interpolated bigram model
+    (lambda=0.8 bigram MLE + 0.2 unigram) scored per doc, returning the
+    10 highest-perplexity documents — the ones a perplexity filter
+    drops first.
+
+    The model tables (bigram, context, unigram counts) are
+    |vocab|^2-bounded and broadcast back onto the exploded bigram
+    stream, so scoring is map-side after one counting shuffle — the
+    standard shape when the LM is small enough to ship to executors
+    (at 100 TB with a real KenLM you'd mapInPandas the scorer; the
+    relational form here keeps it oracle-checkable). Perplexity is
+    rounded BEFORE the top-10 ordering on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t)-1)").alias("v"),
+                F.expr("slice(t, 2, size(t)-1)").alias("w"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    cv = cvw.groupBy("v").agg(F.sum("c").alias("cv"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    ntok = uni.agg(F.sum("cw").cast("double").alias("n"))
+    p_interp = F.lit(LM_LAMBDA) * (F.col("c") / F.col("cv").cast("double")) + F.lit(
+        1.0 - LM_LAMBDA
+    ) * (F.col("cw") / F.col("n"))
+    scored = (
+        big.join(F.broadcast(cvw), ["v", "w"])
+        .join(F.broadcast(cv), "v")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(ntok))
+        .select("doc_id", (-F.log(p_interp)).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        hround(F.exp(F.avg("nll")), 4).alias("ppl"),
+    )
+    return per_doc.orderBy(F.col("ppl").desc(), "doc_id").limit(10)

@@ -1079,3 +1079,48 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "sim_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           floor(({_DUCK_COS.format(a='embedding', b='qv')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0 AND label = 3
+    ORDER BY {_DUCK_COS.format(a='embedding', b='qv')} DESC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-5 among candidates
+    passing a metadata predicate (label = 3) — the filter-then-search
+    strategy every vector store needs when predicates are selective
+    (search-then-filter over-fetches or starves when the filter kills
+    most of the top-k; with a pushed-down filter the scored set IS the
+    eligible set).
+
+    The label predicate reaches the parquet scan (PushedFilters), so
+    scoring cost scales with the filtered cardinality, not the corpus;
+    the 1-row query vector broadcasts, the final top-5 is a
+    TakeOrdered merge. Complements `sim_ivf_probe_topk` (which prunes
+    by geometry; this prunes by metadata — real systems compose both).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", hround("cos_raw", 6).alias("cosine"))
+    )

@@ -81,3 +81,38 @@ def test_segment_dedup_reconstruction_roundtrip(spark):
         if len(kept) == len(segs):
             # no segment lost -> reconstruction is the original text
             assert hashlib.md5(row["text"].encode()).hexdigest() == want_fp
+
+
+def test_bigram_perplexity_matches_python(spark):
+    """Recompute the interpolated bigram LM and per-doc perplexity in
+    pure Python and compare the top-10 selection."""
+    import collections
+    import math
+
+    rows = REGISTRY["text_bigram_perplexity"].fn(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cvw: collections.Counter = collections.Counter()
+    uni: collections.Counter = collections.Counter()
+    seqs = {}
+    for _, r in docs.iterrows():
+        t = r["text"].split(" ")
+        seqs[r["doc_id"]] = t
+        uni.update(t)
+        cvw.update(zip(t, t[1:]))
+    cv = collections.Counter()
+    for (v, _), c in cvw.items():
+        cv[v] += c
+    n = sum(uni.values())
+    ppl = {}
+    for did, t in seqs.items():
+        nll = [
+            -math.log(0.8 * cvw[(v, w)] / cv[v] + 0.2 * uni[w] / n)
+            for v, w in zip(t, t[1:])
+        ]
+        ppl[did] = (
+            len(nll),
+            math.floor(math.exp(sum(nll) / len(nll)) * 1e4 + 0.5) / 1e4,
+        )
+    want = sorted(ppl.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    got = [(r["doc_id"], (r["n_bigrams"], r["ppl"])) for r in rows]
+    assert got == want

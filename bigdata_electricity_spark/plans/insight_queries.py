@@ -1374,3 +1374,69 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "featurestore_pit_features",
+    oracle=f"""
+    WITH stream AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(epoch(ts) AS BIGINT) AS es
+        FROM events
+    ), feat AS (
+        SELECT user_id, event_type,
+               LAG(value) OVER w AS last_val,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+                              RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+                   AS cnt_24h,
+               ROW_NUMBER() OVER w - 1 AS n_prior
+        FROM stream
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           {dround('AVG(last_val)', 4)} AS avg_last_val,
+           {dround('AVG(CAST(cnt_24h AS DOUBLE))', 4)} AS avg_cnt_24h,
+           CAST(MAX(n_prior) AS BIGINT) AS max_prior_events
+    FROM feat
+    WHERE event_type = 'purchase' AND last_val IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def featurestore_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every purchase (the label
+    spine), three leakage-free features as of strictly BEFORE the
+    event — last observed value (lag), activity count in the trailing
+    24h (range frame), and lifetime prior event count — rolled up per
+    user for a bounded audit.
+
+    The single-stream formulation: instead of N as-of joins (one per
+    feature — what a naive feature store runs), flag the spine rows
+    inside the one user-partitioned ordered stream and read every
+    feature off windows over it; one shuffle total, features never see
+    the future by construction (lag / 1-PRECEDING frames). The range
+    frame keys on epoch seconds, so same-second events resolve by
+    value-range semantics identically on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stream = events.withColumn("es", F.unix_timestamp("ts").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("es").rangeBetween(-86400, -1)
+    feat = stream.select(
+        "user_id",
+        "event_type",
+        F.lag("value").over(w).alias("last_val"),
+        F.count(F.lit(1)).over(wr).alias("cnt_24h"),
+        (F.row_number().over(w) - 1).alias("n_prior"),
+    )
+    return (
+        feat.filter((F.col("event_type") == "purchase") & F.col("last_val").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            hround(F.avg("last_val"), 4).alias("avg_last_val"),
+            hround(F.avg(F.col("cnt_24h").cast("double")), 4).alias("avg_cnt_24h"),
+            F.max("n_prior").cast("long").alias("max_prior_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -357,3 +357,36 @@ def test_sprt_walk_matches_python(spark, events_pdf):
         assert r["n_events"] == len(sub) and r["n_success"] == s
         assert r["first_up_cross"] == first_up and r["first_lo_cross"] == first_lo
         assert abs(r["llr_final"] - llr) < 1e-6
+
+
+def test_pit_features_no_leakage(spark, events_pdf):
+    """Replay the point-in-time features in pandas, asserting strict
+    'as of before' semantics (the leakage property PIT joins exist for)."""
+    got = {r["user_id"]: r for r in REGISTRY["featurestore_pit_features"].fn(spark, SF_DIR).collect()}
+    pdf = events_pdf.sort_values(["ts", "event_id"])
+    es = pdf["ts"].astype("datetime64[s]").astype("int64")
+    pdf = pdf.assign(es=es)
+    for uid, sub in pdf.groupby("user_id"):
+        sub = sub.reset_index(drop=True)
+        feats = []
+        for i in range(len(sub)):
+            if sub.loc[i, "event_type"] != "purchase" or i == 0:
+                continue
+            last_val = sub.loc[i - 1, "value"]
+            t = sub.loc[i, "es"]
+            cnt24 = int(((sub["es"] >= t - 86400) & (sub["es"] <= t - 1)).sum())
+            # range frame counts by value, not position: include i's own
+            # second only if strictly earlier rows share it (es <= t-1 excludes it)
+            feats.append((last_val, cnt24, i))
+        if not feats:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r["n_purchases"] == len(feats)
+        import math as m
+
+        avg_lv = sum(f[0] for f in feats) / len(feats)
+        avg_c = sum(f[1] for f in feats) / len(feats)
+        assert abs(r["avg_last_val"] - m.floor(avg_lv * 1e4 + 0.5) / 1e4) < 1e-9
+        assert abs(r["avg_cnt_24h"] - m.floor(avg_c * 1e4 + 0.5) / 1e4) < 1e-9
+        assert r["max_prior_events"] == max(f[2] for f in feats)

@@ -607,3 +607,44 @@ def test_rank_stats_have_no_global_window(spark):
         total = plan.count("windowspecdefinition(")
         pid_part = plan.count("windowspecdefinition(__pid")
         assert total >= 1 and total == pid_part, (name, total, pid_part, plan[:2000])
+
+
+def test_filtered_topk_pushes_label_predicate(spark):
+    # Filter-then-search: the metadata predicate must reach the parquet
+    # scan so scoring cost follows filtered cardinality.
+    plan = plan_of(spark, "sim_filtered_topk")
+    assert "PushedFilters: [IsNotNull(vec_id), IsNotNull(label)" in plan
+    assert "EqualTo(label,3)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_resamples_map_side(spark):
+    # Poisson bootstrap: the explode happens on the scan side; the only
+    # data shuffle carries B partial aggregates per map task (partial +
+    # final HashAggregate), never the exploded rows unaggregated.
+    plan = plan_of(spark, "stats_bootstrap_ci_mean")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gd_rounds_have_no_joins_on_data_path(spark):
+    # Each GD round is scan + aggregate against broadcast parameters:
+    # no sort-merge join, no window anywhere in the 5-round plan.
+    plan = plan_of(spark, "ml_gd_linreg_rounds")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row parameter broadcast
+
+
+def test_kcore_peel_no_cartesian(spark):
+    plan = plan_of(spark, "graph_kcore_peel")
+    assert "CartesianProduct" not in plan
+
+
+def test_isotonic_quadratic_table_is_broadcast(spark):
+    # The O(|x|^2) interval build must be a broadcast non-equi join over
+    # the aggregated distinct-x table, never a sort-merge join.
+    plan = plan_of(spark, "ml_isotonic_fit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1124,3 +1124,113 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "label", hround("cos_raw", 6).alias("cosine"))
     )
+
+
+KCENTER_ROUNDS = 4
+_DUCK_UDOT_D = (
+    "list_sum(list_transform(list_zip(d{p}.unit, c{r}.unit), p -> p[1] * p[2]))"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-point traversal; every min-distance is 1e-9
+    half-up rounded before the argmax so float noise can't flip the
+    selection (units are already double)."""
+    r9 = lambda e: f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"  # noqa: E731
+    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    sql = f"""
+    WITH u AS MATERIALIZED ({_DUCK_UNITS}),
+    c1 AS (SELECT vec_id, unit FROM u WHERE vec_id = 0),
+    d1 AS MATERIALIZED (
+        SELECT u.vec_id, u.unit,
+               {r9('1.0 - list_sum(list_transform(list_zip(u.unit, c1.unit), p -> p[1] * p[2]))')} AS d
+        FROM u, c1 WHERE u.vec_id <> 0
+    )"""
+    for r in range(2, KCENTER_ROUNDS + 2):
+        p = r - 1
+        sql += f""", c{r} AS (
+        SELECT vec_id, unit FROM d{p} ORDER BY d DESC, vec_id LIMIT 1
+    ), d{r} AS MATERIALIZED (
+        SELECT d{p}.vec_id, d{p}.unit,
+               least(d{p}.d, {r9(f'1.0 - {_DUCK_UDOT_D.format(p=p, r=r)}')}) AS d
+        FROM d{p}, c{r} WHERE d{p}.vec_id <> c{r}.vec_id
+    )"""
+    selects = ["SELECT 1 AS sel_order, c1.vec_id, "
+               f"{r6('(SELECT MAX(d) FROM d1)')} AS radius_after FROM c1"]
+    for r in range(2, KCENTER_ROUNDS + 2):
+        selects.append(
+            f"SELECT {r} AS sel_order, c{r}.vec_id, "
+            f"{r6(f'(SELECT MAX(d) FROM d{r})')} AS radius_after FROM c{r}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY sel_order"
+
+
+@query("sample_kcenter_greedy", oracle=_kcenter_oracle())
+def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware data selection: k-center greedy (farthest-point
+    traversal) over the embedding cloud in cosine distance — seed at
+    vec 0, then 4 rounds of "pick the point farthest from everything
+    selected", reporting each pick and the k-center coverage radius
+    after it (monotone decreasing — the 2-approximation objective).
+
+    The coreset/active-learning selection primitive: each round is one
+    argmax (TakeOrdered) + one broadcast of the single new center +
+    one map-side min-distance update — corpus never shuffles, state is
+    one running distance column. Distances are 1e-9-rounded before the
+    argmax and ties break on vec_id, so the greedy trajectory is
+    hash-checkable (the kmeans/PCA/GD lockstep idiom). Lineage is
+    truncated per round (lazy localCheckpoint).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    units = withn.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+    ).localCheckpoint(eager=False)
+    r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    c1 = units.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit")
+    )
+    d = (
+        units.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            "unit",
+            r9(F.lit(1.0) - dot_product(F.col("unit"), F.col("c_unit"))).alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel_rows = [
+        c1.crossJoin(F.broadcast(d.agg(hround(F.max("d"), 6).alias("radius_after"))))
+        .select(F.lit(1).alias("sel_order"), F.col("c_id").alias("vec_id"), "radius_after")
+    ]
+    for r in range(2, KCENTER_ROUNDS + 2):
+        c = (
+            d.orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit"))
+        )
+        d = (
+            d.crossJoin(F.broadcast(c))
+            .filter(F.col("vec_id") != F.col("c_id"))
+            .select(
+                "vec_id",
+                "unit",
+                F.least(
+                    F.col("d"),
+                    r9(F.lit(1.0) - dot_product(F.col("unit"), F.col("c_unit"))),
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sel_rows.append(
+            c.crossJoin(F.broadcast(d.agg(hround(F.max("d"), 6).alias("radius_after"))))
+            .select(F.lit(r).alias("sel_order"), F.col("c_id").alias("vec_id"), "radius_after")
+        )
+    out = sel_rows[0]
+    for s in sel_rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("sel_order")

@@ -186,3 +186,37 @@ def test_mmr_prefers_diverse_over_duplicate(spark):
             for r in REGISTRY["sim_mmr_diversified_topk"].fn(spark, d).collect()
         ]
     assert got == [(1, 1), (2, 3), (3, 2)], got
+
+
+def test_kcenter_greedy_matches_numpy(spark):
+    """Replay the farthest-point traversal in numpy with the same 1e-9
+    rounding; trajectory and radii must match, radius must decrease."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["sample_kcenter_greedy"].fn(spark, sf).collect()
+    X = np.stack(pd.read_parquet(f"{sf}/embeddings.parquet")["embedding"].to_numpy()).astype(np.float64)
+    ids = pd.read_parquet(f"{sf}/embeddings.parquet")["vec_id"].to_numpy()
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    r9 = lambda a: np.floor(a * 1e9 + 0.5) / 1e9  # noqa: E731
+    sel = [0]
+    mask = ids != 0
+    d = r9(1.0 - U[mask] @ U[ids == 0][0])
+    cur_ids = ids[mask]
+    radii = [np.floor(d.max() * 1e6 + 0.5) / 1e6]
+    for _ in range(4):
+        # argmax with (d desc, vec_id asc) tie-break
+        best = cur_ids[np.lexsort((cur_ids, -d))][0]
+        sel.append(int(best))
+        bu = U[ids == best][0]
+        keep = cur_ids != best
+        d = np.minimum(d[keep], r9(1.0 - U[np.isin(ids, cur_ids[keep])] @ bu))
+        cur_ids = cur_ids[keep]
+        radii.append(np.floor(d.max() * 1e6 + 0.5) / 1e6)
+    assert [r["vec_id"] for r in rows] == sel
+    got_radii = [r["radius_after"] for r in rows]
+    assert np.allclose(got_radii, radii, atol=2e-6)
+    assert all(a > b for a, b in zip(got_radii, got_radii[1:]))  # coverage shrinks

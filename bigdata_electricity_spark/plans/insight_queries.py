@@ -1440,3 +1440,94 @@ def featurestore_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+HAAR_LEVELS = 5
+
+
+def _haar_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH hours AS (
+        SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS th,
+               {dround('SUM(value)', 6)} AS xv
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(th) AS t0, MAX(th) AS t1 FROM hours
+    ), s0 AS MATERIALIZED (
+        SELECT g.t - bounds.t0 AS t, COALESCE(hours.xv, 0.0) AS x
+        FROM bounds,
+             UNNEST(generate_series(bounds.t0, bounds.t1)) AS g(t)
+        LEFT JOIN hours ON hours.th = g.t
+    )"""
+    for k in range(1, HAAR_LEVELS + 1):
+        p = k - 1
+        xcol = "x" if p == 0 else "a"
+        sql += f""", s{k} AS MATERIALIZED (
+        SELECT t // 2 AS t,
+               {r9(f'SUM({xcol}) / 2.0')} AS a,
+               {r9(f'SUM(CASE WHEN t % 2 = 0 THEN {xcol} ELSE -{xcol} END) / 2.0')} AS d
+        FROM s{p} GROUP BY t // 2
+    )"""
+    selects = [
+        f"""SELECT {k} AS level,
+           (SELECT COUNT(*) FROM s{k}) AS n_coeffs,
+           (SELECT {dround('SUM(d * d)', 2)} FROM s{k}) AS detail_energy"""
+        for k in range(1, HAAR_LEVELS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY level"
+
+
+@query("events_haar_multiscale", oracle=_haar_oracle())
+def events_haar_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multiscale decomposition of the dense hourly value
+    series: 5 levels of pairwise average/difference, reporting the
+    detail-coefficient energy per scale (2h, 4h, 8h, 16h, 32h) — the
+    time-localized complement of `events_periodogram` (a periodogram
+    says WHICH band carries energy; the wavelet pyramid also survives
+    regime changes a global DFT smears).
+
+    Each level is one groupBy(t//2) with sign-flipped sums (no
+    ordering, no window — the pair average and difference are plain
+    CASE aggregates), halving the series; level cost is |series|/2^k
+    regardless of corpus size once the hourly rollup is done. Odd
+    tails zero-pad identically on both engines; iterates are
+    1e-9-lockstep rounded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hours = events.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("th")
+    ).agg(hround(F.sum("value"), 6).alias("xv"))
+    bounds = hours.agg(F.min("th").alias("t0"), F.max("th").alias("t1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"))).alias("th"), "t0"
+    )
+    s = (
+        spine.join(hours, "th", "left")
+        .select(
+            (F.col("th") - F.col("t0")).alias("t"),
+            F.coalesce("xv", F.lit(0.0)).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out_rows: list[DataFrame] = []
+    for k in range(1, HAAR_LEVELS + 1):
+        signed = F.when(F.col("t") % 2 == 0, F.col("x")).otherwise(-F.col("x"))
+        s = (
+            s.groupBy((F.col("t") / 2).cast("long").alias("t"))
+            .agg(
+                hround(F.sum("x") / F.lit(2.0), 9).alias("a"),
+                hround(F.sum(signed) / F.lit(2.0), 9).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        stats = s.agg(
+            F.count(F.lit(1)).alias("n_coeffs"),
+            hround(F.sum(F.col("d") * F.col("d")), 2).alias("detail_energy"),
+        )
+        out_rows.append(stats.select(F.lit(k).alias("level"), "n_coeffs", "detail_energy"))
+        s = s.select("t", F.col("a").alias("x"))
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")

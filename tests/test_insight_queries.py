@@ -390,3 +390,32 @@ def test_pit_features_no_leakage(spark, events_pdf):
         assert abs(r["avg_last_val"] - m.floor(avg_lv * 1e4 + 0.5) / 1e4) < 1e-9
         assert abs(r["avg_cnt_24h"] - m.floor(avg_c * 1e4 + 0.5) / 1e4) < 1e-9
         assert r["max_prior_events"] == max(f[2] for f in feats)
+
+
+def test_haar_multiscale_matches_numpy_and_parseval(spark, events_pdf):
+    """Replay the zero-padded Haar pyramid in numpy (same lockstep
+    rounding) and verify the exact Parseval split:
+    sum(x^2) = sum_k 2^k E_dk + 2^L sum(a_L^2)."""
+    import numpy as np
+
+    rows = REGISTRY["events_haar_multiscale"].fn(spark, SF_DIR).collect()
+    ts = events_pdf["ts"].astype("datetime64[s]").astype("int64") // 3600
+    hourly = events_pdf.groupby(ts)["value"].sum()
+    r = lambda a, n: np.floor(np.asarray(a) * 10.0**n + 0.5) / 10.0**n  # noqa: E731
+    idx = np.arange(hourly.index.min(), hourly.index.max() + 1)
+    x = np.zeros(len(idx))
+    x[hourly.index.to_numpy() - idx[0]] = r(hourly.to_numpy(), 6)
+    total = float((x**2).sum())
+    acc = 0.0
+    for k, row in enumerate(rows, start=1):
+        if len(x) % 2:
+            x = np.append(x, 0.0)
+        a = r((x[0::2] + x[1::2]) / 2.0, 9)
+        d = r((x[0::2] - x[1::2]) / 2.0, 9)
+        assert row["level"] == k and row["n_coeffs"] == len(a)
+        e = float((d**2).sum())
+        assert abs(row["detail_energy"] - r(e, 2)) < 0.02
+        acc += 2.0**k * e
+        x = a
+    acc += 2.0 ** len(rows) * float((x**2).sum())
+    assert abs(acc - total) / total < 1e-6  # Parseval (zero-pad exact)

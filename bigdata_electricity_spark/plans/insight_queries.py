@@ -1531,3 +1531,108 @@ def events_haar_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out.orderBy("level")
+
+
+ABSORB_STEPS = 6
+
+
+def _absorb_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH seq AS MATERIALIZED (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    ), pmat AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type,
+               {r9('CAST(COUNT(*) AS DOUBLE) /'
+                   ' SUM(COUNT(*)) OVER (PARTITION BY prev_type)')} AS p
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), direct AS MATERIALIZED (
+        SELECT prev_type AS st, SUM(p) FILTER (next_type = 'purchase') AS pd
+        FROM pmat WHERE prev_type <> 'purchase' GROUP BY prev_type
+    ), h0 AS (
+        SELECT st, CAST(0.0 AS DOUBLE) AS h FROM direct
+    )"""
+    prev = "h0"
+    for i in range(1, ABSORB_STEPS + 1):
+        sql += f""", h{i} AS (
+        SELECT d.st,
+               {r9(f'''d.pd + COALESCE((
+                   SELECT SUM(pmat.p * {prev}.h)
+                   FROM pmat JOIN {prev} ON pmat.next_type = {prev}.st
+                   WHERE pmat.prev_type = d.st
+                     AND pmat.next_type <> 'purchase'), 0.0)''')} AS h
+        FROM direct d
+    )"""
+        prev = f"h{i}"
+    sql += f"""
+    SELECT d.st AS event_type,
+           {dround('d.pd', 6)} AS p_convert_1step,
+           {dround(f'h{ABSORB_STEPS}.h', 6)} AS p_convert_{ABSORB_STEPS}steps
+    FROM direct d JOIN h{ABSORB_STEPS} ON d.st = h{ABSORB_STEPS}.st
+    ORDER BY event_type
+    """
+    return sql
+
+
+@query("funnel_absorbing_conversion", oracle=_absorb_oracle())
+def funnel_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain conversion: probability of reaching 'purchase'
+    within 6 transitions from each non-purchase state, by unrolled
+    first-step analysis h_{{k+1}}(s) = P(s,buy) + sum_s' Q(s,s') h_k(s')
+    over the transition matrix with 'purchase' made absorbing — the
+    model-based funnel (the empirical funnels count observed paths;
+    this extrapolates from the one-step structure, and the 1-step vs
+    6-step columns quantify how much conversion is indirect).
+
+    Same scale shape as the other matrix iterations: one corpus-scan
+    lag+count, then every round works on the |types|^2 matrix and a
+    |types|-row vector, 1e-9 lockstep-rounded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wp = Window.partitionBy("prev_type")
+    pmat = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            hround(F.col("n").cast("double") / F.sum("n").over(wp), 9).alias("p"),
+        )
+        .filter(F.col("prev_type") != "purchase")
+        .localCheckpoint(eager=False)
+    )
+    direct = pmat.groupBy(F.col("prev_type").alias("st")).agg(
+        F.sum(F.when(F.col("next_type") == "purchase", F.col("p"))).alias("pd")
+    )
+    q = pmat.filter(F.col("next_type") != "purchase")
+    h = direct.select("st", F.lit(0.0).alias("h"))
+    for _ in range(ABSORB_STEPS):
+        step = (
+            q.join(F.broadcast(h.withColumnRenamed("st", "nst")), q.next_type == F.col("nst"))
+            .groupBy(F.col("prev_type").alias("st"))
+            .agg(F.sum(F.col("p") * F.col("h")).alias("hq"))
+        )
+        h = (
+            direct.join(step, "st", "left")
+            .select(
+                "st",
+                hround(F.col("pd") + F.coalesce("hq", F.lit(0.0)), 9).alias("h"),
+            )
+        )
+    return (
+        direct.join(h, "st")
+        .select(
+            F.col("st").alias("event_type"),
+            hround("pd", 6).alias("p_convert_1step"),
+            hround("h", 6).alias(f"p_convert_{ABSORB_STEPS}steps"),
+        )
+        .orderBy("event_type")
+    )

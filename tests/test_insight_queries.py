@@ -419,3 +419,40 @@ def test_haar_multiscale_matches_numpy_and_parseval(spark, events_pdf):
         x = a
     acc += 2.0 ** len(rows) * float((x**2).sum())
     assert abs(acc - total) / total < 1e-6  # Parseval (zero-pad exact)
+
+
+def test_absorbing_conversion_matches_numpy(spark, events_pdf):
+    """Recompute the 6-step absorption probabilities with an explicit
+    transition matrix in numpy (same lockstep rounding)."""
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in REGISTRY["funnel_absorbing_conversion"].fn(spark, SF_DIR).collect()}
+    pdf = events_pdf.sort_values(["ts", "event_id"])
+    pairs = []
+    for _, sub in pdf.groupby("user_id"):
+        ets = sub["event_type"].tolist()
+        pairs.extend(zip(ets, ets[1:]))
+    states = sorted({p for p, _ in pairs})
+    r9 = lambda a: np.floor(np.asarray(a) * 1e9 + 0.5) / 1e9  # noqa: E731
+    import collections
+
+    cnt = collections.Counter(pairs)
+    row_tot = collections.Counter()
+    for (v, _), c in cnt.items():
+        row_tot[v] += c
+    P = {(v, w): r9(c / row_tot[v]) for (v, w), c in cnt.items()}
+    transients = [s for s in states if s != "purchase"]
+    h = {s: 0.0 for s in transients}
+    for _ in range(6):
+        h = {
+            s: float(
+                r9(
+                    P.get((s, "purchase"), 0.0)
+                    + sum(P.get((s, t), 0.0) * h[t] for t in transients)
+                )
+            )
+            for s in transients
+        }
+    for s in transients:
+        assert abs(rows[s]["p_convert_6steps"] - h[s]) < 2e-6
+        assert rows[s]["p_convert_1step"] < rows[s]["p_convert_6steps"] < 1.0

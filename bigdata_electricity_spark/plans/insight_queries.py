@@ -624,8 +624,11 @@ def _bootstrap_oracle() -> str:
     ), weighted AS (
         SELECT b, o_totalprice, CASE {ladder} ELSE 8 END AS w FROM expanded
     ), reps AS (
-        SELECT b, {dround('SUM(w * o_totalprice) / SUM(w)', 9)} AS m_b
+        SELECT b, CASE WHEN SUM(w) > 0
+                       THEN {dround('SUM(w * o_totalprice) / SUM(w)', 9)}
+                  END AS m_b
         FROM weighted GROUP BY b
+        HAVING SUM(w) > 0
     ), ranked AS (
         SELECT m_b, ROW_NUMBER() OVER (ORDER BY m_b, b) AS rn FROM reps
     )
@@ -687,10 +690,12 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.withColumn("w", w)
         .groupBy("b")
         .agg(
-            hround(
-                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 9
+            F.when(
+                F.sum("w") > 0,
+                hround(F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 9),
             ).alias("m_b")
         )
+        .filter(F.col("m_b").isNotNull())  # all-zero-weight replica (P = e^-n)
     )
     ranked = reps.withColumn("rn", F.row_number().over(Window.orderBy("m_b", "b")))
     full = orders.agg(
@@ -1051,7 +1056,9 @@ _TWO_PI = 6.283185307179586
     SELECT CAST(period_hours AS INT) AS period_hours,
            {dround('(c * c + s * s) * 2.0 / n', 2)} AS power,
            {dround('floor_.nf', 2)} AS noise_floor,
-           {dround('((c * c + s * s) * 2.0 / n) / floor_.nf', 4)} AS snr
+           CASE WHEN floor_.nf > 0.0
+                THEN {dround('((c * c + s * s) * 2.0 / n) / floor_.nf', 4)}
+           END AS snr
     FROM spectral, floor_
     ORDER BY period_hours
     """,
@@ -1097,7 +1104,7 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("period_hours").cast("int").alias("period_hours"),
             hround(power, 2).alias("power"),
             hround("nf", 2).alias("noise_floor"),
-            hround(power / F.col("nf"), 4).alias("snr"),
+            F.when(F.col("nf") > 0.0, hround(power / F.col("nf"), 4)).alias("snr"),
         )
         .orderBy("period_hours")
     )

@@ -83,3 +83,95 @@ def test_topk_and_argmax_on_empty(spark):
     assert O.top_k(empty, "v", 5).count() == 0
     row = O.argmax(empty, "k", "v").first()
     assert row["k"] is None and row["v"] is None  # max_by of nothing → null row
+
+
+def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
+    """Run every entry added in the lifecycle/corpus-science round
+    against a minimal synthetic sf_dir (2 users x 3 events, 2 orders,
+    2 docs, 3 embeddings, 4 lineitems): none may throw — a 100 TB
+    pipeline always has a filtered-to-nothing branch somewhere."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    d = tmp_path_factory.mktemp("tiny_sf")
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:01", "2024-01-01 00:10:00", "2024-01-02 05:00:00"]
+    )
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": ts,
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "purchase", "click"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ['{"k": 1}'] * 3,
+        }
+    ).to_parquet(d / "events.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [10, 11],
+            "o_orderstatus": ["F", "O"],
+            "o_totalprice": [100.0, 200.0],
+            "o_orderdate": pd.to_datetime(["1995-01-01", "1995-06-01"]),
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    ).to_parquet(d / "orders.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b a b", "c"],
+            "lang": ["en", "en"],
+            "source": ["src0", "src1"],
+            "n_chars": [7, 1],
+        }
+    ).to_parquet(d / "documents.parquet")
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [np.ones(4, dtype=np.float32) * (i + 1) for i in range(3)],
+            "label": [3, 3, 1],
+        }
+    ).to_parquet(d / "embeddings.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2],
+            "l_partkey": [7, 8, 7, 8],
+            "l_suppkey": [1, 1, 2, 2],
+            "l_linenumber": [1, 2, 1, 2],
+            "l_quantity": [1.0, 2.0, 1.0, 2.0],
+            "l_extendedprice": [10.0, 20.0, 10.0, 20.0],
+            "l_discount": [0.0, 0.1, 0.0, 0.1],
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pd.to_datetime(["1995-02-01"] * 4),
+        }
+    ).to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    new_entries = [
+        "survival_session_km", "intervals_user_active_runs",
+        "skyline_customer_frontier", "anomaly_seasonal_residual",
+        "dedup_segment_exact", "vocab_bpe_merges",
+        "embedding_pca_top_component", "graph_kcore_peel",
+        "stats_bootstrap_ci_mean", "stats_mutual_information",
+        "ml_gd_linreg_rounds", "ml_isotonic_fit", "events_periodogram",
+        "privacy_l_diversity", "abtest_sprt_sequential",
+        "events_markov_stationary", "text_bigram_perplexity",
+        "sim_filtered_topk", "featurestore_pit_features",
+        "sample_kcenter_greedy", "events_haar_multiscale",
+        "funnel_absorbing_conversion",
+    ]
+    for name in new_entries:
+        rows = REGISTRY[name].fn(spark, str(d)).collect()
+        assert isinstance(rows, list), name
+
+    # a few semantic spot checks on the tiny world
+    sky = REGISTRY["skyline_customer_frontier"].fn(spark, str(d)).collect()
+    assert [r["custkey"] for r in sky] == [11]  # dominates on both axes
+    seg = {r["doc_id"]: r for r in REGISTRY["dedup_segment_exact"].fn(spark, str(d)).collect()}
+    assert seg[1]["n_kept"] == 1 and seg[2]["n_kept"] == 1
+    kc = REGISTRY["graph_kcore_peel"].fn(spark, str(d)).collect()
+    assert all(r["n_edges_after"] == 0 for r in kc)  # 1 edge can't be a 3-core

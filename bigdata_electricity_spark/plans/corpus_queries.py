@@ -342,10 +342,14 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_interp = F.lit(LM_LAMBDA) * (F.col("c") / F.col("cv").cast("double")) + F.lit(
         1.0 - LM_LAMBDA
     ) * (F.col("cw") / F.col("n"))
+    # No forced broadcast on the model tables: they are |vocab|- and
+    # |vocab|^2-bounded, tiny here (AQE broadcasts them anyway) but a
+    # real web-corpus bigram table is billions of rows — the join must
+    # be allowed to stay a shuffle join at that scale.
     scored = (
-        big.join(F.broadcast(cvw), ["v", "w"])
-        .join(F.broadcast(cv), "v")
-        .join(F.broadcast(uni), "w")
+        big.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .join(uni, "w")
         .crossJoin(F.broadcast(ntok))
         .select("doc_id", (-F.log(p_interp)).alias("nll"))
     )

@@ -257,11 +257,14 @@ def skyline_customer_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (total spend, recency) — nobody else has >= spend AND >= last order
     date with at least one strict.
 
-    Sort-based skyline without the O(n^2) dominance self-join: collapse
-    to one row per distinct spend (keeping its max date), then a single
-    running-max over the spend-DESC sequence marks frontier spend
-    levels; joining back on (spend, max date) recovers the customers.
-    The only global window runs over |distinct spend| aggregate rows.
+    Sort-based skyline without the O(n^2) dominance self-join, in the
+    two-phase distributed form: phase 1 computes the LOCAL skyline per
+    partition (a partition-dominated point is globally dominated, so
+    this is a pure pruning step — a __pid-partitioned window, fully
+    parallel); phase 2 runs the running-max frontier scan over the
+    union of local skylines, which is O(partitions x frontier size),
+    not O(distinct spends). Joining back on (spend, max date) recovers
+    the customers.
     Spend is rounded BEFORE the frontier test on both engines so the
     ordering key is cross-engine stable (r6 MMR lesson).
     """
@@ -271,6 +274,19 @@ def skyline_customer_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
     )
     per_spend = per_cust.groupBy("spend").agg(F.max("last_day").alias("best_day"))
+    # Phase 1 — local skyline per partition: a point dominated within its
+    # partition is dominated globally, so the global pass only sees each
+    # partition's frontier (typically O(log n) points). This is the
+    # standard two-phase distributed skyline; it changes the plan, not
+    # the result.
+    wl = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(F.col("spend").desc(), F.col("best_day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_spend = per_spend.withColumn("l_prev", F.max("best_day").over(wl)).filter(
+        F.col("l_prev").isNull() | (F.col("best_day") > F.col("l_prev"))
+    ).drop("l_prev")
     per_spend = per_spend.withColumn(
         "srank", F.dense_rank().over(Window.orderBy(F.col("spend").desc()))
     )

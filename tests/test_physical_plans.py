@@ -648,3 +648,16 @@ def test_isotonic_quadratic_table_is_broadcast(spark):
     plan = plan_of(spark, "ml_isotonic_fit")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skyline_is_two_phase(spark):
+    # Phase 1 local skylines must be spark_partition_id-partitioned
+    # windows (phase 2's global frontier scan then sees only the pruned
+    # union). The physical plan aliases the partition-id expression, so
+    # assert on the optimized logical plan.
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    df = REGISTRY["skyline_customer_frontier"].fn(spark, "/root/testdata/sf0.001")
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in logical
+    assert "CartesianProduct" not in plan_of(spark, "skyline_customer_frontier")

@@ -1659,3 +1659,121 @@ def funnel_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "forecast_snaive_backtest",
+    oracle=f"""
+    WITH hourly AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS th,
+               {dround('SUM(value)', 6)} AS xv
+        FROM events GROUP BY 1
+    ), cutoff AS (
+        SELECT MAX(th) - 168 AS c FROM hourly
+    ), train_mean AS (
+        SELECT {dround('AVG(xv)', 9)} AS m
+        FROM hourly, cutoff WHERE th <= cutoff.c
+    ), prof AS (
+        SELECT th % 24 AS hod, {dround('AVG(xv)', 9)} AS p_prof
+        FROM hourly, cutoff WHERE th <= cutoff.c GROUP BY th % 24
+    ), test AS (
+        SELECT h.th, h.xv FROM hourly h, cutoff WHERE h.th > cutoff.c
+    ), preds AS (
+        SELECT t.th, t.xv,
+               n24.xv AS p_naive24, n168.xv AS p_naive168, tm.m AS p_mean,
+               prof.p_prof
+        FROM test t
+        LEFT JOIN hourly n24 ON n24.th = t.th - 24
+        LEFT JOIN hourly n168 ON n168.th = t.th - 168
+        LEFT JOIN prof ON prof.hod = t.th % 24
+        CROSS JOIN train_mean tm
+    )
+    SELECT method, n_hours,
+           {dround('mae', 4)} AS mae, {dround('rmse', 4)} AS rmse
+    FROM (
+        SELECT 'mean' AS method, COUNT(xv) AS n_hours,
+               AVG(abs(xv - p_mean)) AS mae,
+               sqrt(AVG((xv - p_mean) * (xv - p_mean))) AS rmse
+        FROM preds
+        UNION ALL
+        SELECT 'naive24', COUNT(p_naive24),
+               AVG(abs(xv - p_naive24)),
+               sqrt(AVG((xv - p_naive24) * (xv - p_naive24)))
+        FROM preds WHERE p_naive24 IS NOT NULL
+        UNION ALL
+        SELECT 'naive168', COUNT(p_naive168),
+               AVG(abs(xv - p_naive168)),
+               sqrt(AVG((xv - p_naive168) * (xv - p_naive168)))
+        FROM preds WHERE p_naive168 IS NOT NULL
+        UNION ALL
+        SELECT 'seasonal_profile', COUNT(p_prof),
+               AVG(abs(xv - p_prof)),
+               sqrt(AVG((xv - p_prof) * (xv - p_prof)))
+        FROM preds WHERE p_prof IS NOT NULL
+    ) ORDER BY method
+    """,
+)
+def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting harness: hold out the last week of the
+    hourly value series and score three baselines — training mean,
+    24h seasonal-naive, and 168h seasonal-naive — by MAE/RMSE. The
+    evaluation shape every forecasting deployment needs BEFORE any
+    model — plus the hour-of-day profile mean. The backtest's honest
+    verdict on this series: EVERY structure-exploiting baseline loses
+    to the plain mean — snaive because differencing doubles
+    observation-noise variance, and even the smoothed profile by a
+    hair, because the 24h cycle `events_periodogram` detects (SNR 2.3)
+    carries under 1% of hourly variance. Detectable seasonality is not
+    exploitable seasonality; catching exactly that before a deployment
+    ships snaive is what a backtest harness is for.
+
+    All three predictions are self-joins of the tiny hourly rollup at
+    fixed lags (24/168 rows back) — at 100 TB the rollup is the only
+    corpus-scale pass, and lag-joins on an aggregated series stay
+    aggregate-sized.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("th")
+    ).agg(hround(F.sum("value"), 6).alias("xv")).localCheckpoint(eager=False)
+    cutoff = hourly.agg((F.max("th") - 168).alias("c"))
+    train_mean = (
+        hourly.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("th") <= F.col("c"))
+        .agg(hround(F.avg("xv"), 9).alias("m"))
+    )
+    prof = (
+        hourly.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("th") <= F.col("c"))
+        .groupBy((F.col("th") % 24).alias("hod"))
+        .agg(hround(F.avg("xv"), 9).alias("p_prof"))
+    )
+    test = hourly.crossJoin(F.broadcast(cutoff)).filter(F.col("th") > F.col("c"))
+    n24 = hourly.select((F.col("th") + 24).alias("th"), F.col("xv").alias("p_naive24"))
+    n168 = hourly.select((F.col("th") + 168).alias("th"), F.col("xv").alias("p_naive168"))
+    preds = (
+        test.join(n24, "th", "left")
+        .join(n168, "th", "left")
+        .join(F.broadcast(prof), test.th % 24 == prof.hod, "left")
+        .crossJoin(F.broadcast(train_mean))
+    )
+
+    def scores(method: str, pred: F.Column):
+        err = F.col("xv") - pred
+        return (
+            preds.filter(pred.isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n_hours"),
+                hround(F.avg(F.abs(err)), 4).alias("mae"),
+                hround(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+            )
+            .select(F.lit(method).alias("method"), "n_hours", "mae", "rmse")
+        )
+
+    out = (
+        scores("mean", F.col("m"))
+        .unionByName(scores("naive24", F.col("p_naive24")))
+        .unionByName(scores("naive168", F.col("p_naive168")))
+        .unionByName(scores("seasonal_profile", F.col("p_prof")))
+    )
+    return out.orderBy("method")

@@ -1777,3 +1777,64 @@ def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scores("seasonal_profile", F.col("p_prof")))
     )
     return out.orderBy("method")
+
+
+@query(
+    "events_trending_rank_wow",
+    oracle="""
+    WITH secs AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ), based AS (
+        SELECT event_type,
+               (es - (SELECT MIN(es) FROM secs)) // 604800 AS week
+        FROM secs
+    ), weekly AS (
+        SELECT week, event_type, COUNT(*) AS n
+        FROM based GROUP BY week, event_type
+    ), ranked AS (
+        SELECT week, event_type, n,
+               CAST(RANK() OVER (PARTITION BY week
+                                 ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        FROM weekly
+    )
+    SELECT week, event_type, n, rnk,
+           CAST(rnk - LAG(rnk) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS rank_delta
+    FROM ranked ORDER BY week, rnk, event_type
+    """,
+)
+def events_trending_rank_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: weekly volume rank of each event type and
+    its week-over-week rank movement (negative delta = climbing) — the
+    leaderboard-movement shape behind every "trending" surface.
+
+    Two bounded windows after one corpus-scan groupBy: the rank window
+    partitions by week over |types| rows, the delta lag partitions by
+    type over |weeks| rows — both aggregate-sized at any corpus scale.
+    All-integer output, exact cross-engine hash.
+    """
+    events = load_table(spark, sf_dir, "events")
+    t0 = events.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
+    based = events.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.floor((F.unix_timestamp("ts") - F.col("t0")) / F.lit(604800)).cast("long").alias("week"),
+    )
+    weekly = based.groupBy("week", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = weekly.withColumn(
+        "rnk",
+        F.rank()
+        .over(Window.partitionBy("week").orderBy(F.col("n").desc(), "event_type"))
+        .cast("long"),
+    )
+    return ranked.select(
+        "week",
+        "event_type",
+        "n",
+        "rnk",
+        (
+            F.col("rnk")
+            - F.lag("rnk").over(Window.partitionBy("event_type").orderBy("week"))
+        )
+        .cast("long")
+        .alias("rank_delta"),
+    ).orderBy("week", "rnk", "event_type")

@@ -1155,3 +1155,49 @@ def ingest_quarantine_bad_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ingest_quarantine_bad_csv",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS valid_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ingest_quarantine_bad_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine for CSV — the reference's own raw
+    format (SURVEY §2.1: semicolon CSV with '?' sentinels is its whole
+    ingestion story): records whose numeric field fails CSV parsing are
+    counted into quarantine, never silently dropped. Deterministic
+    fault injection (every 5th doc_id gets a trailing letter on its
+    numeric column), `from_csv` PERMISSIVE nulls the BAD FIELD ONLY
+    (doc_id still parses — unlike the JSON twin, where the whole
+    record's fields null out), and the audit keys quarantine off the
+    corrupted field's nullity. Completes the malformed-ingest trio:
+    from_json (`ingest_quarantine_bad_json`), raw-text+from_json
+    (`ingest_jsonl_from_text`), and now from_csv.
+
+    to_csv/from_csv are row-local codegen expressions — no shuffle
+    until the per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_csv(F.struct("doc_id", "n_chars"))
+    mangled = F.when(F.col("doc_id") % 5 == 0, F.concat(line, F.lit("x"))).otherwise(line)
+    parsed = docs.select(
+        "source",
+        F.from_csv(mangled, "doc_id long, n_chars long").alias("rec"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.sum(F.col("rec.n_chars").isNull().cast("long")).alias("n_quarantined"),
+            F.sum(F.col("rec.n_chars").isNotNull().cast("long")).alias("n_valid"),
+            F.sum(F.coalesce("rec.n_chars", F.lit(0))).alias("valid_chars"),
+        )
+        .orderBy("source")
+    )

@@ -882,3 +882,54 @@ def maintain_parallel_variance_merge(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return merged
+
+
+@query(
+    "warehouse_backlog_aging",
+    oracle="""
+    WITH snap AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS today FROM orders
+    ), open_orders AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE), snap.today) AS age,
+               o_totalprice
+        FROM orders, snap WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+           CASE WHEN age <= 30 THEN '0-030d' WHEN age <= 90 THEN '031-090d'
+                WHEN age <= 365 THEN '091-365d' ELSE '366d+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS backlog_value
+    FROM open_orders
+    GROUP BY 1, 2 ORDER BY o_orderpriority, age_bucket
+    """,
+)
+def warehouse_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still open ('O') bucketed by
+    age at the latest order date, per priority, with counts and value
+    at risk — the ops dashboard behind every fulfilment SLA review.
+
+    Snapshot date is a 1-row broadcast aggregate; the rest is one
+    filtered scan + one partial-aggregatable groupBy. Bucket labels
+    are chosen to sort lexicographically = chronologically so the
+    ordering needs no CASE re-mapping.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("today"))
+    age = F.datediff(F.col("today"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-030d")
+        .when(age <= 90, "031-090d")
+        .when(age <= 365, "091-365d")
+        .otherwise("366d+")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("backlog_value"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )

@@ -1039,3 +1039,106 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("est_n") - F.col("true_n")).alias("max_overestimate"),
         F.sum(F.col("est_n") - F.col("true_n")).alias("total_overestimate"),
     )
+
+
+@query(
+    "streaming_late_data_accounting",
+    oracle="""
+    WITH synth AS (
+        SELECT range AS event_id,
+               1704067200 + range * 60
+                 - CASE WHEN range % 37 = 0 THEN 10800 ELSE 0 END AS es,
+               range // 500 AS batch
+        FROM range(0, 2000)
+    ), batch_max AS (
+        SELECT batch, MAX(es) AS mx FROM synth GROUP BY batch
+    ), wm AS (
+        SELECT batch,
+               COALESCE(MAX(mx) OVER (ORDER BY batch
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 2 PRECEDING) - 1800, 0) AS w
+        FROM batch_max
+    ), kept AS (
+        SELECT s.es
+        FROM synth s JOIN wm ON s.batch = wm.batch
+        WHERE (s.es // 600) * 600 + 600 > wm.w
+    )
+    SELECT strftime(to_timestamp((es // 600) * 600), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           COUNT(*) AS n_events
+    FROM kept GROUP BY 1 ORDER BY window_start
+    """,
+)
+def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics, certified: a deterministic
+    stream where every 37th event arrives 3 hours late in event time;
+    with a 30-minute watermark over 10-minute windows, a late row is
+    dropped iff its window had already been finalized when its
+    micro-batch ran — and which rows those are depends on watermark
+    STATE (early rows of a batch drop, late rows of the same batch land
+    in still-open windows), not on a static rule.
+
+    The oracle replays Spark's exact watermark protocol in SQL, and
+    parity EMPIRICALLY pinned a subtlety the docs gloss over: the
+    watermark active while micro-batch b executes reflects event times
+    through batch b-2, not b-1 — batch b-1's maximum is folded into
+    the watermark only when the following batch is planned, so late
+    data gets one extra batch of grace. (Modeling it as b-1 fails the
+    hash on exactly the rows in that grace window.) Eviction boundary:
+    window_end > watermark keeps the row; watermark starts at epoch 0
+    and is monotone. Update-mode foreachBatch
+    appends per-batch window counts; counts are monotone per window, so
+    MAX over updates is the final state. The remaining streaming
+    entries all feed in-order data and never exercise the drop path —
+    this one exists to pin it.
+    """
+    import shutil
+
+    from ..sources.pydatasource import register
+    from ..streaming.event_windows import _COUNTER
+
+    register(spark)
+    base = "/root/repo/spark-warehouse/stream_late"
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt, out = f"{base}/checkpoint", f"{base}/out"
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 2000)
+        .option("batch_rows", 500)
+        .load()
+        .select(
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + F.col("event_id") * 60
+                - F.when(F.col("event_id") % 37 == 0, 10800).otherwise(0)
+            ).alias("ts")
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_late_{next(_COUNTER)}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("window_start")
+        .agg(F.max("n").alias("n_events"))
+        .orderBy("window_start")
+    )

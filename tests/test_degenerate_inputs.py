@@ -162,7 +162,9 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "events_markov_stationary", "text_bigram_perplexity",
         "sim_filtered_topk", "featurestore_pit_features",
         "sample_kcenter_greedy", "events_haar_multiscale",
-        "funnel_absorbing_conversion",
+        "funnel_absorbing_conversion", "forecast_snaive_backtest",
+        "events_trending_rank_wow", "ingest_quarantine_bad_csv",
+        "warehouse_backlog_aging",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -260,3 +260,14 @@ def test_available_now_drains_in_rate_limited_batches(spark):
         )
     )
     assert rows == {tuple(r) for r in batch.collect()}
+
+
+def test_late_data_accounting_actually_drops(spark):
+    """The lateness entry must exercise the drop path: total events in
+    the final state < rows emitted by the source (2000)."""
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    rows = REGISTRY["streaming_late_data_accounting"].fn(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total < 2000  # some late rows were evicted
+    assert total > 1900  # but only the planted late stragglers

@@ -1047,7 +1047,7 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH synth AS (
         SELECT range AS event_id,
                1704067200 + range * 60
-                 - CASE WHEN range % 37 = 0 THEN 10800 ELSE 0 END AS es,
+                 - CASE WHEN range % 37 = 0 THEN 40000 ELSE 0 END AS es,
                range // 500 AS batch
         FROM range(0, 2000)
     ), batch_max AS (
@@ -1071,12 +1071,15 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP semantics, certified: a deterministic
-    stream where every 37th event arrives 3 hours late in event time;
-    with a 30-minute watermark over 10-minute windows, a late row is
-    dropped iff its window had already been finalized when its
-    micro-batch ran — and which rows those are depends on watermark
-    STATE (early rows of a batch drop, late rows of the same batch land
-    in still-open windows), not on a static rule.
+    stream where every 37th event arrives ~11 hours late in event time
+    (beyond one micro-batch's span PLUS the watermark's one-batch
+    grace — a 3h plant drops nothing, which is itself part of the
+    finding); with a 30-minute watermark over 10-minute windows, a
+    late row is dropped iff its window had already been finalized when
+    its micro-batch ran — and which rows those are depends on
+    watermark STATE (the first ~126 ids of each batch drop, later ids
+    of the SAME batch land in still-open windows), not on a static
+    rule.
 
     The oracle replays Spark's exact watermark protocol in SQL, and
     parity EMPIRICALLY pinned a subtlety the docs gloss over: the
@@ -1110,7 +1113,7 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
             F.timestamp_seconds(
                 F.lit(1704067200)
                 + F.col("event_id") * 60
-                - F.when(F.col("event_id") % 37 == 0, 10800).otherwise(0)
+                - F.when(F.col("event_id") % 37 == 0, 40000).otherwise(0)
             ).alias("ts")
         )
         .withWatermark("ts", "30 minutes")

@@ -467,6 +467,10 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy(F.col("cj").alias("j"), F.col("ck").alias("k"))
         .agg(hround(F.sum(F.col("xa") * F.col("xb")) / F.lit(float(n - 1)), 9).alias("c"))
+        # referenced by every iteration + the Rayleigh quotient; without
+        # lineage truncation the 20M-row covariance join re-executes per
+        # reference (Catalyst does not CSE whole subplans across joins)
+        .localCheckpoint(eager=False)
     )
     v = mu.select("j", F.lit(0.125).alias("v"))
     for _ in range(3):
@@ -902,7 +906,7 @@ def ml_gd_linreg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("f2") - F.col("m2")) / F.col("s2")).alias("x2"),
         ((F.col("fy") - F.col("my")) / F.col("sy")).alias("y"),
         "n",
-    )
+    ).localCheckpoint(eager=False)  # referenced 2x per GD round
     p = stats.select(
         F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
     )
@@ -1365,6 +1369,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_type",
             hround(F.col("n").cast("double") / F.sum("n").over(wp), 9).alias("p"),
         )
+        .localCheckpoint(eager=False)  # corpus-scan lag referenced per round
     )
     states = pmat.select(F.col("prev_type").alias("st")).distinct()
     n_states = states.agg(F.count(F.lit(1)).alias("ns"))

@@ -1104,3 +1104,61 @@ def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "asof_join_click_next_purchase",
+    oracle=f"""
+    SELECT c.event_id,
+           c.user_id,
+           strftime(CAST(c.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(CAST(p.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS purchase_ts,
+           CAST(date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts < p.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_join_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's EARLIEST
+    strictly later purchase — the time-to-next-event direction
+    (`asof_join_click_to_purchase` is the backward/attribution
+    direction; forward is the conversion-latency direction, and the two
+    are not symmetric row sets).
+
+    Same union-and-carry idiom mirrored: one window per user ordered
+    ts DESCENDING carries the nearest future purchase backward; at
+    equal ts the click sorts before the purchase in the traversal so
+    strictness (c.ts < p.ts) falls out of the sort order, exactly like
+    the backward twin. ONE shuffle on user_id, no range self-join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_c"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_c"), F.col("ts").alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_purchase", F.last("p_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_c") == 1) & F.col("next_purchase").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+            F.date_format("next_purchase", _TS_FMT_SPARK).alias("purchase_ts"),
+            (F.unix_timestamp("next_purchase") - F.unix_timestamp("ts"))
+            .cast("bigint")
+            .alias("gap_sec"),
+        )
+        .orderBy("event_id")
+    )

@@ -933,3 +933,66 @@ def warehouse_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "age_bucket")
     )
+
+
+@query(
+    "maintain_incremental_join",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY custkey
+    """,
+)
+def maintain_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view, certified by the driver
+    hash: split both base tables at a date watershed into (old, delta),
+    maintain the revenue-by-customer join view with the delta-join
+    identity  dV = dO |><| L_old  U  O_old |><| dL  U  dO |><| dL,
+    merge with the old view's partial aggregates, and the result must
+    equal the monolithic recomputation (the oracle) bit-for-bit.
+
+    The IVM algebra the aggregate (`maintain_incremental_agg`) and
+    statistics (`maintain_parallel_variance_merge`) entries make
+    explicit, now for joins: at 100 TB you never re-join seven years of
+    fact data for one day's load — you join the day's deltas against
+    the other side (plus delta x delta) and fold partial (count, sum)
+    states. Sums are folded as exact cents only at the final merge, so
+    partial-aggregation order can't flip the hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "1997-01-01"
+    o_old = orders.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp_ntz"))
+    o_new = orders.filter(F.col("o_orderdate") >= F.lit(cut).cast("timestamp_ntz"))
+    l_old = li.filter(F.col("l_shipdate") < F.lit(cut).cast("timestamp_ntz"))
+    l_new = li.filter(F.col("l_shipdate") >= F.lit(cut).cast("timestamp_ntz"))
+
+    def partial(o, l):
+        rev_cents = F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+        ).cast("long")
+        return (
+            o.select("o_orderkey", "o_custkey")
+            .join(l.select("l_orderkey", "l_extendedprice", "l_discount"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(rev_cents).alias("cents"))
+        )
+
+    view = (
+        partial(o_old, l_old)
+        .unionByName(partial(o_new, l_old))
+        .unionByName(partial(o_old, l_new))
+        .unionByName(partial(o_new, l_new))
+        .groupBy("o_custkey")
+        .agg(F.sum("n").alias("n_lines"), F.sum("cents").alias("cents"))
+    )
+    return view.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_lines",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+    ).orderBy("custkey")

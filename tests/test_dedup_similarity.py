@@ -220,3 +220,26 @@ def test_kcenter_greedy_matches_numpy(spark):
     got_radii = [r["radius_after"] for r in rows]
     assert np.allclose(got_radii, radii, atol=2e-6)
     assert all(a > b for a, b in zip(got_radii, got_radii[1:]))  # coverage shrinks
+
+
+def test_pq_adc_rerank_recall(spark):
+    """PQ+rerank must (a) return exactly 3 ranked rows per query, (b)
+    score candidates by true L2 after rerank (monotone per query), and
+    (c) achieve non-vacuous recall: some true top-3 hits, some misses
+    (random embeddings are PQ's worst case — full recall would mean the
+    exact path leaked into candidate generation)."""
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    rows = REGISTRY["sim_pq_adc_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {5, 17, 42}
+    hits = 0
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        dists = [r["l2_dist"] for r in rs]
+        assert dists == sorted(dists)
+        hits += sum(r["exact_hit"] for r in rs)
+    assert 0 < hits < 9

@@ -164,7 +164,8 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "sample_kcenter_greedy", "events_haar_multiscale",
         "funnel_absorbing_conversion", "forecast_snaive_backtest",
         "events_trending_rank_wow", "ingest_quarantine_bad_csv",
-        "warehouse_backlog_aging",
+        "warehouse_backlog_aging", "asof_join_click_next_purchase",
+        "maintain_incremental_join",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

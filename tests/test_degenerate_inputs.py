@@ -165,7 +165,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "funnel_absorbing_conversion", "forecast_snaive_backtest",
         "events_trending_rank_wow", "ingest_quarantine_bad_csv",
         "warehouse_backlog_aging", "asof_join_click_next_purchase",
-        "maintain_incremental_join",
+        "maintain_incremental_join", "sim_pq_adc_topk",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -1843,3 +1843,100 @@ def events_trending_rank_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_delta"),
     ).orderBy("week", "rnk", "event_type")
+
+
+LP_ROUNDS = 5
+
+
+def _labelprop_oracle() -> str:
+    sql = """
+    WITH e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e
+    ), l0 AS (
+        SELECT DISTINCT node, node AS lbl FROM adj
+    )"""
+    for r in range(1, LP_ROUNDS + 1):
+        p = r - 1
+        sql += f""", v{r} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT a.node, l.lbl,
+                   ROW_NUMBER() OVER (PARTITION BY a.node
+                                      ORDER BY COUNT(*) DESC, l.lbl) AS rn
+            FROM adj a JOIN l{p} l ON a.nbr = l.node
+            GROUP BY a.node, l.lbl
+        ) WHERE rn = 1
+    ), l{r} AS (SELECT node, lbl FROM v{r})"""
+    selects = [
+        f"""SELECT {r} AS lp_round,
+           (SELECT COUNT(DISTINCT lbl) FROM l{r}) AS n_labels,
+           (SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM l{r} GROUP BY lbl))
+               AS largest_community"""
+        for r in range(1, LP_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY lp_round"
+
+
+@query("graph_label_propagation", oracle=_labelprop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph: every node adopts its neighbors' most
+    frequent label each round (ties to the smallest label — the
+    determinism knob async LPA lacks), 5 unrolled rounds, reported as
+    the convergence trajectory (distinct labels, largest community).
+
+    Completes the graph-analytics ladder: `dedup_cc_clusters` answers
+    connectivity, `graph_kcore_peel` cohesion, this one community
+    structure within connected components. Each round is one
+    adjacency-join + grouped argmax — the same shuffle shape as a
+    round of PageRank; lineage truncated per round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select("node").distinct().select("node", F.col("node").alias("lbl"))
+    out_rows: list[DataFrame] = []
+    for r in range(1, LP_ROUNDS + 1):
+        labels = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+        comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
+        stats = comm.agg(
+            F.count(F.lit(1)).alias("n_labels"), F.max("n").alias("largest_community")
+        )
+        out_rows.append(
+            stats.select(F.lit(r).alias("lp_round"), "n_labels", "largest_community")
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lp_round")

@@ -358,3 +358,124 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.exp(F.avg("nll")), 4).alias("ppl"),
     )
     return per_doc.orderBy(F.col("ppl").desc(), "doc_id").limit(10)
+
+
+def _bpe_encode_oracle() -> str:
+    """Reuses the training CTE chain, then reports encoding statistics
+    instead of the merge table (everything before the merge-table
+    UNION ALL is the shared training prefix)."""
+    parts = _bpe_oracle().split("\nSELECT")[0]
+    return f"""{parts}
+    , enc AS (
+        SELECT word, freq, string_split(sym, ' ') AS toks
+        FROM s{BPE_ROUNDS}
+    ), totals AS (
+        SELECT CAST(SUM(freq * len(word)) AS BIGINT) AS total_chars,
+               CAST(SUM(freq * len(toks)) AS BIGINT) AS total_tokens
+        FROM enc
+    ), symfreq AS (
+        SELECT t AS symbol, CAST(SUM(freq) AS BIGINT) AS sym_count
+        FROM (SELECT freq, unnest(toks) AS t FROM enc)
+        GROUP BY t
+    ), top5 AS (
+        SELECT symbol, sym_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY sym_count DESC, symbol) AS BIGINT) AS rank
+        FROM symfreq ORDER BY sym_count DESC, symbol LIMIT 5
+    )
+    SELECT top5.rank, top5.symbol, top5.sym_count,
+           totals.total_chars, totals.total_tokens,
+           {dround('100.0 * (1.0 - CAST(totals.total_tokens AS DOUBLE) / totals.total_chars)', 4)}
+               AS compression_pct
+    FROM top5, totals
+    ORDER BY rank
+    """
+
+
+@query("vocab_bpe_encode_stats", oracle=_bpe_encode_oracle())
+def vocab_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference: apply the 3 learned merges (same training as
+    `vocab_bpe_merges`) to every word and report what the tokenizer
+    buys — total symbols before/after, the compression percentage, and
+    the 5 most frequent symbols in the encoded corpus (the head of the
+    learned vocabulary).
+
+    Same scale contract as training: the corpus is scanned once for
+    word frequencies; encoding applies the fold to the distinct-word
+    table and all statistics are frequency-weighted aggregates of it —
+    the corpus itself is never re-tokenized row by row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym_tab = wf.select(
+        "word", "freq", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym")
+    )
+    for _ in range(BPE_ROUNDS):
+        syms = sym_tab.select("word", "freq", "sym", F.split("sym", " ").alias("syms"))
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms)-1)").alias("lhs"),
+                        F.expr("slice(syms, 2, size(syms)-1)").alias("rhs"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.col("pair_count").desc(), "lhs", "rhs").limit(1)
+        merged_sym = F.aggregate(
+            F.col("syms"), F.lit(""), _bpe_merge_step(F.col("b_lhs"), F.col("b_rhs"))
+        )
+        sym_tab = (
+            syms.crossJoin(
+                F.broadcast(
+                    best.select(F.col("lhs").alias("b_lhs"), F.col("rhs").alias("b_rhs"))
+                )
+            )
+            .select("word", "freq", merged_sym.alias("sym"))
+        )
+    enc = sym_tab.select("word", "freq", F.split("sym", " ").alias("toks")).localCheckpoint(
+        eager=False
+    )
+    totals = enc.agg(
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias("total_chars"),
+        F.sum(F.col("freq") * F.size("toks")).cast("long").alias("total_tokens"),
+    )
+    symfreq = (
+        enc.select("freq", F.explode("toks").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("sym_count"))
+    )
+    top5 = (
+        symfreq.orderBy(F.col("sym_count").desc(), "symbol")
+        .limit(5)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("sym_count").desc(), "symbol"))
+            .cast("long"),
+        )
+    )
+    return (
+        top5.crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "symbol",
+            "sym_count",
+            "total_chars",
+            "total_tokens",
+            hround(
+                F.lit(100.0)
+                * (F.lit(1.0) - F.col("total_tokens").cast("double") / F.col("total_chars")),
+                4,
+            ).alias("compression_pct"),
+        )
+        .orderBy("rank")
+    )

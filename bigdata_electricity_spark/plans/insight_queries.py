@@ -1940,3 +1940,102 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out.orderBy("lp_round")
+
+
+@query(
+    "stats_spearman_rank_corr",
+    oracle=f"""
+    WITH feats AS MATERIALIZED (
+        SELECT len(string_split(text, ' ')) AS x, n_chars AS y FROM documents
+    ), rx AS (
+        SELECT x, COALESCE(SUM(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND 1 PRECEDING), 0) * 1.0
+                  + (cnt + 1) / 2.0 AS r
+        FROM (SELECT x, COUNT(*) AS cnt FROM feats GROUP BY x)
+    ), ry AS (
+        SELECT y, COALESCE(SUM(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND 1 PRECEDING), 0) * 1.0
+                  + (cnt + 1) / 2.0 AS r
+        FROM (SELECT y, COUNT(*) AS cnt FROM feats GROUP BY y)
+    ), ranked AS (
+        SELECT rx.r AS xr, ry.r AS yr
+        FROM feats JOIN rx USING (x) JOIN ry USING (y)
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(xr) AS sx, SUM(yr) AS sy,
+               SUM(xr * xr) AS sxx, SUM(yr * yr) AS syy,
+               SUM(xr * yr) AS sxy
+        FROM ranked
+    ), raw AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CAST(x AS DOUBLE)) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+               SUM(CAST(x AS DOUBLE) * x) AS sxx,
+               SUM(CAST(y AS DOUBLE) * y) AS syy,
+               SUM(CAST(x AS DOUBLE) * y) AS sxy
+        FROM feats
+    )
+    SELECT CAST(sums.n AS BIGINT) AS n_docs,
+           {dround('(sums.n * sums.sxy - sums.sx * sums.sy)'
+                   ' / sqrt((sums.n * sums.sxx - sums.sx * sums.sx)'
+                   ' * (sums.n * sums.syy - sums.sy * sums.sy))', 6)} AS spearman_rho,
+           {dround('(raw.n * raw.sxy - raw.sx * raw.sy)'
+                   ' / sqrt((raw.n * raw.sxx - raw.sx * raw.sx)'
+                   ' * (raw.n * raw.syy - raw.sy * raw.sy))', 6)} AS pearson_r
+    FROM sums, raw
+    """,
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with Pearson alongside) between token
+    count and character count over documents — the robust/monotone
+    dependence measure `stats_correlation_matrix` (Pearson-only) lacks.
+
+    Ranks are NEVER assigned per row: midranks come from the
+    distinct-value table (cumulative count + (ties+1)/2 — the
+    `abtest_mannwhitney_u` prefix-sum idea in its simplest form) and
+    broadcast-join back, so there is no global row window at any
+    corpus size. Both correlations are computed from one explicit
+    sum-of-products formula shared verbatim by the engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.size(F.split("text", " ")).alias("x"), F.col("n_chars").alias("y")
+    ).localCheckpoint(eager=False)
+
+    def midranks(col: str):
+        counts = feats.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                F.coalesce(F.sum("cnt").over(w), F.lit(0)) * 1.0
+                + (F.col("cnt") + 1) / 2.0
+            ).alias("r"),
+        )
+
+    ranked = (
+        feats.join(F.broadcast(midranks("x")).withColumnRenamed("r", "xr"), "x")
+        .join(F.broadcast(midranks("y")).withColumnRenamed("r", "yr"), "y")
+    )
+
+    def corr_row(df, xc, yc, out):
+        x, y = F.col(xc).cast("double"), F.col(yc).cast("double")
+        s = df.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        return s.select(
+            F.col("n").cast("long").alias("n_docs"), hround(num / den, 6).alias(out)
+        )
+
+    sp = corr_row(ranked, "xr", "yr", "spearman_rho")
+    pe = corr_row(feats, "x", "y", "pearson_r").drop("n_docs")
+    return sp.crossJoin(F.broadcast(pe))

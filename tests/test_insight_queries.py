@@ -456,3 +456,16 @@ def test_absorbing_conversion_matches_numpy(spark, events_pdf):
     for s in transients:
         assert abs(rows[s]["p_convert_6steps"] - h[s]) < 2e-6
         assert rows[s]["p_convert_1step"] < rows[s]["p_convert_6steps"] < 1.0
+
+
+def test_spearman_matches_scipy_free_recompute(spark):
+    """Recompute Spearman with pandas' average-rank method."""
+    r = REGISTRY["stats_spearman_rank_corr"].fn(spark, SF_DIR).collect()[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    x = docs["text"].str.split(" ").str.len()
+    y = docs["n_chars"]
+    rho = x.rank(method="average").corr(y.rank(method="average"))
+    pear = x.astype(float).corr(y.astype(float))
+    assert abs(r["spearman_rho"] - rho) < 1e-5
+    assert abs(r["pearson_r"] - pear) < 1e-5
+    assert r["n_docs"] == len(docs)

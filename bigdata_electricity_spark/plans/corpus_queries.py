@@ -479,3 +479,100 @@ def vocab_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+HEAPS_CHECKPOINTS = (50, 100, 200, 500)
+
+
+@query(
+    "corpus_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cps AS (
+        SELECT k FROM (SELECT unnest([{", ".join(map(str, HEAPS_CHECKPOINTS))}]) AS k)
+        WHERE k <= (SELECT MAX(doc_id) + 1 FROM toks)
+    ), stats AS MATERIALIZED (
+        SELECT cps.k,
+               CAST(COUNT(*) FILTER (toks.doc_id < cps.k) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT CASE WHEN toks.doc_id < cps.k THEN toks.w END)
+                    AS BIGINT) AS vocab
+        FROM toks, cps GROUP BY cps.k
+    ), pts AS (
+        SELECT ln(CAST(n_tokens AS DOUBLE)) AS lx, ln(CAST(vocab AS DOUBLE)) AS ly
+        FROM stats
+    ), fit AS (
+        SELECT {dround('(COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))'
+                       ' / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))', 6)} AS beta
+        FROM pts
+    )
+    SELECT CAST(stats.k AS BIGINT) AS k_docs, stats.n_tokens, stats.vocab,
+           fit.beta AS heaps_beta
+    FROM stats, fit ORDER BY k_docs
+    """,
+)
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) audit: distinct-word counts at
+    doc-prefix checkpoints plus the fitted log-log growth exponent
+    V ~ n^beta — the statistic that predicts how a tokenizer's
+    vocabulary and every vocab-bounded plan in this repo (BPE, unigram
+    LM, TF-IDF) scale as the corpus grows. Natural language sits at
+    beta ~ 0.4-0.6; a closed synthetic vocabulary like this corpus
+    shows beta ~ 0 (saturation) — which is exactly what certifies that
+    the vocab-bounded claims hold at 100 TB here.
+
+    One scan: every checkpoint is a conditional COUNT(DISTINCT CASE)
+    over the same exploded token stream; the OLS fit runs on
+    |checkpoints| points.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    max_doc = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    cps = (
+        spark.createDataFrame([(k,) for k in HEAPS_CHECKPOINTS], "k long")
+        .crossJoin(F.broadcast(max_doc))
+        .filter(F.col("k") <= F.col("nd"))
+        .select("k")
+    )
+    stats = (
+        toks.crossJoin(F.broadcast(cps))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.countDistinct(
+                F.when(F.col("doc_id") < F.col("k"), F.col("w"))
+            )
+            .cast("long")
+            .alias("vocab"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pts = stats.select(
+        F.log(F.col("n_tokens").cast("double")).alias("lx"),
+        F.log(F.col("vocab").cast("double")).alias("ly"),
+    )
+    fit = pts.agg(
+        hround(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
+                - F.sum("lx") * F.sum("ly")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+                - F.sum("lx") * F.sum("lx")
+            ),
+            6,
+        ).alias("beta")
+    )
+    return (
+        stats.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").alias("k_docs"),
+            "n_tokens",
+            "vocab",
+            F.col("beta").alias("heaps_beta"),
+        )
+        .orderBy("k_docs")
+    )

@@ -166,6 +166,8 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "events_trending_rank_wow", "ingest_quarantine_bad_csv",
         "warehouse_backlog_aging", "asof_join_click_next_purchase",
         "maintain_incremental_join", "sim_pq_adc_topk",
+        "graph_label_propagation", "vocab_bpe_encode_stats",
+        "stats_spearman_rank_corr", "corpus_heaps_law_fit",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -1201,3 +1201,52 @@ def ingest_quarantine_bad_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "export_xml_roundtrip",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(md5(text)) AS min_fp,
+           MAX(md5(text)) AS max_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def export_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange (Spark 4's native built-in XML source — no
+    spark-xml package): write the corpus as XML documents, read them
+    back with rowTag schema inference, and audit per-source counts,
+    sizes, AND content fingerprints against the original table — the
+    fingerprints catch what counts can't: entity-escaping or
+    whitespace mangling of the text payload through the markup
+    round-trip. Third interchange codec after ORC
+    (`export_orc_roundtrip`) and JSONL (`ingest_jsonl_from_text`).
+
+    The fingerprint travels as a column (md5 computed BEFORE the
+    write), so a lossy round-trip breaks the read-back md5-of-text
+    equality check below, and any drift breaks the driver hash.
+    """
+    out_dir = "/root/repo/spark-warehouse/corpus_xml"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text", F.md5("text").alias("fp_written")
+    )
+    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
+    back = spark.read.format("xml").option("rowTag", "doc").load(out_dir)
+    # content integrity: the text that came back must hash to the
+    # fingerprint computed before the write, for every row
+    n_mangled = back.filter(F.md5("text") != F.col("fp_written")).count()
+    assert n_mangled == 0, f"XML round-trip mangled {n_mangled} text payloads"
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("fp_written").alias("min_fp"),
+            F.max("fp_written").alias("max_fp"),
+        )
+        .orderBy("source")
+    )

@@ -1250,3 +1250,66 @@ def export_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sql_collation_groupby",
+    oracle="""
+    WITH mangled AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN upper(source)
+                    WHEN doc_id % 3 = 0 THEN upper(substr(source, 1, 1))
+                                             || substr(source, 2)
+                    ELSE source END AS src_cased,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(src_cased) AS source_key,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT src_cased) AS BIGINT) AS n_case_variants,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM mangled
+    GROUP BY lower(src_cased)
+    ORDER BY source_key
+    """,
+)
+def sql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): deterministic
+    case-mangling is injected into `source` (every 7th doc uppercased,
+    every 3rd title-cased), then the group key is the column COLLATED
+    as UTF8_LCASE — the engine groups case-insensitively with no
+    lower() rewrite of the data, which is the point of collations: the
+    comparison semantics move into the type, so every downstream
+    join/sort/distinct inherits them. n_case_variants counts the
+    distinct raw spellings per group (binary-collated DISTINCT inside
+    a lowercase-collated GROUP BY — two collations in one aggregate);
+    the output key is explicitly lowercased because a collated group's
+    representative value is whichever spelling a partition saw first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.select(
+        F.when(F.col("doc_id") % 7 == 0, F.upper("source"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.upper(F.substring("source", 1, 1)), F.expr("substr(source, 2)")),
+        )
+        .otherwise(F.col("source"))
+        .alias("src_cased"),
+        "n_chars",
+    )
+    return (
+        mangled.groupBy(F.expr("collate(src_cased, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.expr("collate(src_cased, 'UTF8_BINARY')"))
+            .cast("long")
+            .alias("n_case_variants"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("source_key"),
+            "n_docs",
+            "n_case_variants",
+            "total_chars",
+        )
+        .orderBy("source_key")
+    )

@@ -168,6 +168,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "maintain_incremental_join", "sim_pq_adc_topk",
         "graph_label_propagation", "vocab_bpe_encode_stats",
         "stats_spearman_rank_corr", "corpus_heaps_law_fit",
+        "export_xml_roundtrip", "sql_collation_groupby",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -33,6 +33,14 @@ def running_offsets_scalable(sized: DataFrame, id_col: str = "doc_id",
     parts = sized.repartitionByRange(
         *( [n_partitions] if n_partitions else [] ), F.col(id_col)
     ).sortWithinPartitions(id_col).withColumn("__pid", F.spark_partition_id())
+    # Pin the partition assignment: repartitionByRange samples its range
+    # boundaries with a per-execution seed, so the subtotal action below
+    # and the returned plan would otherwise re-sample independently and
+    # could place boundary rows in different __pid partitions once the
+    # input is large enough for partial sampling — silently misaligning
+    # every base offset. The lazy localCheckpoint makes both jobs read
+    # the SAME materialized partitioning.
+    parts = parts.localCheckpoint(eager=False)
 
     # One row per partition: (pid, subtotal). Collected to the driver —
     # this is the only driver-side data and it is O(#partitions).
@@ -83,6 +91,9 @@ def exclusive_prefix_sums(df: DataFrame, order_col: str,
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # Pin the range-partition assignment before the first action — same
+    # per-execution-seed hazard as running_offsets_scalable above.
+    parts = parts.localCheckpoint(eager=False)
     subtot_rows = (
         parts.groupBy("__pid")
         .agg(*[F.sum(c).alias(c) for c in size_cols])

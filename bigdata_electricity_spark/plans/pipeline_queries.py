@@ -1237,8 +1237,12 @@ def export_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
     back = spark.read.format("xml").option("rowTag", "doc").load(out_dir)
     # content integrity: the text that came back must hash to the
-    # fingerprint computed before the write, for every row
-    n_mangled = back.filter(F.md5("text") != F.col("fp_written")).count()
+    # fingerprint computed before the write, for every row. Null-safe
+    # comparison: if the XML reader nulls a payload out (e.g. an
+    # empty/whitespace-only text element), md5(NULL) != fp evaluates to
+    # NULL and a plain filter would silently drop the row — exactly the
+    # lossy case this audit exists to catch.
+    n_mangled = back.filter(~F.md5("text").eqNullSafe(F.col("fp_written"))).count()
     assert n_mangled == 0, f"XML round-trip mangled {n_mangled} text payloads"
     return (
         back.groupBy("source")

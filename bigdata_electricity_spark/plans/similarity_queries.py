@@ -1084,13 +1084,17 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_filtered_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, label,
-           floor(({_DUCK_COS.format(a='embedding', b='qv')}) * 1000000.0 + 0.5)
-               / 1000000.0 AS cosine
-    FROM embeddings, q
-    WHERE vec_id <> 0 AND label = 3
-    ORDER BY {_DUCK_COS.format(a='embedding', b='qv')} DESC, vec_id ASC
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id, label,
+               floor(({_DUCK_COS.format(a='embedding', b='qv')}) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label = 3
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id ASC
     LIMIT 5
     """,
 )
@@ -1119,10 +1123,13 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("embedding"), F.col("qv")).alias("cos_raw"),
         )
     )
+    # Round-before-rank discipline (same as sim_mmr/sim_rrf/text_bm25):
+    # rank on the 6-decimal-rounded cosine with vec_id tie-break so a
+    # ~1e-13 cross-engine float divergence can't flip the top-5 cut.
     return (
-        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        scored.select("vec_id", "label", hround("cos_raw", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
-        .select("vec_id", "label", hround("cos_raw", 6).alias("cosine"))
     )
 
 

@@ -156,10 +156,19 @@ def test_scalable_packing_has_no_single_partition_exchange(spark):
     )
     out = running_offsets_scalable(sized, n_partitions=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # The window sorts WITHIN partitions; the only exchange is the range
-    # repartition — never a funnel through one partition.
+    # The window sorts WITHIN partitions; downstream of the pinned
+    # checkpoint there is never a funnel through one partition.
     assert "Exchange SinglePartition" not in plan, plan[:1500]
-    assert "rangepartitioning" in plan.lower()
+    # The range repartition is pinned behind a lazy localCheckpoint (so
+    # the subtotal action and the output plan share ONE partition
+    # assignment — repartitionByRange samples boundaries with a
+    # per-execution seed); the downstream plan therefore reads the
+    # checkpointed RDD instead of re-planning the exchange.
+    assert "Scan ExistingRDD" in plan, plan[:1500]
+    # The range exchange lives in the checkpointed segment's own plan.
+    inner = sized.repartitionByRange(7, F.col("doc_id"))
+    inner_plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in inner_plan.lower()
 
 
 def test_multi_column_prefix_sums_match_global_window(spark):

@@ -3,8 +3,12 @@
 The reference implements zero joins; these are required by the driver's
 TPC-H-ish testdata and the north-star. Join-strategy discipline for the
 100 TB tier:
-- dimensions (region 5, nation 25, supplier, customer, part) are
-  broadcast explicitly — no shuffle for the fact table;
+- constant-cardinality dimensions (region 5 rows, nation 25 — fixed at
+  every SF) are broadcast explicitly; supplier/customer/part scale with
+  SF and therefore join UNhinted via operators/dims.py's hint_dim, so
+  Catalyst/AQE broadcast them when actually small and shuffle at scale
+  (an explicit hint is not AQE-demotable and the 8 GB broadcast cap
+  bites at 100 TB);
 - the one genuinely large⋈large join (lineitem⋈orders) shuffles on the
   join key, with AQE skew-splitting enabled in the session confs;
 - aggregations sit ABOVE the join but Catalyst pushes projections/filters
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.dims import hint_dim
 from ..operators.skew import salted_join
 from ..sources.loaders import load_table
 from ..sources.sinks import write_bucketed_table
@@ -37,10 +42,12 @@ from .registry import query
     """,
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way star join: fact⋈fact shuffle + broadcast dims, then rollup.
+    """4-way star join: fact⋈fact shuffle + dimension joins, then rollup.
 
-    lineitem⋈orders shuffles on the order key (both large); customer and
-    nation broadcast. TPC-H Q5-like shape.
+    lineitem⋈orders shuffles on the order key (both large); nation is
+    hinted broadcast (25 rows), customer joins unhinted — stats/AQE
+    broadcast it while it fits and demote it at scale. TPC-H Q5-like
+    shape.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -48,7 +55,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -73,11 +80,11 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dimension with broadcast: shipped volume per brand."""
+    """Fact⋈dimension join (unhinted — stats/AQE-sized): volume per brand."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             hround(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -103,13 +110,14 @@ def join_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snowflake rollup through two broadcast dimension hops + distinct agg."""
+    """Snowflake rollup through two dimension hops (customer unhinted,
+    nation/region hinted broadcast) + distinct agg."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))

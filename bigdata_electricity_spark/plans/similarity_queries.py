@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import hround
 from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..operators.dims import hint_dim
 from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
 from ..sources.loaders import load_table
 from .registry import query
@@ -206,7 +207,7 @@ def sim_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = p.select("p_brand", F.col("p_partkey").alias("x_key"), F.col("p_name").alias("name_a"))
     y = p.select("p_brand", F.col("p_partkey").alias("y_key"), F.col("p_name").alias("name_b"))
-    expanded = x.join(F.broadcast(npairs), "name_a").join(y, ["p_brand", "name_b"])
+    expanded = x.join(npairs, "name_a").join(y, ["p_brand", "name_b"])
     first_is_a = F.col("x_key") < F.col("y_key")
     return expanded.select(
         "p_brand",
@@ -675,8 +676,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: an edge cust-nation → supp-nation weighted by revenue share.
 
     The expensive part — building the weighted edge list — is one pass
-    over lineitem with every dimension broadcast (the tpch_q7 join
-    shape) and a single (src,dst) shuffle agg; at 100 TB the edge list
+    over lineitem (the tpch_q7 join shape: nation aliases hinted
+    broadcast, supplier/customer unhinted per the dims.py policy) and a
+    single (src,dst) shuffle agg; at 100 TB the edge list
     is |nations|² ≤ 625 rows no matter the fact volume. Each power
     iteration is then a broadcast join of the tiny rank vector into the
     tiny edge list — the loop unrolls into one declarative plan, no
@@ -695,8 +697,8 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(supplier, "supplier"), li.l_suppkey == supplier.s_suppkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .groupBy("src", "dst")

@@ -229,7 +229,8 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The full distributed shape: explode → (doc, term) counts → document
     frequency join → per-doc window argmax. The df side aggregates to
-    |vocab| rows (broadcastable); scores are rounded BEFORE ranking so
+    |vocab| rows — Heaps-law growth at corpus scale, so it joins
+    unhinted (stats/AQE-sized); scores are rounded BEFORE ranking so
     libm ln() ulp differences can't flip the per-doc argmax across
     engines (tie-break on term).
     """
@@ -242,7 +243,7 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .select(
             "doc_id",
             "token",

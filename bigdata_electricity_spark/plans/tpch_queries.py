@@ -9,10 +9,10 @@ exercises a distinct planner capability:
 - Q4: EXISTS via left-semi join (no row duplication)
 - Q6: pure scan-side predicate pushdown, no join, single-row agg
 - Q7: one dimension joined twice under different aliases (both broadcast)
-- Q9: five-way join, build-side filter pruned before broadcast
+- Q9: five-way join, build-side filter pruned before the join
 - Q10: group-by-customer revenue with broadcast nation, top 20
 - Q12: interval arithmetic + two-tier conditional aggregation
-- Q14: conditional-sum ratio over a broadcast part join
+- Q14: conditional-sum ratio over the part join
 - Q15: scalar-subquery max over a reused CTE (1-row broadcast)
 - Q17: correlated per-part AVG subquery, decorrelated by hand
 - Q18: having-filter on a grouped fact, joined back to dimensions
@@ -33,7 +33,15 @@ exercises a distinct planner capability:
 - Q21-shape: sole-latest-shipper per multi-supplier order (lineitem has
   only shipdate, so "kept waiting" is re-expressed as "uniquely latest")
 
-Scale notes (100 TB tier): every dim side is explicitly broadcast;
+Scale notes (100 TB tier): broadcast hints follow the
+operators/dims.py policy — unconditional F.broadcast only on
+constant-cardinality dims (nation 25 / region 5 rows) and 1-row scalar
+aggregates; customer/part/supplier go through hint_dim() UNhinted so
+Catalyst (file stats) and AQE (runtime stats) pick broadcast when the
+table is genuinely small and a shuffle join when it is not (an explicit
+hint is not AQE-demotable, and these tables exceed the 8 GB broadcast
+cap at the 100 TB tier — tests/test_physical_plans.py sweeps every
+entry here under autoBroadcastJoinThreshold=-1).
 lineitem⋈orders shuffles on the shared key so AQE can split skew; all
 date predicates sit directly on the parquet scan (PushedFilters verified
 in tests/test_physical_plans.py for the existing joins — same loaders).
@@ -46,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.rounding import dround, hround
+from ..operators.dims import hint_dim
 from ..sources.loaders import load_table
 from .registry import query
 
@@ -71,8 +80,9 @@ from .registry import query
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: unshipped-orders revenue top-10 for one segment.
 
-    Customer filters to ~1/5 of rows and broadcasts; orders⋈lineitem is
-    the one shuffle. Sort+limit plans as TakeOrderedAndProject (true
+    Customer filters to ~1/5 of rows and joins unhinted (stats-based
+    broadcast when small, shuffle at scale — dims.py policy);
+    orders⋈lineitem is the one guaranteed shuffle. Sort+limit plans as TakeOrderedAndProject (true
     distributed top-k, never a global sort). Tiebreak on orderkey keeps
     the LIMIT deterministic.
     """
@@ -85,7 +95,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.to_date("o_orderdate").alias("orderdate"),
@@ -198,7 +208,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -267,8 +277,9 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: share of one month's revenue from PROMO parts.
 
-    Conditional-sum ratio in a single aggregate over a broadcast part
-    join — one pass, no second scan for the denominator.
+    Conditional-sum ratio in a single aggregate over the part join
+    (unhinted — stats/AQE-sized) — one pass, no second scan for the
+    denominator.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
@@ -277,7 +288,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .agg(
             hround(
                 F.lit(100.0)
@@ -318,7 +329,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
@@ -379,7 +390,7 @@ def tpch_q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | bracket("Brand#23", 35, 20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -454,25 +465,27 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
     The correlated per-part AVG subquery is decorrelated by hand, but the
     aggregate is computed only over the lineitems of the brand-filtered
-    parts: lineitem is first semi-joined to the (small, broadcast) part
-    subset, then the per-part cutoff is aggregated over that subset.
-    The cutoff aggregate is therefore |brand parts|-proportional — NOT
-    |all parts|-proportional — so broadcasting it stays safe at any
-    corpus scale. (The earlier revision grouped over ALL lineitem
-    partkeys and force-broadcast the result: |part|-proportional driver
-    memory, an OOM at the 100 TB target. tests/test_physical_plans.py
-    asserts the all-parts aggregate never feeds a BroadcastExchange.)
+    parts: lineitem is first semi-joined to the brand part subset, then
+    the per-part cutoff is aggregated over that subset. The cutoff
+    aggregate is |brand parts|-proportional — NOT |all parts|-
+    proportional — but a brand slice still grows linearly with SF, so
+    neither it nor part carries a forced broadcast hint: AQE promotes
+    the joins to broadcast at fixture scale and keeps them shuffles at
+    the 100 TB tier. (An earlier revision grouped over ALL lineitem
+    partkeys and force-broadcast the result — an OOM at the target;
+    tests/test_physical_plans.py asserts the cutoff aggregates over the
+    brand-filtered subset and survives full broadcast demotion.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     # Restrict lineitem to brand parts ONCE; both the cutoff aggregate
     # and the probe side reuse this filtered plan.
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brand_li = li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
     per_part_avg = brand_li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cutoff")
     )
     return (
-        brand_li.join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
+        brand_li.join(per_part_avg, li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(
             hround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
@@ -551,8 +564,9 @@ def tpch_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: shipping volume between two nations per year, in both
     directions. The nation table joins TWICE under different aliases
-    (supplier side and customer side) — both broadcast; the disjunctive
-    nation-pair predicate evaluates after both probes.
+    (supplier side and customer side) — both hinted broadcast (25 rows
+    at every SF); supplier/customer join unhinted (dims.py policy); the
+    disjunctive nation-pair predicate evaluates after both probes.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -570,8 +584,8 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(supplier, "supplier"), li.l_suppkey == supplier.s_suppkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -601,8 +615,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: per-nation-per-year profit on one product line
     (revenue minus a 60%-of-retail cost proxy — the testdata has no
     partsupp cost table). Five-way join where only lineitem⋈orders
-    shuffles; part/supplier/nation broadcast, the p_type filter prunes
-    the build side before broadcast.
+    shuffles; nation is hinted broadcast, part/supplier join unhinted
+    (stats/AQE-sized — dims.py policy), and the p_type filter prunes
+    the part side before it reaches the join.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -614,9 +629,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.6)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(hint_dim(supplier, "supplier"), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
         .agg(hround(F.sum(profit), 2).alias("profit"))
@@ -650,9 +665,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     The join cycle (customer→orders→lineitem→supplier plus
     c_nationkey = s_nationkey) is expressed as an extra equality on the
     supplier join — Catalyst keeps it a hash-join key pair, no
-    post-filter. All dims broadcast; lineitem⋈orders is the only
-    shuffle. The region gate prunes nation before it ever reaches the
-    fact side.
+    post-filter. nation/region are hinted broadcast; customer/supplier
+    join unhinted (dims.py policy). The region gate prunes nation
+    before it ever reaches the fact side.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -665,9 +680,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            hint_dim(supplier, "supplier"),
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -720,12 +735,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n_cust), customer.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(hint_dim(supplier, "supplier"), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("n2.n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -800,8 +815,9 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     excluding low-balance suppliers. (The testdata has no partsupp;
     lineitem supplies the observed part↔supplier pairs.)
 
-    The NOT IN becomes a left-anti join against the (tiny, broadcast)
-    excluded-supplier set — null-safe here because s_suppkey is a
+    The NOT IN becomes a left-anti join against the excluded-supplier
+    set (unhinted — O(supplier), so stats/AQE size it) — null-safe
+    here because s_suppkey is a
     non-null key. COUNT DISTINCT plans as the two-level expand Spark
     uses for distinct aggregates; the part filters prune at the scan.
     """
@@ -815,8 +831,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("s_acctbal") < 1000.0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -858,9 +874,10 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average shipped quantity.)
 
     Nested semi-join chain: the shipped aggregate is computed ONCE over
-    the name-filtered part family (broadcast — |widget parts|-bounded,
-    the q17 discipline), its per-part cutoff re-aggregated from it, and
-    supplier is left-semi-joined to the qualifying suppkeys.
+    the name-filtered part family (|widget parts|-bounded, the q17
+    discipline — but still O(SF), so no forced hint), its per-part
+    cutoff re-aggregated from it, and supplier is left-semi-joined to
+    the qualifying suppkeys.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
@@ -869,7 +886,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supplier = load_table(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(hint_dim(part, "part"), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -877,7 +894,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.5) * F.avg("qty")).alias("qty_max")
     )
     qualifying = (
-        shipped.join(F.broadcast(cutoff), shipped.l_partkey == cutoff.cutoff_partkey)
+        shipped.join(cutoff, shipped.l_partkey == cutoff.cutoff_partkey)
         .filter(F.col("qty") > F.col("qty_max"))
         .select("l_suppkey")
     )
@@ -921,7 +938,8 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order), a self-join back on (orderkey, max ship), and a
     HAVING that keeps orders whose latest shipment came from exactly
     one supplier. Both shuffles key on l_orderkey — AQE can reuse the
-    exchange; supplier is broadcast at the end.
+    exchange; supplier joins unhinted at the end (the sole side has
+    already collapsed to per-order rows).
     """
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -944,7 +962,7 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_late_supp") == 1)
     )
     return (
-        sole.join(F.broadcast(supplier), sole.suppkey == supplier.s_suppkey)
+        sole.join(hint_dim(supplier, "supplier"), sole.suppkey == supplier.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy("name")
@@ -992,8 +1010,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitution). The correlated MIN subquery of the original is
     decorrelated as a window MIN over the part partition — computed on
     the already region+size+type-filtered candidate set, never over all
-    parts (the q17 lesson). Dims broadcast; the one shuffle keys the
-    (partkey, suppkey) aggregate; the window reuses the partkey
+    parts (the q17 lesson). nation/region hinted broadcast, part and
+    the euro supplier set unhinted (both O(SF)); the one shuffle keys
+    the (partkey, suppkey) aggregate; the window reuses the partkey
     clustering. unit_cost equality is float-safe: MIN over identical
     doubles is exact on both engines (no summation-order noise).
     LIMIT carries a full tiebreak chain.
@@ -1020,8 +1039,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cand = (
-        supply.join(F.broadcast(part), supply.partkey == part.p_partkey)
-        .join(F.broadcast(euro), supply.suppkey == F.col("s_suppkey"))
+        supply.join(hint_dim(part, "part"), supply.partkey == part.p_partkey)
+        .join(euro, supply.suppkey == F.col("s_suppkey"))
         .withColumn(
             "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
         )
@@ -1071,8 +1090,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates as the part catalog grows (at sf0.01 it already selects
     zero rows), while a mean-multiple is scale-invariant — the kind of
     threshold a 100 TB pipeline can keep across reprocessing runs.
-    Plan: nation bloc broadcast into supplier, supplier broadcast into
-    lineitem; one shuffle on partkey; the scalar AVG is a 1-row
+    Plan: the hinted nation bloc joins into supplier; the resulting
+    supplier set joins lineitem unhinted (O(supplier) — stats/AQE
+    size it); one shuffle on partkey; the scalar AVG is a 1-row
     broadcast crossJoin (q22 pattern).
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -1084,7 +1104,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     natsupply = (
-        li.join(F.broadcast(bloc), li.l_suppkey == F.col("s_suppkey"))
+        li.join(bloc, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )

@@ -542,10 +542,11 @@ def maintain_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     any rewrite happens — the audit step of a GDPR/CCPA delete job.
 
     Tombstones (c_custkey % 97 = 0 stands in for the request list) stay
-    broadcast-small relative to the facts; each fact table splits with
-    ONE left-semi / left-anti join pair against the broadcast key set,
-    and the doomed-orders key set — itself output of a semi join — is
-    in turn broadcast into lineitem. Counts are single-pass aggregates;
+    small relative to the facts but are O(SF), so they carry no forced
+    broadcast hint — stats/AQE broadcast the key sets while they fit;
+    each fact table splits with ONE left-semi / left-anti join pair
+    against the key set, and the doomed-orders key set — itself output
+    of a semi join — joins into lineitem the same way. Counts are single-pass aggregates;
     the actual rewrite at 100 TB is this same plan with the anti-join
     side written back (the merge_upsert_orders copy-on-write pattern).
     """
@@ -555,14 +556,14 @@ def maintain_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tombstones = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     doomed_orders = orders.join(
-        F.broadcast(tombstones), orders.o_custkey == tombstones.c_custkey, "left_semi"
+        tombstones, orders.o_custkey == tombstones.c_custkey, "left_semi"
     ).select("o_orderkey")
 
     def split_counts(tbl: str, df: DataFrame, key, doomed: DataFrame, dkey) -> DataFrame:
-        hit = df.join(F.broadcast(doomed), key == dkey, "left_semi").agg(
+        hit = df.join(doomed, key == dkey, "left_semi").agg(
             F.count(F.lit(1)).alias("rows_deleted")
         )
-        miss = df.join(F.broadcast(doomed), key == dkey, "left_anti").agg(
+        miss = df.join(doomed, key == dkey, "left_anti").agg(
             F.count(F.lit(1)).alias("rows_kept")
         )
         return hit.crossJoin(miss).select(
@@ -751,9 +752,10 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS twin certifies the anti-join semantics including
     null-key behavior.
 
-    Scale shape: each edge is ONE left-anti join; parent sides are the
-    dimension tables (broadcast), so the fact-side scan streams once
-    per edge with no wide shuffle. All-integer output.
+    Scale shape: each edge is ONE left-anti join on the parent key
+    set; parent sides join unhinted (orders/customer parents are
+    O(SF) — stats/AQE broadcast them while they fit), so the child
+    scan streams once per edge. All-integer output.
     """
     tables = {
         t: load_table(spark, sf_dir, t)
@@ -770,7 +772,7 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, ck, parent, pk in edges:
         c, p = tables[child], tables[parent]
         orphans = c.join(
-            F.broadcast(p.select(pk)), c[ck] == F.col(pk), "left_anti"
+            p.select(pk), c[ck] == F.col(pk), "left_anti"
         )
         parts.append(
             c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(

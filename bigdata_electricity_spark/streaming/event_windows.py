@@ -240,8 +240,10 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (user_id → c_custkey), rolled up per segment.
 
-    The static side is planned per micro-batch and broadcast — the
-    canonical stream⋈dim pattern (no state, unlike stream-stream joins).
+    The static side is re-planned per micro-batch unhinted (the
+    dims.py policy: customer is O(SF), so stats decide broadcast vs
+    shuffle each batch) — the canonical stream⋈dim pattern (no state,
+    unlike stream-stream joins).
     Batch equivalence asserted in tests/test_streaming_multimodal.py.
     """
     from ..sources.loaders import load_table  # late import to avoid cycle
@@ -252,7 +254,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment")
     )
     joined = (
-        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        events.join(customer, events.user_id == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias("total_value"))

@@ -661,3 +661,95 @@ def test_skyline_is_two_phase(spark):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "SPARK_PARTITION_ID" in logical
     assert "CartesianProduct" not in plan_of(spark, "skyline_customer_frontier")
+
+
+# --- broadcast-hint policy sweep (r5 verdict item 1) -----------------------
+#
+# Explicit F.broadcast hints are NOT demoted by AQE, so a hint on a table
+# that scales with SF (customer/part/supplier — tens of GB at the 100 TB
+# tier, past Spark's 8 GB broadcast cap) is a planner error at scale. The
+# policy (operators/dims.py) keeps unconditional hints only on
+# constant-cardinality dims (nation 25 / region 5 rows) and on bounded
+# aggregates (1-row cutoffs, O(k) parameter sets). This sweep proves it:
+# with autoBroadcastJoinThreshold=-1 (the 100 TB stand-in — nothing
+# qualifies for a stats-based broadcast), every star/TPC-H entry must
+# (a) produce identical values, and (b) plan any REMAINING BroadcastExchange
+# only over constant dims or a global (keys=[]) aggregate — never a raw
+# scan of an SF-scaling table.
+
+_SCALING_SCANS = (
+    "customer.parquet", "part.parquet", "supplier.parquet",
+    "orders.parquet", "lineitem.parquet", "documents.parquet",
+    "embeddings.parquet", "events.parquet",
+)
+
+_DEMOTION_ENTRIES = sorted(
+    n for n in REGISTRY if n.startswith(("tpch_", "join_"))
+    # the bucketed entry has its own demotion test (and DDL side effects)
+    and n != "join_bucketed_colocated_priority"
+) + [
+    # other star-join / broadcast-bearing entries de-hinted under the
+    # same policy
+    "graph_pagerank_nations",
+    "maintain_cascade_delete",
+    "audit_referential_integrity",
+    "text_tfidf_top_term",
+    "sim_fuzzy_name_pairs",
+]
+
+
+def _node_depth(line: str) -> int:
+    """Marker column of a plan-tree line; -1 for the root line."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return max(line.find("+-", 0, i + 2), line.find(":-", 0, i + 2))
+    return -1
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The printed subtree of every BroadcastExchange node."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _node_depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+# Grouped broadcasts whose group keys are constant-cardinality BY
+# CONSTRUCTION (not merely small in the fixture) — each key below is a
+# nation name, so the broadcast side is ≤ 25 rows at every SF even
+# though its subtree scans the fact tables.
+_BOUNDED_GROUPED_BROADCASTS = {
+    "graph_pagerank_nations": ("keys=[dst", "keys=[node"),
+}
+
+
+@pytest.mark.parametrize("name", _DEMOTION_ENTRIES)
+def test_no_forced_broadcast_of_scaling_tables(spark, name):
+    baseline = sorted(map(tuple, REGISTRY[name].fn(spark, SF_DIR).collect()))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        demoted = sorted(map(tuple, df.collect()))
+        assert demoted == baseline, f"{name}: values changed under demotion"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bounded_keys = _BOUNDED_GROUPED_BROADCASTS.get(name, ())
+        for sub in _broadcast_subtrees(plan):
+            bounded = "keys=[]" in sub  # global aggregate → O(1) rows
+            bounded = bounded or any(k in sub for k in bounded_keys)
+            constant_dim_only = not any(t in sub for t in _SCALING_SCANS)
+            assert bounded or constant_dim_only, (
+                f"{name}: forced broadcast of an SF-scaling table:\n{sub[:1500]}"
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -25,4 +25,27 @@ from . import warehouse_queries  # noqa: E402,F401
 from . import insight_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "QuerySpec", "query"]
+# Exact-variant → scale-safe twin. Some entries deliberately keep the
+# reference's (or the textbook's) EXACT small-data semantics even though
+# the plan does not survive a 100× scale-up — each one ships with a
+# scale-safe twin computing the production variant of the same insight.
+# The catalog (docs/QUERIES.md, via tools/catalog.py) surfaces the
+# pairing so a user picking an entry sees the alternative without
+# reading docstrings; tests/test_registry_parity.py asserts both sides
+# of every pair exist.
+SCALE_TWINS: dict[str, str] = {
+    # global NTILE = single-partition sort of all orders ↔ broadcast
+    # quantile cut points (no window, no global sort)
+    "binning_equal_frequency": "binning_equal_frequency_approx",
+    # reference-parity whole-table 1-minute cadence lag (global-order
+    # window) ↔ user-partitioned gap windows
+    "clean_gap_detection": "events_user_gaps",
+    # exact rolling 7-day distinct users (7× row fan-out) ↔ mergeable
+    # per-shard HLL sketches union-merged without re-scanning
+    "events_rolling_7d_distinct_users": "sketch_shard_merge",
+    # exact brute-force cosine top-k (full-corpus scan per query) ↔
+    # learned IVF coarse quantizer probing a fraction of the corpus
+    "sim_topk_bruteforce": "sim_ivf_probe_topk",
+}
+
+__all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.dims import hint_dim
 from ..operators.skew import salted_join
 from ..sources.loaders import load_table
-from ..sources.sinks import write_bucketed_table
+from ..sources.sinks import run_dir, write_bucketed_table
 from ..functions.rounding import dround, hround
 from .registry import query
 
@@ -335,11 +335,11 @@ def join_bucketed_colocated_priority(spark: SparkSession, sf_dir: str) -> DataFr
     )
     write_bucketed_table(
         li, "colo_lineitem_bkt", "l_orderkey", 8, sort_col="l_orderkey",
-        path="/root/repo/spark-warehouse/colo_lineitem_bkt",
+        path=run_dir("colo_lineitem_bkt", sf_dir),
     )
     write_bucketed_table(
         orders, "colo_orders_bkt", "l_orderkey", 8, sort_col="l_orderkey",
-        path="/root/repo/spark-warehouse/colo_orders_bkt",
+        path=run_dir("colo_orders_bkt", sf_dir),
     )
     joined = spark.table("colo_lineitem_bkt").join(
         spark.table("colo_orders_bkt"), "l_orderkey"

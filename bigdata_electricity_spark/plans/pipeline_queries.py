@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.rounding import dround, hround
 from ..operators.text import normalize_text, redact_pii
 from ..sources.loaders import load_table
+from ..sources.sinks import run_dir
 from .registry import query
 
 # Token-window chunking grid: 32-token chunks, 8-token overlap → stride
@@ -268,7 +269,7 @@ def export_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    written = export_jsonl(docs, "/root/repo/spark-warehouse/corpus_jsonl")
+    written = export_jsonl(docs, run_dir("corpus_jsonl", sf_dir))
     return (
         written.groupBy("source")
         .agg(
@@ -306,7 +307,7 @@ def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.sinks import write_parquet
 
-    out_dir = "/root/repo/spark-warehouse/events_by_day"
+    out_dir = run_dir("events_by_day", sf_dir)
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
@@ -355,7 +356,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from ..sources.sinks import write_parquet
 
-    out_dir = "/root/repo/spark-warehouse/events_by_day_dpp"
+    out_dir = run_dir("events_by_day_dpp", sf_dir)
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     write_parquet(ev, out_dir, partition_by=["day"])
     back = spark.read.parquet(out_dir)
@@ -458,7 +459,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema costs one footer read per file at planning time (on big
     tables, enable it per-read like here, not globally).
     """
-    out_dir = "/root/repo/spark-warehouse/docs_evolving"
+    out_dir = run_dir("docs_evolving", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "source")
     v2 = docs.filter(F.col("doc_id") % 2 != 0).select(
@@ -559,7 +560,7 @@ def retention_prune_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.sinks import write_parquet
 
-    out_dir = "/root/repo/spark-warehouse/events_retention"
+    out_dir = run_dir("events_retention", sf_dir)
     cutoff = "2024-01-15"
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     write_parquet(ev, out_dir, partition_by=["day"])
@@ -653,7 +654,7 @@ def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pydatasource import register_sink
 
     register_sink(spark)
-    out = "/root/repo/spark-warehouse/pyds_jsonl_sink"
+    out = run_dir("pyds_jsonl_sink", sf_dir)
     _shutil.rmtree(out, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
@@ -774,7 +775,7 @@ def dynamic_partition_overwrite_recent(spark: SparkSession, sf_dir: str) -> Data
     """
     from ..sources.sinks import write_parquet
 
-    out_dir = "/root/repo/spark-warehouse/events_dyn_overwrite"
+    out_dir = run_dir("events_dyn_overwrite", sf_dir)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value", F.to_date("ts").alias("day")
     )
@@ -820,7 +821,7 @@ def export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal/timestamp/char quirks) that staying inside parquet never
     exercises.
     """
-    out_dir = "/root/repo/spark-warehouse/lineitem_orc"
+    out_dir = run_dir("lineitem_orc", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
@@ -860,7 +861,7 @@ def ingest_jsonl_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object (`events_json_extract`), parse-once VARIANT
     (`events_variant_extract`), and schema-projected from_json here.
     """
-    out_dir = "/root/repo/spark-warehouse/corpus_jsonl_text"
+    out_dir = run_dir("corpus_jsonl_text", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -1230,7 +1231,7 @@ def export_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write), so a lossy round-trip breaks the read-back md5-of-text
     equality check below, and any drift breaks the driver hash.
     """
-    out_dir = "/root/repo/spark-warehouse/corpus_xml"
+    out_dir = run_dir("corpus_xml", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", "text", F.md5("text").alias("fp_written")
     )

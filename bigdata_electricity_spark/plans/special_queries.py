@@ -16,6 +16,7 @@ from ..functions.rounding import dround, hround
 from ..ml.regression import run_regression_pipeline
 from ..operators.multimodal import attach_binary_payload, decode_media
 from ..sources.loaders import load_table
+from ..sources.sinks import run_dir
 from .registry import query
 
 _TS_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -293,7 +294,7 @@ def export_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return export_corpus(
-        docs, "/root/repo/spark-warehouse/corpus_export", "lang"
+        docs, run_dir("corpus_export", sf_dir), "lang"
     ).select("lang", "n_docs")
 
 
@@ -554,7 +555,7 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.event_windows import _COUNTER
 
     register(spark)
-    base = "/root/repo/spark-warehouse/stream_upsert"
+    base = run_dir("stream_upsert", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     snap, tmp = f"{base}/snapshot", f"{base}/snapshot_tmp"
     batches: list[int] = []
@@ -640,7 +641,7 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.event_windows import _COUNTER
 
     register(spark)
-    base = "/root/repo/spark-warehouse/stream_recovery"
+    base = run_dir("stream_recovery", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     ckpt, out = f"{base}/checkpoint", f"{base}/out"
     seen: list[int] = []
@@ -1101,7 +1102,7 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.event_windows import _COUNTER
 
     register(spark)
-    base = "/root/repo/spark-warehouse/stream_late"
+    base = run_dir("stream_late", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     ckpt, out = f"{base}/checkpoint", f"{base}/out"
     stream = (

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import dround, hround
 from ..sources.loaders import load_table
+from ..sources.sinks import run_dir
 from .registry import query
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -408,7 +409,7 @@ def maintain_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import write_parquet
 
     target_rows = 4000
-    base = "/root/repo/spark-warehouse/events_compaction"
+    base = run_dir("events_compaction", sf_dir)
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
 
     # Fragmented ingest state: every one of 16 writer tasks holds rows of

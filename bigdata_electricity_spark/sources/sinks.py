@@ -15,9 +15,27 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
+
+
+def run_dir(entry: str, sf_dir: str) -> str:
+    """Per-run scratch directory for export / round-trip entries.
+
+    A fixed output path lets two concurrent driver sessions clobber each
+    other's round-trip audits (one overwrites the directory the other is
+    reading back). Deriving the path from the data dir's basename AND
+    the process id isolates concurrent runs, while staying idempotent
+    within one process (every writer uses mode("overwrite"), so reruns
+    of an entry in the same session overwrite their own output).
+    spark-warehouse/ is gitignored scratch; stale per-pid dirs are
+    harmless and reclaimed by deleting the directory.
+    """
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)) or "data")
+    return f"/root/repo/spark-warehouse/{entry}_{tag}_pid{os.getpid()}"
 
 
 def save_single_csv(df: DataFrame, out_path: str, header: bool = True) -> str:

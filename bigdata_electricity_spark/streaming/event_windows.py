@@ -457,9 +457,10 @@ def streaming_available_now_backfill(spark: SparkSession, sf_dir: str,
     double-read micro-batch shows up against the oracle.
     """
     from ..sources.loaders import load_table  # late import to avoid cycle
+    from ..sources.sinks import run_dir
 
     name = f"stream_avnow_{next(_COUNTER)}"
-    staged = "/root/repo/spark-warehouse/events_backlog"
+    staged = run_dir("events_backlog", sf_dir)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

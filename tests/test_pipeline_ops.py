@@ -136,7 +136,9 @@ def test_partition_pruned_scan_plans_only_selected_days(spark):
     # And the pruned read must actually skip the other ~27 directories.
     import glob
 
-    n_dirs = len(glob.glob("/root/repo/spark-warehouse/events_by_day/day=*"))
+    from bigdata_electricity_spark.sources.sinks import run_dir
+
+    n_dirs = len(glob.glob(f"{run_dir('events_by_day', SF_DIR)}/day=*"))
     assert n_dirs >= 25, "partitioned write produced too few day dirs"
     rows = df.collect()
     assert 1 <= len(rows) <= 3
@@ -467,7 +469,9 @@ def test_compaction_shrinks_files_and_preserves_content(spark):
     import glob
 
     REGISTRY["maintain_compact_small_files"].fn(spark, SF_DIR).count()
-    base = "/root/repo/spark-warehouse/events_compaction"
+    from bigdata_electricity_spark.sources.sinks import run_dir
+
+    base = run_dir("events_compaction", SF_DIR)
     n_frag = len(glob.glob(f"{base}/fragmented/day=*/*.parquet"))
     n_comp = len(glob.glob(f"{base}/compacted/day=*/*.parquet"))
     assert n_comp < n_frag

@@ -44,3 +44,14 @@ def test_entry_contract(spark):
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(REGISTRY)
+
+
+def test_scale_twins_exist():
+    # Every documented exact↔scale-safe pairing must reference real
+    # registry entries on both sides (the catalog renders these links).
+    from bigdata_electricity_spark.plans import SCALE_TWINS
+
+    for exact, twin in SCALE_TWINS.items():
+        assert exact in REGISTRY, exact
+        assert twin in REGISTRY, twin
+        assert exact != twin

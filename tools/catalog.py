@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bigdata_electricity_spark.plans import REGISTRY  # noqa: E402
+from bigdata_electricity_spark.plans import REGISTRY, SCALE_TWINS  # noqa: E402
 
 HEADER = """# Query catalog (generated — `python tools/catalog.py`)
 
@@ -21,6 +21,11 @@ entries are value-hash-compared against DuckDB SQL by the driver and
 `tools/parity.py`; "rows-only" entries are non-SQL-expressible
 (seeded sampling, hash signatures, streaming runtime, ML solvers) and
 carry unit tests instead — see each docstring for why.
+
+Entries marked **exact, small-data** keep deliberately exact semantics
+whose plan does not survive a 100× scale-up (global sorts, full-corpus
+scans, row fan-outs); each links its scale-safe twin — use the twin in
+production pipelines.
 """
 
 
@@ -44,13 +49,19 @@ def main() -> None:
         f"**{len(REGISTRY)} queries: {n_oracle} oracle-checked, "
         f"{len(REGISTRY) - n_oracle} rows-only.**\n"
     )
+    twin_of = {v: k for k, v in SCALE_TWINS.items()}
     for mod in sorted(by_module):
         lines.append(f"\n## {mod} ({len(by_module[mod])})\n")
         lines.append("| query | check | what |")
         lines.append("|---|---|---|")
         for name, spec in sorted(by_module[mod]):
             kind = "oracle" if spec.oracle else "rows-only"
-            lines.append(f"| `{name}` | {kind} | {first_line(spec.doc)} |")
+            what = first_line(spec.doc)
+            if name in SCALE_TWINS:
+                what += f" — **exact, small-data**: scale twin `{SCALE_TWINS[name]}`"
+            elif name in twin_of:
+                what += f" — scale-safe twin of `{twin_of[name]}`"
+            lines.append(f"| `{name}` | {kind} | {what} |")
     with open("/root/repo/docs/QUERIES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"docs/QUERIES.md: {len(REGISTRY)} queries, {n_oracle} oracled")

@@ -40,6 +40,17 @@ def running_offsets_scalable(sized: DataFrame, id_col: str = "doc_id",
     # input is large enough for partial sampling — silently misaligning
     # every base offset. The lazy localCheckpoint makes both jobs read
     # the SAME materialized partitioning.
+    #
+    # Tradeoff: localCheckpoint materializes the full dataset on
+    # executor block storage and TRUNCATES lineage — an executor lost
+    # after materialization cannot recompute its blocks, failing the
+    # job, and the materialization itself is memory/disk pressure at
+    # the 100 TB tier. A production cluster run should either point
+    # spark.checkpoint.dir at reliable storage and use .checkpoint()
+    # (recoverable, costs an HDFS/S3 write of the sized table — small:
+    # (id, size) pairs only), or precompute deterministic range
+    # boundaries (exact per-key quantiles) so both jobs partition by
+    # the same explicit ranges with no materialization at all.
     parts = parts.localCheckpoint(eager=False)
 
     # One row per partition: (pid, subtotal). Collected to the driver —

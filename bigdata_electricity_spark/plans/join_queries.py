@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.dims import hint_dim
 from ..operators.skew import salted_join
 from ..sources.loaders import load_table
-from ..sources.sinks import run_dir, write_bucketed_table
+from ..sources.sinks import run_dir, run_table, write_bucketed_table
 from ..functions.rounding import dround, hround
 from .registry import query
 
@@ -333,17 +333,17 @@ def join_bucketed_colocated_priority(spark: SparkSession, sf_dir: str) -> DataFr
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
+    li_tbl = run_table("colo_lineitem_bkt")
+    o_tbl = run_table("colo_orders_bkt")
     write_bucketed_table(
-        li, "colo_lineitem_bkt", "l_orderkey", 8, sort_col="l_orderkey",
+        li, li_tbl, "l_orderkey", 8, sort_col="l_orderkey",
         path=run_dir("colo_lineitem_bkt", sf_dir),
     )
     write_bucketed_table(
-        orders, "colo_orders_bkt", "l_orderkey", 8, sort_col="l_orderkey",
+        orders, o_tbl, "l_orderkey", 8, sort_col="l_orderkey",
         path=run_dir("colo_orders_bkt", sf_dir),
     )
-    joined = spark.table("colo_lineitem_bkt").join(
-        spark.table("colo_orders_bkt"), "l_orderkey"
-    )
+    joined = spark.table(li_tbl).join(spark.table(o_tbl), "l_orderkey")
     return (
         joined.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(

@@ -30,12 +30,49 @@ def run_dir(entry: str, sf_dir: str) -> str:
     the process id isolates concurrent runs, while staying idempotent
     within one process (every writer uses mode("overwrite"), so reruns
     of an entry in the same session overwrite their own output).
-    spark-warehouse/ is gitignored scratch; stale per-pid dirs are
-    harmless and reclaimed by deleting the directory.
+    spark-warehouse/ is gitignored scratch; sibling dirs for the same
+    (entry, tag) left by processes that no longer exist are pruned
+    best-effort on each call so repeated driver/test runs don't
+    accumulate unbounded scratch copies of the big tables.
     """
     tag = re.sub(r"[^A-Za-z0-9_.-]+", "_",
                  os.path.basename(os.path.normpath(sf_dir)) or "data")
+    _prune_dead_run_dirs(f"{entry}_{tag}")
     return f"/root/repo/spark-warehouse/{entry}_{tag}_pid{os.getpid()}"
+
+
+def _prune_dead_run_dirs(prefix: str) -> None:
+    """Delete spark-warehouse/<prefix>_pid<N> trees whose pid is dead.
+
+    Best-effort only: a live concurrent run's dir is never touched
+    (kill -0 probe), and any filesystem race just leaves the dir for
+    the next call. Keeps the scratch area bounded by the number of
+    CONCURRENT runs instead of the number of historical ones.
+    """
+    for path in glob.glob(f"/root/repo/spark-warehouse/{prefix}_pid[0-9]*"):
+        m = re.search(r"_pid(\d+)$", path)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists but owned elsewhere — leave its dir alone
+
+
+def run_table(base: str) -> str:
+    """Per-run catalog table identifier, mirroring ``run_dir``.
+
+    A pid-isolated file path alone only half-closes the concurrency
+    hole: two drivers sharing a metastore still race on the
+    DROP TABLE + saveAsTable sequence if the table NAME is fixed.
+    Suffixing the identifier the same way as the path makes the whole
+    (name, location) pair per-process. Table names can't contain dots
+    or dashes, so only [A-Za-z0-9_] survives.
+    """
+    safe = re.sub(r"[^A-Za-z0-9_]+", "_", base)
+    return f"{safe}_pid{os.getpid()}"
 
 
 def save_single_csv(df: DataFrame, out_path: str, header: bool = True) -> str:

@@ -177,8 +177,9 @@ def test_bucketed_join_entry_is_shuffle_free(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS colo_lineitem_bkt")
-        spark.sql("DROP TABLE IF EXISTS colo_orders_bkt")
+        from bigdata_electricity_spark.sources.sinks import run_table
+        spark.sql(f"DROP TABLE IF EXISTS {run_table('colo_lineitem_bkt')}")
+        spark.sql(f"DROP TABLE IF EXISTS {run_table('colo_orders_bkt')}")
 
 
 def test_tpch_q5_broadcasts_all_dims(spark):
@@ -699,10 +700,20 @@ _DEMOTION_ENTRIES = sorted(
 
 
 def _node_depth(line: str) -> int:
-    """Marker column of a plan-tree line; -1 for the root line."""
+    """Marker column of a plan-tree line; -1 for the root line.
+
+    Lines printed WITHOUT a branch marker (e.g. ReusedExchange /
+    subquery continuation lines) fall back to their indentation width —
+    returning -1 for them would make _broadcast_subtrees truncate a
+    BroadcastExchange subtree early and let a forced broadcast of a
+    scaling-table scan evade the demotion sweep's assertion.
+    """
     for i, ch in enumerate(line):
         if ch not in " :+-":
-            return max(line.find("+-", 0, i + 2), line.find(":-", 0, i + 2))
+            marker = max(line.find("+-", 0, i + 2), line.find(":-", 0, i + 2))
+            if marker != -1:
+                return marker
+            return i if i > 0 else -1  # indentation fallback; col-0 = root
     return -1
 
 

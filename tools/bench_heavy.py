@@ -45,6 +45,10 @@ def main() -> None:
         if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
             sys.exit("usage: bench_heavy.py [--repeat N] [--record]")
         repeat = int(sys.argv[idx + 1])
+        if repeat < 1:
+            # "0".isdigit() is True, so catch non-positive here: repeat=0
+            # would skip the timing loop and leave best=None for every entry.
+            sys.exit("usage: bench_heavy.py [--repeat N] [--record] (N >= 1)")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench_heavy")

@@ -279,6 +279,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     all-near-dup corpus, bit-identical output). A 64-bit collision inside
     one pair's union would be needed to change a count; at a few hundred
     distinct tokens per doc that is P ≈ |union|²/2⁶⁵ < 1e-12 per pair.
+
+    PPJoin prefix filtering: MEASURED AND REJECTED (r6). At sf0.1 the
+    blocked join + size prune costs 0.57s and yields 490k candidates, of
+    which 354k are true pairs — verification (2.95s) can shrink by at
+    most the 28% non-matching share, ~0.8s, before paying for PPJoin's
+    own machinery (global token-frequency aggregation, per-doc
+    frequency-order sort, prefix-explode join, candidate-pair dedup —
+    each a shuffle the current plan doesn't have). End-to-end ceiling
+    1.16× on a 6.0s entry, below the 1.3× land bar. The filter earns its
+    keep only when candidates ≫ true pairs (weak blocking); this corpus'
+    source-blocking is already within 1.4× of the true-pair floor.
     """
     tokens = F.transform(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),

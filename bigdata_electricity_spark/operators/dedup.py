@@ -325,3 +325,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      block_cols: list[str] | None = None,
+                      threshold: float = 0.8) -> DataFrame:
+    """Asymmetric token-set containment C(A→B) = |A∩B| / |A| over blocked
+    pairs, A oriented as the smaller set (ties by id).
+
+    Containment is the quote/boilerplate-dedup relation Jaccard misses:
+    a short doc fully embedded in a much longer one has Jaccard
+    ≈ |A|/|B| (arbitrarily low) but containment 1.0. Because a tiny set
+    can sit inside a huge one, the Jaccard size-ratio prune does NOT
+    apply — blocking is the only candidate bound, which is the honest
+    cost of the asymmetric relation (documented; at 100 TB pair the
+    block key with a length bucket or LSH prefilter if blocks grow).
+
+    Same hashed-token representation as :func:`ngram_jaccard_pairs`
+    (xxhash64 longs, collision P < 1e-12 per pair).
+    """
+    tokens = F.transform(
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),
+        lambda t: F.xxhash64(t),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        tokens.alias("toks"),
+    ).withColumn("__n", F.size("toks"))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    # containee = smaller token set; equal sizes orient by id (a first).
+    a_is_containee = F.col("a.__n") <= F.col("b.__n")
+    containee_id = F.when(a_is_containee, F.col("a.id")).otherwise(F.col("b.id"))
+    container_id = F.when(a_is_containee, F.col("b.id")).otherwise(F.col("a.id"))
+    denom = F.least(F.col("a.__n"), F.col("b.__n"))
+    return (
+        a.join(b, cond)
+        .select(
+            containee_id.alias("containee_id"),
+            container_id.alias("container_id"),
+            (inter.cast("double") / denom.cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

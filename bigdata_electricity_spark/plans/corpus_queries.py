@@ -576,3 +576,90 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_docs")
     )
+
+
+_ZIPF_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split({_ZIPF_NORM}, ' ')) AS token FROM documents
+    ), freq AS (
+        SELECT token, COUNT(*) AS f FROM tok GROUP BY token
+    ), byf AS (
+        SELECT f, COUNT(*) AS n_types FROM freq GROUP BY f
+    ), ranked AS (
+        SELECT f, n_types,
+               COALESCE(SUM(n_types) OVER (ORDER BY f DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n_types + 1) / 2.0 AS rank_mid
+        FROM byf
+    ), pts AS (
+        SELECT CAST(n_types AS DOUBLE) AS w, ln(rank_mid) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM ranked
+    ), s AS (
+        SELECT SUM(w) AS sw, SUM(w*x) AS sx, SUM(w*y) AS sy,
+               SUM(w*x*x) AS sxx, SUM(w*x*y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(sw AS BIGINT) AS vocab_size,
+           {dround('(sxy - sx * sy / sw) / (sxx - sx * sx / sw)', 6)} AS zipf_slope,
+           {dround('sy / sw - (sxy - sx * sy / sw) / (sxx - sx * sx / sw) * sx / sw', 6)} AS log_intercept
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: weighted log-log OLS of token frequency against
+    mid-rank, slope ≈ −1 on natural corpora. Companion to
+    `corpus_heaps_law_fit` (vocabulary growth) — together they are the
+    two classic corpus-statistics diagnostics a training pipeline runs
+    before mixing a new source.
+
+    Scale shape: ranks are never materialized per TYPE — types collapse
+    to the (frequency, n_types) table first (O(distinct frequencies),
+    thousands at any corpus size by Zipf itself), and each frequency
+    class gets its average rank from :func:`exclusive_prefix_sums` over
+    that tiny table, ordered by descending frequency via the negated
+    key. The regression is then one aggregate over O(freq-classes)
+    weighted points — the same no-global-window discipline as
+    `abtest_mannwhitney_u`.
+    """
+    from ..operators.packing import exclusive_prefix_sums
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    byf = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    # exclusive_prefix_sums orders ascending; rank needs higher-f-first.
+    desc = byf.withColumn("negf", -F.col("f"))
+    ranked = exclusive_prefix_sums(desc, "negf", ["n_types"]).select(
+        "f",
+        "n_types",
+        (F.col("n_types_excl") + (F.col("n_types") + 1) / F.lit(2.0)).alias("rank_mid"),
+    )
+    pts = ranked.select(
+        F.col("n_types").cast("double").alias("w"),
+        F.log(F.col("rank_mid")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw")
+    )
+    intercept = F.col("sy") / F.col("sw") - slope * F.col("sx") / F.col("sw")
+    return s.select(
+        F.col("sw").cast("long").alias("vocab_size"),
+        hround(slope, 6).alias("zipf_slope"),
+        hround(intercept, 6).alias("log_intercept"),
+    )

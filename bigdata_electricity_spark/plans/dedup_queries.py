@@ -318,3 +318,64 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+@query(
+    "dedup_containment_best",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split({_DUCK_NORM}, ' ')) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT CASE WHEN len(a.t) <= len(b.t) THEN a.doc_id ELSE b.doc_id END AS containee_id,
+               CASE WHEN len(a.t) <= len(b.t) THEN b.doc_id ELSE a.doc_id END AS container_id,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / least(len(a.t), len(b.t)) AS containment
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ), best AS (
+        SELECT containee_id, container_id, containment,
+               row_number() OVER (PARTITION BY containee_id
+                   ORDER BY containment DESC, container_id) AS rn
+        FROM pairs WHERE containment >= 0.8
+    )
+    SELECT containee_id, container_id,
+           {dround('containment', 6)} AS containment
+    FROM best WHERE rn = 1
+    ORDER BY containee_id
+    """,
+)
+def dedup_containment_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — for every document ≥80% token-contained in a
+    larger same-source document, the single best container (max
+    containment, ties to the smallest container id). The asymmetric
+    relation Jaccard structurally misses: a quote or boilerplate block
+    embedded in a longer page has near-zero Jaccard but containment 1.0,
+    and the training-corpus action (drop the containee, keep the
+    container) needs exactly this orientation.
+
+    Shape: the blocked self-join from :func:`containment_pairs` (no
+    size-ratio prune exists for the asymmetric relation — blocking is
+    the candidate bound), then a containee-partitioned row_number to
+    keep the best container. Both shuffles key on ids, never bodies.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, block_cols=["source"], threshold=0.8)
+    w = Window.partitionBy("containee_id").orderBy(
+        F.desc("containment"), F.col("container_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "containee_id",
+            "container_id",
+            hround("containment", 6).alias("containment"),
+        )
+        .orderBy("containee_id")
+    )

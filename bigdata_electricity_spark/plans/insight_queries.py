@@ -2039,3 +2039,181 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = corr_row(ranked, "xr", "yr", "spearman_rho")
     pe = corr_row(feats, "x", "y", "pearson_r").drop("n_docs")
     return sp.crossJoin(F.broadcast(pe))
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH vc AS (
+        SELECT event_type, value AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, MIN(v) AS median_v FROM (
+            SELECT event_type, v,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        ) WHERE cum >= (n + 1) / 2.0
+        GROUP BY event_type
+    ), dev AS (
+        SELECT vc.event_type, abs(vc.v - med.median_v) AS d, SUM(vc.c) AS c
+        FROM vc JOIN med USING (event_type)
+        GROUP BY 1, 2
+    ), mad AS (
+        SELECT event_type, MIN(d) AS mad_v FROM (
+            SELECT event_type, d,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE cum >= (n + 1) / 2.0
+        GROUP BY event_type
+    )
+    SELECT vc.event_type,
+           CAST(SUM(vc.c) AS BIGINT) AS n_events,
+           {dround('MIN(med.median_v)', 2)} AS median_value,
+           {dround('MIN(mad.mad_v)', 2)} AS mad,
+           CAST(COALESCE(SUM(vc.c) FILTER (
+               abs(vc.v - med.median_v) > 3.0 * 1.4826 * mad.mad_v), 0) AS BIGINT)
+               AS n_outliers
+    FROM vc JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY vc.event_type
+    ORDER BY vc.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median absolute deviation
+    with the 1.4826 normal-consistency factor, counting values beyond
+    3 robust sigmas. MAD survives the heavy tails that wreck the
+    mean/stddev screen and complements the IQR entry (`clean_outlier_iqr`)
+    with the robust-statistics textbook alternative.
+
+    Exact medians WITHOUT a per-group sort of raw rows: events.value is
+    2-decimal quantized (bounded domain — measured: every value equals
+    its 2-decimal rounding), so each median is computed by COUNTING —
+    groupBy (type, value) first, then a window over the distinct-value
+    table only, whose per-type size is bounded by the value domain
+    (≤ ~50k rows) at ANY corpus scale. Lower-median convention
+    (smallest value whose cumulative count reaches (n+1)/2), identical
+    on both engines. Deviations re-quantize onto the same bounded grid,
+    so the MAD pass repeats the identical trick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wall = Window.partitionBy("event_type")
+
+    def counting_median(df: DataFrame, val_col: str) -> DataFrame:
+        cum = F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n = F.sum("c").over(wall)
+        return (
+            df.withColumn("__cum", cum)
+            .withColumn("__n", n)
+            .filter(F.col("__cum") >= (F.col("__n") + 1) / F.lit(2.0))
+            .groupBy("event_type")
+            .agg(F.min(val_col).alias(f"{val_col}_median"))
+        )
+
+    med = counting_median(vc, "v").withColumnRenamed("v_median", "median_v")
+    dev = (
+        vc.join(med, "event_type")
+        .groupBy("event_type", F.abs(F.col("v") - F.col("median_v")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = counting_median(dev, "d").withColumnRenamed("d_median", "mad_v")
+    joined = vc.join(med, "event_type").join(mad, "event_type")
+    is_out = F.abs(F.col("v") - F.col("median_v")) > F.lit(3.0) * F.lit(1.4826) * F.col("mad_v")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            hround(F.min("median_v"), 2).alias("median_value"),
+            hround(F.min("mad_v"), 2).alias("mad"),
+            F.coalesce(F.sum(F.when(is_out, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {dround('AVG(value)', 6)} AS daily_mean
+        FROM events GROUP BY 1
+    ), params AS (
+        SELECT {dround('AVG(daily_mean)', 6)} AS mu,
+               {dround('stddev_pop(daily_mean)', 6)} AS sigma
+        FROM daily
+    ), scored AS (
+        SELECT day, daily_mean,
+               SUM(daily_mean - mu - 0.5 * sigma) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               sigma
+        FROM daily, params
+    ), cus AS (
+        SELECT day, daily_mean, sigma,
+               p - LEAST(MIN(p) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+               AS s
+        FROM scored
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, daily_mean,
+           {dround('s', 6)} AS cusum,
+           s > 4.0 * sigma AS breach
+    FROM cus
+    ORDER BY day
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection on the daily mean of
+    events.value: S_t = max(0, S_{t-1} + (x_t − μ − kσ)) with slack
+    k = 0.5σ and decision threshold h = 4σ — the standard
+    upward-shift control chart.
+
+    The recursive max-reset has no window equivalent, but the identity
+    S_t = P_t − min(0, min_{j≤t} P_j) (prefix sum minus running minimum
+    of the slack-adjusted series, current row included — an exclusive
+    window goes negative whenever P_t is the new minimum; unit-tested
+    against the direct recursion) makes it two stock window functions —
+    no UDF, no iteration. Windows run over the DAILY table only:
+    calendar-bounded O(days) rows regardless of event volume, the same
+    justification as the hourly/weekly series entries. Daily means, μ
+    and σ are 1e-6-rounded before entering the recursion so float
+    partial-sum order can't propagate into the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        hround(F.avg("value"), 6).alias("daily_mean")
+    )
+    params = daily.agg(
+        hround(F.avg("daily_mean"), 6).alias("mu"),
+        hround(F.stddev_pop("daily_mean"), 6).alias("sigma"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.crossJoin(F.broadcast(params)).withColumn(
+        "p",
+        F.sum(F.col("daily_mean") - F.col("mu") - F.lit(0.5) * F.col("sigma")).over(w_cum),
+    )
+    # S_t = P_t − min(0, min_{j≤t} P_j): the running min must INCLUDE the
+    # current row — when P_t is itself the new minimum the recursion
+    # resets to exactly 0, and an exclusive window would go negative.
+    cus = scored.withColumn(
+        "s",
+        F.col("p") - F.least(F.min("p").over(w_cum), F.lit(0.0)),
+    )
+    return cus.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "daily_mean",
+        hround("s", 6).alias("cusum"),
+        (F.col("s") > F.lit(4.0) * F.col("sigma")).alias("breach"),
+    ).orderBy("day")

@@ -169,6 +169,10 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "graph_label_propagation", "vocab_bpe_encode_stats",
         "stats_spearman_rank_corr", "corpus_heaps_law_fit",
         "export_xml_roundtrip", "sql_collation_groupby",
+        # r6 additions
+        "audit_benford_leading_digit", "dedup_containment_best",
+        "corpus_zipf_slope", "events_anomaly_mad",
+        "events_changepoint_cusum", "graph_copurchase_pairs",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -1,0 +1,129 @@
+"""Unit tests for the r6 additions: containment dedup orientation,
+counting-median MAD, the CUSUM window identity, and Benford/Zipf math —
+each checked against a hand-computable fixture, independent of the
+DuckDB oracle (which checks engine parity, not semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_electricity_spark.operators.dedup import containment_pairs
+from bigdata_electricity_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_containment_orients_small_into_large(spark):
+    # doc 1 ("a b c") is fully contained in doc 2 ("a b c d e f") —
+    # containment 1.0, Jaccard only 0.5. doc 3 shares nothing.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),
+            (2, "a b c d e f", "s"),
+            (3, "x y z", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = containment_pairs(df, block_cols=["source"], threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.containee_id, r.container_id) == (1, 2)
+    assert r.containment == 1.0
+
+
+def test_containment_equal_sizes_orient_by_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "a b c", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = containment_pairs(df, block_cols=["source"], threshold=0.8).collect()[0]
+    assert (r.containee_id, r.container_id) == (1, 2)
+
+
+def test_containment_blocks_limit_pairs(spark):
+    # identical docs in DIFFERENT sources never become a candidate pair
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    assert containment_pairs(df, block_cols=["source"]).count() == 0
+
+
+def test_mad_matches_numpy_definition(spark, tmp_path):
+    # Plant a known series per type and check the counting-median MAD
+    # against the direct definition.
+    import numpy as np
+    import pandas as pd
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # median 3, |x-3| = [2,1,0,1,97], MAD 1
+    pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * len(vals)),
+            "user_id": [1] * len(vals),
+            "event_type": ["view"] * len(vals),
+            "value": vals,
+            "props": ["{}"] * len(vals),
+        }
+    ).to_parquet(tmp_path / "events.parquet", coerce_timestamps="us")
+    row = REGISTRY["events_anomaly_mad"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.median_value == float(np.median(vals))
+    assert row.mad == float(np.median(np.abs(np.array(vals) - np.median(vals))))
+    # 100 deviates 97 > 3 * 1.4826 * 1 → exactly one outlier
+    assert row.n_outliers == 1
+
+
+def test_cusum_identity_matches_recursion(spark):
+    # The prefix-sum-minus-running-min plan must equal the textbook
+    # recursion S_t = max(0, S_{t-1} + y_t) on the real data.
+    rows = REGISTRY["events_changepoint_cusum"].fn(spark, SF_DIR).collect()
+    daily = [r.daily_mean for r in rows]
+    mu = round(
+        math.floor((sum(daily) / len(daily)) * 1e6 + 0.5) / 1e6, 10
+    )
+    var = sum((x - mu) ** 2 for x in daily) / len(daily)
+    sigma = math.floor(math.sqrt(var) * 1e6 + 0.5) / 1e6
+    s, eps = 0.0, 1e-6
+    for r in rows:
+        s = max(0.0, s + (r.daily_mean - mu - 0.5 * sigma))
+        assert abs(r.cusum - s) < eps, (r.day, r.cusum, s)
+        assert r.breach == (s > 4.0 * sigma) or abs(s - 4.0 * sigma) < eps
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = REGISTRY["audit_benford_leading_digit"].fn(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+
+
+def test_zipf_slope_is_negative_and_rank_weighted(spark):
+    row = REGISTRY["corpus_zipf_slope"].fn(spark, SF_DIR).collect()[0]
+    # frequency must decay with rank on any natural-ish corpus
+    assert row.zipf_slope < 0
+    assert row.vocab_size > 0
+
+
+def test_copurchase_pairs_bounded_by_basket(spark):
+    # every reported pair must actually co-occur in at least one order
+    pairs = REGISTRY["graph_copurchase_pairs"].fn(spark, SF_DIR)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .count()
+    )
+    joined = pairs.join(truth, ["part_a", "part_b"], "left")
+    bad = joined.filter(
+        F.col("count").isNull() | (F.col("count") != F.col("n_orders"))
+    ).count()
+    assert bad == 0

@@ -2168,7 +2168,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_changepoint_cusum",
+    "events_drift_cusum_chart",
     oracle=f"""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,
@@ -2198,11 +2198,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
 )
-def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM change-point detection on the daily mean of
+def events_drift_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift control chart on the daily mean of
     events.value: S_t = max(0, S_{t-1} + (x_t − μ − kσ)) with slack
-    k = 0.5σ and decision threshold h = 4σ — the standard
-    upward-shift control chart.
+    k = 0.5σ and decision threshold h = 4σ — sequential upward-drift
+    MONITORING (the full alarm curve with resets), complementing
+    `events_cusum_changepoint`, which estimates the single most likely
+    level-shift LOCATION as the peak cumulative deviation.
 
     The recursive max-reset has no window equivalent, but the identity
     S_t = P_t − min(0, min_{j≤t} P_j) (prefix sum minus running minimum

@@ -172,7 +172,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         # r6 additions
         "audit_benford_leading_digit", "dedup_containment_best",
         "corpus_zipf_slope", "events_anomaly_mad",
-        "events_changepoint_cusum", "graph_copurchase_pairs",
+        "events_drift_cusum_chart", "graph_copurchase_pairs",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -79,7 +79,7 @@ def test_mad_matches_numpy_definition(spark, tmp_path):
 def test_cusum_identity_matches_recursion(spark):
     # The prefix-sum-minus-running-min plan must equal the textbook
     # recursion S_t = max(0, S_{t-1} + y_t) on the real data.
-    rows = REGISTRY["events_changepoint_cusum"].fn(spark, SF_DIR).collect()
+    rows = REGISTRY["events_drift_cusum_chart"].fn(spark, SF_DIR).collect()
     daily = [r.daily_mean for r in rows]
     mu = round(
         math.floor((sum(daily) / len(daily)) * 1e6 + 0.5) / 1e6, 10

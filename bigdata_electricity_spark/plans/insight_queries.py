@@ -2243,3 +2243,174 @@ def events_drift_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround("s", 6).alias("cusum"),
         (F.col("s") > F.lit(4.0) * F.col("sigma")).alias("breach"),
     ).orderBy("day")
+
+
+@query(
+    "forecast_theilsen_daily_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS x,
+               {dround('AVG(value)', 6)} AS y
+        FROM events GROUP BY 1
+    ), slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ), ranked AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    ), med_slope AS (
+        SELECT slope AS m FROM ranked WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ), resid AS (
+        SELECT y - med_slope.m * x AS r FROM daily, med_slope
+    ), rranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n
+        FROM resid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+           (SELECT {dround('m', 8)} FROM med_slope) AS slope_per_day,
+           (SELECT {dround('r', 6)} FROM rranked
+             WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)) AS intercept
+    """,
+)
+def forecast_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily mean: the median of all
+    pairwise slopes, with intercept = median(y − slope·x). Immune to
+    the outlier days that bias OLS — the standard robust complement to
+    `ml_gd_linreg_rounds`' least squares.
+
+    The O(days²) pair join is CALENDAR-bounded (30 days → 435 pairs
+    here; a decade of dailies is <7M pairs), not data-bounded — the
+    same justification as the CUSUM/ACF entries, with the raw stream
+    collapsed to the daily table before any pairing. Daily means are
+    1e-6-rounded first so float partial-sum order can't move a median.
+    Lower-median convention on both engines (rn = floor((n+1)/2)), and
+    x is the epoch DAY NUMBER (truncating integer division — the r7
+    `//`-on-fractional-epoch trap applies and is routed through
+    floor+CAST in the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("x")
+    ).agg(hround(F.avg("value"), 6).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("slope")
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(col)
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+            .filter(F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long"))
+            .select(F.col(col))
+        )
+
+    m = lower_median(slopes, "slope").select(F.col("slope").alias("m"))
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        (F.col("y") - F.col("m") * F.col("x")).alias("r")
+    )
+    icept = lower_median(resid, "r").select(F.col("r").alias("icept"))
+    counts = daily.agg(F.count(F.lit(1)).alias("n_days")).crossJoin(
+        slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_days",
+            "n_pairs",
+            hround("m", 8).alias("slope_per_day"),
+            hround("icept", 6).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "monitor_psi_value_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INTEGER), 0), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ), bins AS (
+        SELECT unnest(generate_series(0, 9)) AS bin
+    ), cells AS (
+        SELECT bins.bin,
+               COALESCE(SUM(CASE WHEN is_ref = 1 THEN 1 END), 0) AS n_ref,
+               COALESCE(SUM(CASE WHEN is_ref = 0 THEN 1 END), 0) AS n_cur
+        FROM bins LEFT JOIN binned USING (bin)
+        GROUP BY bins.bin
+    ), tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells
+    ), probs AS (
+        SELECT bin, n_ref, n_cur,
+               (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+               (n_cur + 0.5) / (t_cur + 5.0) AS p_cur
+        FROM cells, tot
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           {dround('p_ref', 6)} AS p_ref, {dround('p_cur', 6)} AS p_cur,
+           {dround('(p_cur - p_ref) * ln(p_cur / p_ref)', 6)} AS psi_term
+    FROM probs
+    ORDER BY bin
+    """,
+)
+def monitor_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (watershed 2024-01-16): the ML-monitoring drift
+    screen run on every feature before a model retrain. Per-bin PSI
+    terms (p_cur − p_ref)·ln(p_cur/p_ref); Σ > 0.2 is the conventional
+    "major shift" alarm.
+
+    Fixed-width 50-unit bins capped at 10 (the monitoring convention
+    when reference quantiles aren't stored), densified from a literal
+    bin spine so empty bins stay visible, and Laplace-smoothed
+    ((n+0.5)/(N+5)) so an empty bin contributes a finite term instead
+    of ln(0) — the ANSI divide-by-zero class from the degenerate-input
+    sweep, handled identically on both engines. One scan, one 10-key
+    aggregate; the spine join is a 10-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+        .cast("int")
+        .alias("is_ref"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_ref") == 1, 1)), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.sum(F.when(F.col("is_ref") == 0, 1)), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    probs = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)).alias("p_cur"),
+    )
+    return probs.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        hround("p_ref", 6).alias("p_ref"),
+        hround("p_cur", 6).alias("p_cur"),
+        hround(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bin")

@@ -127,3 +127,39 @@ def test_copurchase_pairs_bounded_by_basket(spark):
         F.col("count").isNull() | (F.col("count") != F.col("n_orders"))
     ).count()
     assert bad == 0
+
+
+def test_theilsen_matches_numpy_pairwise_median(spark):
+    import numpy as np
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    row = REGISTRY["forecast_theilsen_daily_trend"].fn(spark, SF_DIR).collect()[0]
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("x"))
+        .agg(F.avg("value").alias("y"))
+        .collect()
+    )
+    xs = np.array([r.x for r in daily], dtype=float)
+    ys = np.array([round(np.floor(r.y * 1e6 + 0.5) / 1e6, 10) for r in daily])
+    slopes = sorted(
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs)) for j in range(len(xs)) if xs[i] < xs[j]
+    )
+    lower_med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert abs(row.slope_per_day - lower_med) < 1e-7
+    assert row.n_pairs == len(slopes)
+
+
+def test_psi_terms_are_finite_and_probabilities_normalize(spark):
+    rows = REGISTRY["monitor_psi_value_drift"].fn(spark, SF_DIR).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    import math
+    for r in rows:
+        assert math.isfinite(r.psi_term)
+        assert 0 < r.p_ref < 1 and 0 < r.p_cur < 1
+    # smoothed probabilities sum to 1 by construction: Σ(n+0.5)/(N+5)
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-4
+    assert sum(r.n_ref + r.n_cur for r in rows) == 1000  # sf0.001 row count

@@ -764,3 +764,46 @@ def test_no_forced_broadcast_of_scaling_tables(spark, name):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_copurchase_uses_take_ordered_not_global_sort(spark):
+    # Global top-20 must plan TakeOrderedAndProject — a full Sort of the
+    # pair table would be the scale bug the entry exists to avoid.
+    plan = plan_of(spark, "graph_copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_containment_join_is_blocked_not_cartesian(spark):
+    # The candidate join must key on the block column (equi-join on
+    # source) — a CartesianProduct/NestedLoop would mean blocking was
+    # lost to a non-equi-only condition.
+    plan = plan_of(spark, "dedup_containment_best")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_zipf_prefix_sum_is_two_phase(spark):
+    # Type ranks come from the partitioned prefix-sum helper: windows
+    # keyed by __pid only, never a single-partition global window.
+    plan = plan_of(spark, "corpus_zipf_slope")
+    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    # EVERY window in the plan is a per-__pid window — no global-order one
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(__pid"
+    ), plan[:2000]
+
+
+def test_mad_windows_are_partitioned_by_event_type(spark):
+    # Both counting-median passes must partition their windows by
+    # event_type — a global-order window over raw values would single-
+    # partition the whole stream.
+    plan = plan_of(spark, "events_anomaly_mad")
+    assert "Exchange SinglePartition" not in plan.split("windowspecdefinition")[0], plan[:1500]
+    assert "windowspecdefinition(event_type" in plan, plan[:2000]
+
+
+def test_benford_prunes_to_price_column(spark):
+    plan = plan_of(spark, "audit_benford_leading_digit")
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_totalprice" in read
+    assert "o_custkey" not in read and "o_orderdate" not in read

@@ -1057,3 +1057,210 @@ def audit_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(benford, 6).alias("benford_share"),
         hround(F.abs(F.col("obs_share") - benford), 6).alias("abs_dev"),
     ).orderBy("digit")
+
+
+def _duck_sessions(pred: str) -> str:
+    """Session-summary CTE body over events rows satisfying ``pred``:
+    (user_id, st, en, n, cents) with 30-min gap islands — the exact
+    sessionization from `events_sessionization`, reduced to the summary
+    needed for fingerprinting."""
+    return f"""
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS st,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS en,
+               COUNT(*) AS n,
+               CAST(floor(SUM(value) * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR date_diff('second',
+                                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WHERE {pred}
+            )
+        )
+        GROUP BY user_id, sid
+    """
+
+
+_SESS_FP = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(st AS VARCHAR)"
+    " || ':' || CAST(en AS VARCHAR) || ':' || CAST(n AS VARCHAR) || ':' ||"
+    " CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+# Chosen so at least one session actually straddles the boundary at
+# every shipped SF (measured: sf0.001/0.01/0.1 all have straddling
+# consecutive-event pairs at this hour) — an un-straddled watershed
+# would make the stitch path VACUOUS (the r7 late-data lesson: plant
+# the condition, then assert it fired).
+_WATERSHED = "2024-01-17 13:00:00"
+
+
+@query(
+    "maintain_incremental_sessions",
+    oracle=f"""
+    WITH mono AS ({_duck_sessions("TRUE")}),
+    sa AS ({_duck_sessions(f"ts < TIMESTAMP '{_WATERSHED}'")}),
+    sb AS ({_duck_sessions(f"ts >= TIMESTAMP '{_WATERSHED}'")}),
+    last_a AS (
+        SELECT * FROM (
+            SELECT sa.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY st DESC) AS rn
+            FROM sa
+        ) WHERE rn = 1
+    ),
+    first_b AS (
+        SELECT * FROM (
+            SELECT sb.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY st) AS rn
+            FROM sb
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT a.user_id, a.st, b.en AS en, a.n + b.n AS n, a.cents + b.cents AS cents
+        FROM last_a a JOIN first_b b USING (user_id)
+        WHERE b.st - a.en <= 1800
+    ),
+    drop_a AS (
+        SELECT user_id, st FROM last_a
+        WHERE user_id IN (SELECT user_id FROM merged)
+    ),
+    drop_b AS (
+        SELECT user_id, st FROM first_b
+        WHERE user_id IN (SELECT user_id FROM merged)
+    ),
+    stitched AS (
+        SELECT user_id, st, en, n, cents FROM sa
+        WHERE NOT EXISTS (SELECT 1 FROM drop_a d
+                          WHERE d.user_id = sa.user_id AND d.st = sa.st)
+        UNION ALL
+        SELECT user_id, st, en, n, cents FROM sb
+        WHERE NOT EXISTS (SELECT 1 FROM drop_b d
+                          WHERE d.user_id = sb.user_id AND d.st = sb.st)
+        UNION ALL
+        SELECT * FROM merged
+    )
+    SELECT (SELECT COUNT(*) FROM mono) AS n_sessions_mono,
+           (SELECT COUNT(*) FROM stitched) AS n_sessions_incr,
+           (SELECT COUNT(*) FROM merged) AS n_stitched_across,
+           (SELECT bit_xor({_SESS_FP}) FROM mono)
+             = (SELECT bit_xor({_SESS_FP}) FROM stitched) AS sessions_match
+    """,
+)
+def maintain_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization across a batch boundary, certified
+    against monolithic recompute: sessionize each side of a date
+    watershed INDEPENDENTLY, then stitch each user's last pre-watershed
+    session to their first post-watershed session iff the cross-boundary
+    gap is within the 30-min timeout — the per-user boundary state a
+    daily batch pipeline carries so it never re-reads history.
+
+    Correctness argument made executable: a monolithic session crosses
+    the watershed iff its two boundary events are within the timeout,
+    which is exactly the stitch condition — so the stitched session
+    multiset must equal the monolithic one. The certification compares
+    counts AND an order-invariant XOR of per-session md5 fingerprints
+    over (user, start, end, n, cents); cents (not float sums) absorb
+    accumulation-order noise between the merged and monolithic paths.
+    Every window is user-partitioned; the merge is one per-user join of
+    two 1-row-per-user tables.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    watershed = F.lit(_WATERSHED).cast("timestamp_ntz")
+
+    def sessions(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = df.withColumn(
+            "new_session",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            flagged.withColumn("sid", F.sum("new_session").over(ws))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.unix_timestamp(F.min("ts")).alias("st"),
+                F.unix_timestamp(F.max("ts")).alias("en"),
+                F.count(F.lit(1)).alias("n"),
+                F.floor(F.sum("value") * 100.0 + 0.5).cast("long").alias("cents"),
+            )
+            .drop("sid")
+        )
+
+    mono = sessions(ev)
+    sa = sessions(ev.filter(F.col("ts") < watershed))
+    sb = sessions(ev.filter(F.col("ts") >= watershed))
+    last_a = (
+        sa.withColumn("rn", F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("st"))))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    first_b = (
+        sb.withColumn("rn", F.row_number().over(Window.partitionBy("user_id").orderBy("st")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    a, b = last_a.alias("a"), first_b.alias("b")
+    merged = (
+        a.join(b, "user_id")
+        .filter(F.col("b.st") - F.col("a.en") <= 1800)
+        .select(
+            "user_id",
+            F.col("a.st").alias("st"),
+            F.col("b.en").alias("en"),
+            (F.col("a.n") + F.col("b.n")).alias("n"),
+            (F.col("a.cents") + F.col("b.cents")).alias("cents"),
+        )
+    )
+    merged_users = merged.select("user_id")
+    drop_a = last_a.join(merged_users, "user_id", "left_semi").select("user_id", "st")
+    drop_b = first_b.join(merged_users, "user_id", "left_semi").select("user_id", "st")
+    stitched = (
+        sa.join(drop_a, ["user_id", "st"], "left_anti")
+        .unionByName(sb.join(drop_b, ["user_id", "st"], "left_anti"))
+        .unionByName(merged)
+    )
+
+    def fp(df: DataFrame):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("user_id").cast("string"),
+                        F.col("st").cast("string"),
+                        F.col("en").cast("string"),
+                        F.col("n").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(F.count(F.lit(1)).alias("cnt"), F.bit_xor(h).alias("xfp"))
+
+    m = fp(mono).select(F.col("cnt").alias("n_sessions_mono"), F.col("xfp").alias("fp_m"))
+    s = fp(stitched).select(F.col("cnt").alias("n_sessions_incr"), F.col("xfp").alias("fp_s"))
+    k = merged.agg(F.count(F.lit(1)).alias("n_stitched_across"))
+    return (
+        m.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "n_sessions_mono",
+            "n_sessions_incr",
+            "n_stitched_across",
+            (F.col("fp_m") == F.col("fp_s")).alias("sessions_match"),
+        )
+    )

@@ -163,3 +163,37 @@ def test_psi_terms_are_finite_and_probabilities_normalize(spark):
     assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-4
     assert sum(r.n_ref + r.n_cur for r in rows) == 1000  # sf0.001 row count
+
+
+def test_incremental_sessions_stitch_fires_and_matches(spark, tmp_path):
+    import pandas as pd
+
+    # planted: user 1 straddles the 2024-01-17 13:00 watershed with a
+    # 10-min gap (must stitch); user 2 straddles with a 2h gap (must
+    # NOT stitch — two honest sessions).
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-17 12:55:00", "2024-01-17 13:05:00",
+                 "2024-01-17 12:00:00", "2024-01-17 14:00:00"]
+            ),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["view"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet", coerce_timestamps="us")
+    r = REGISTRY["maintain_incremental_sessions"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_stitched_across == 1        # user 1 only
+    assert r.n_sessions_mono == 3          # user1 merged + user2's two
+    assert r.n_sessions_incr == 3
+    assert r.sessions_match
+
+
+def test_incremental_sessions_non_vacuous_on_real_data(spark):
+    # the watershed literal must actually split a session at every SF —
+    # an un-straddled boundary certifies nothing (r7 late-data lesson).
+    r = REGISTRY["maintain_incremental_sessions"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_stitched_across >= 1
+    assert r.sessions_match

@@ -1064,3 +1064,93 @@ def abtest_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_for(0.05).alias("n_per_arm_5pct"),
         n_for(0.10).alias("n_per_arm_10pct"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS sb FROM documents
+    ), cells AS (
+        SELECT lang, source, sb, COUNT(*) AS c FROM d GROUP BY 1, 2, 3
+    ), groups AS (
+        SELECT lang, source, SUM(c) AS n_g FROM cells GROUP BY 1, 2
+    ), buckets AS (
+        SELECT sb, SUM(c) AS n_b FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT SUM(c) AS n, COUNT(DISTINCT sb) AS m FROM cells
+    ), spine AS (
+        SELECT g.lang, g.source, g.n_g, b.sb, b.n_b, tot.n, tot.m,
+               COALESCE(cells.c, 0) AS c
+        FROM groups g CROSS JOIN buckets b CROSS JOIN tot
+        LEFT JOIN cells ON cells.lang = g.lang AND cells.source = g.source
+                       AND cells.sb = b.sb
+    ), cum AS (
+        SELECT lang, source, n_g, m,
+               SUM(CAST(c AS DOUBLE) / n_g - CAST(n_b AS DOUBLE) / n) OVER (
+                   PARTITION BY lang, source ORDER BY sb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        FROM spine
+    )
+    SELECT lang, source, CAST(MIN(n_g) AS BIGINT) AS n_docs,
+           {dround('SUM(abs(cd)) / (MIN(m) - 1)', 6)} AS emd,
+           {dround('SUM(abs(cd)) / (MIN(m) - 1)', 6)} > 0.2 AS t_violation
+    FROM cum
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 0.2) over QI groups (lang, source) with the
+    ordered sensitive attribute n_chars//100: per group, the Earth
+    Mover's Distance between its size-bucket distribution and the
+    global one — EMD for an ordered attribute is the mean |cumulative
+    difference| (Li et al.'s ordered-distance form). Completes the
+    privacy ladder: k-anonymity bounds group SIZE, l-diversity bounds
+    sensitive-value VARIETY, t-closeness bounds distributional SKEW —
+    a group can pass both k and l while still leaking via skew, which
+    is exactly what this measures.
+
+    Shape: one (QI, bucket) aggregate, then a dense group×bucket spine
+    (|QI groups| × |buckets| — both domain-bounded, 100×~50 here) with
+    cumulative-difference windows PARTITIONED per group, each window
+    O(buckets) regardless of corpus size. The global bucket histogram
+    is a broadcast-sized cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("sb")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    groups = cells.groupBy("lang", "source").agg(F.sum("c").alias("n_g"))
+    buckets = cells.groupBy("sb").agg(F.sum("c").alias("n_b"))
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.countDistinct("sb").alias("m")
+    )
+    spine = (
+        groups.crossJoin(F.broadcast(buckets))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source", "sb"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.withColumn(
+        "cd",
+        F.sum(
+            F.col("c").cast("double") / F.col("n_g")
+            - F.col("n_b").cast("double") / F.col("n")
+        ).over(w),
+    )
+    emd = F.sum(F.abs(F.col("cd"))) / (F.min("m") - 1)
+    return (
+        cum.groupBy("lang", "source")
+        .agg(
+            F.min("n_g").cast("long").alias("n_docs"),
+            hround(emd, 6).alias("emd"),
+            (hround(emd, 6) > F.lit(0.2)).alias("t_violation"),
+        )
+        .orderBy("lang", "source")
+    )

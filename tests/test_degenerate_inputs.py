@@ -174,7 +174,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "corpus_zipf_slope", "events_anomaly_mad",
         "events_drift_cusum_chart", "graph_copurchase_pairs",
         "forecast_theilsen_daily_trend", "monitor_psi_value_drift",
-        "maintain_incremental_sessions",
+        "maintain_incremental_sessions", "privacy_t_closeness",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

@@ -197,3 +197,31 @@ def test_incremental_sessions_non_vacuous_on_real_data(spark):
     r = REGISTRY["maintain_incremental_sessions"].fn(spark, SF_DIR).collect()[0]
     assert r.n_stitched_across >= 1
     assert r.sessions_match
+
+
+def test_t_closeness_emd_matches_direct_computation(spark):
+    import itertools
+    from collections import Counter
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    rows = REGISTRY["privacy_t_closeness"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("sb")
+    ).collect()
+    all_sb = sorted({r.sb for r in docs})
+    m, n = len(all_sb), len(docs)
+    glob = Counter(r.sb for r in docs)
+    by_group = {}
+    for r in docs:
+        by_group.setdefault((r.lang, r.source), []).append(r.sb)
+    for row in rows:
+        vals = by_group[(row.lang, row.source)]
+        cnt = Counter(vals)
+        cum, acc = 0.0, 0.0
+        for sb in all_sb:
+            acc += cnt.get(sb, 0) / len(vals) - glob[sb] / n
+            cum += abs(acc)
+        emd = cum / (m - 1)
+        assert abs(row.emd - emd) < 1e-5, (row.lang, row.source, row.emd, emd)
+        assert row.n_docs == len(vals)

@@ -1093,8 +1093,8 @@ def abtest_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine
     )
     SELECT lang, source, CAST(MIN(n_g) AS BIGINT) AS n_docs,
-           {dround('SUM(abs(cd)) / (MIN(m) - 1)', 6)} AS emd,
-           {dround('SUM(abs(cd)) / (MIN(m) - 1)', 6)} > 0.2 AS t_violation
+           {dround('SUM(abs(cd)) / GREATEST(MIN(m) - 1, 1)', 6)} AS emd,
+           {dround('SUM(abs(cd)) / GREATEST(MIN(m) - 1, 1)', 6)} > 0.2 AS t_violation
     FROM cum
     GROUP BY lang, source
     ORDER BY lang, source
@@ -1144,7 +1144,11 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_b").cast("double") / F.col("n")
         ).over(w),
     )
-    emd = F.sum(F.abs(F.col("cd"))) / (F.min("m") - 1)
+    # GREATEST guard: a single-bucket domain (m=1) makes every per-group
+    # distribution identical to the global one — cum diffs are all 0, so
+    # EMD is 0 under any denominator; without the guard (m-1)=0 is an
+    # ANSI divide-by-zero (the degenerate-input sweep's fault class).
+    emd = F.sum(F.abs(F.col("cd"))) / F.greatest(F.min("m") - 1, F.lit(1))
     return (
         cum.groupBy("lang", "source")
         .agg(

@@ -663,3 +663,89 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(slope, 6).alias("zipf_slope"),
         hround(intercept, 6).alias("log_intercept"),
     )
+
+
+KN_D = 0.75
+
+
+@query(
+    "text_kneser_ney_bigrams",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS MATERIALIZED (
+        SELECT t[i] AS v, t[i + 1] AS w
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ), cvw AS (
+        SELECT v, w, COUNT(*) AS c FROM big GROUP BY v, w
+    ), ctx AS (
+        SELECT v, SUM(c) AS cv, COUNT(*) AS n1p_fwd FROM cvw GROUP BY v
+    ), cont AS (
+        SELECT w, COUNT(*) AS n1p_bwd FROM cvw GROUP BY w
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM cvw
+    )
+    SELECT cvw.v, cvw.w, cvw.c AS c_bigram,
+           CAST(ctx.cv AS BIGINT) AS c_context,
+           {dround('cont.n1p_bwd / tot.b', 6)} AS p_continuation,
+           {dround(f'GREATEST(cvw.c - {KN_D!r}, 0.0) / ctx.cv'
+                   f' + {KN_D!r} * ctx.n1p_fwd / ctx.cv * (cont.n1p_bwd / tot.b)', 6)}
+               AS p_kn
+    FROM cvw JOIN ctx USING (v) JOIN cont USING (w), tot
+    ORDER BY c_bigram DESC, v, w
+    LIMIT 20
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for the corpus's 20
+    most frequent bigrams: absolute discount D=0.75 with the mass routed
+    to the CONTINUATION unigram (how many contexts a word completes,
+    not how often it occurs) — the smoothing insight that makes KN the
+    standard n-gram LM, and the companion the plain-interpolation
+    `text_bigram_perplexity` model is usually compared against.
+
+    All four model tables (bigram counts, context totals+fanouts,
+    continuation fanins, distinct-bigram total) come from ONE bigram
+    counting shuffle and |vocab|-bounded regroupings of it — the
+    N1+ statistics are COUNT(*) over the already-aggregated bigram
+    table, never a second pass over the corpus. Top-20 via
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t)-1)").alias("v"),
+                F.expr("slice(t, 2, size(t)-1)").alias("w"),
+            )
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cvw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = cvw.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    joined = (
+        cvw.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_cont = F.col("n1p_bwd") / F.col("b")
+    p_kn = (
+        F.greatest(F.col("c") - F.lit(KN_D), F.lit(0.0)) / F.col("cv")
+        + F.lit(KN_D) * F.col("n1p_fwd") / F.col("cv") * p_cont
+    )
+    return (
+        joined.select(
+            "v",
+            "w",
+            F.col("c").alias("c_bigram"),
+            F.col("cv").cast("long").alias("c_context"),
+            hround(p_cont, 6).alias("p_continuation"),
+            hround(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_bigram"), "v", "w")
+        .limit(20)
+    )

@@ -1264,3 +1264,82 @@ def maintain_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("fp_m") == F.col("fp_s")).alias("sessions_match"),
         )
     )
+
+
+# (table, key column for the distinct-count probe, all columns) — schemas
+# are the fixture contract (TESTDATA.md), stable across SFs.
+_CARD_TABLES = [
+    ("region", "r_regionkey", ["r_regionkey", "r_name"]),
+    ("nation", "n_nationkey", ["n_nationkey", "n_name", "n_regionkey"]),
+    ("customer", "c_custkey",
+     ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+    ("supplier", "s_suppkey", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+    ("part", "p_partkey",
+     ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    ("orders", "o_orderkey",
+     ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"]),
+    ("lineitem", "l_orderkey",
+     ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"]),
+    ("events", "event_id",
+     ["event_id", "ts", "user_id", "event_type", "value", "props"]),
+    ("documents", "doc_id", ["doc_id", "text", "lang", "source", "n_chars"]),
+    ("embeddings", "vec_id", ["vec_id", "embedding", "label"]),
+]
+
+
+def _card_oracle() -> str:
+    parts = []
+    for t, key, cols in _CARD_TABLES:
+        nulls = " + ".join(f"COUNT(*) FILTER ({c} IS NULL)" for c in cols)
+        parts.append(f"""
+        SELECT '{t}' AS table_name,
+               COUNT(*) AS n_rows,
+               {len(cols)} AS n_cols,
+               COUNT(DISTINCT {key}) AS n_distinct_keys,
+               CAST({nulls} AS BIGINT) AS n_null_cells,
+               COUNT(*) = COUNT(DISTINCT {key}) AS key_unique
+        FROM {t}""")
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@query("profile_data_card_all_tables", oracle=_card_oracle())
+def profile_data_card_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-table data card across the whole warehouse: row
+    count, column count, key distinctness (is the declared key actually
+    unique?), and total null cells — the cross-table freshness/contract
+    summary a platform publishes alongside every snapshot, and the
+    first thing a consumer checks before joining two tables.
+
+    Each table contributes ONE aggregate job (all per-column null
+    counts batched into the same partial+final pass — the A12
+    single-pass-profiling discipline); the card is the 10-row union of
+    their 1-row results. Nothing shuffles but final 1-row aggregates.
+    """
+    cards = []
+    for t, key, cols in _CARD_TABLES:
+        df = load_table(spark, sf_dir, t)
+        nulls = None
+        for c in cols:
+            term = F.count(F.when(F.col(c).isNull(), 1))
+            nulls = term if nulls is None else nulls + term
+        cards.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_distinct_keys"),
+                nulls.cast("long").alias("n_null_cells"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(cols)).alias("n_cols"),
+                "n_distinct_keys",
+                "n_null_cells",
+                (F.col("n_rows") == F.col("n_distinct_keys")).alias("key_unique"),
+            )
+        )
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("table_name")

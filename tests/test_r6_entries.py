@@ -225,3 +225,36 @@ def test_t_closeness_emd_matches_direct_computation(spark):
         emd = cum / (m - 1)
         assert abs(row.emd - emd) < 1e-5, (row.lang, row.source, row.emd, emd)
         assert row.n_docs == len(vals)
+
+
+def test_kneser_ney_probabilities_are_valid(spark):
+    rows = REGISTRY["text_kneser_ney_bigrams"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # a probability, strictly positive (continuation mass guarantees it)
+        assert 0 < r.p_kn <= 1, r
+        assert 0 < r.p_continuation < 1, r
+        # p_kn = (c-D)/cv + D·fanout/cv·p_cont with fanout/cv in (0,1]:
+        # bounded below by the discounted MLE and above by it plus the
+        # full redistributed mass (interpolated KN CAN exceed raw MLE —
+        # that is the point of routing mass through the continuation).
+        disc = (r.c_bigram - 0.75) / r.c_context
+        assert disc - 1e-9 <= r.p_kn <= disc + 0.75 * r.p_continuation + 1e-9, r
+    # counts sorted descending with deterministic tie-break
+    cs = [r.c_bigram for r in rows]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_data_card_matches_table_facts(spark):
+    rows = {r.table_name: r for r in
+            REGISTRY["profile_data_card_all_tables"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert rows["region"].n_rows == 5 and rows["region"].key_unique
+    assert rows["nation"].n_rows == 25 and rows["nation"].key_unique
+    assert rows["lineitem"].key_unique is False  # orderkey repeats per line
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert rows["events"].n_rows == ev.count()
+    assert rows["events"].n_null_cells == 0

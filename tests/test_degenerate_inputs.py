@@ -177,7 +177,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "maintain_incremental_sessions", "privacy_t_closeness",
         # (profile_data_card_all_tables reads all ten tables — the tiny
         # fixture ships five, so it is exercised at the real SFs instead)
-        "text_kneser_ney_bigrams",
+        "text_kneser_ney_bigrams", "ml_naive_bayes_lang",
     ]
     for name in new_entries:
         rows = REGISTRY[name].fn(spark, str(d)).collect()

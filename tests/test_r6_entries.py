@@ -258,3 +258,38 @@ def test_data_card_matches_table_facts(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert rows["events"].n_rows == ev.count()
     assert rows["events"].n_null_cells == 0
+
+
+def test_naive_bayes_learns_planted_separable_vocab(spark, tmp_path):
+    import pandas as pd
+
+    # two langs with DISJOINT vocabularies -> NB must hit 100% on test.
+    # lang alternates in PAIRS so both classes land in both the even-id
+    # train half and the odd-id test half (a parity-aligned label would
+    # leave one class entirely out of training).
+    rows = []
+    for i in range(40):
+        lang = "aa" if (i // 2) % 2 == 0 else "bb"
+        word = "apple" if lang == "aa" else "banana"
+        rows.append((i, f"{word} {word} {word}", lang, "src0", 17))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = REGISTRY["ml_naive_bayes_lang"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_test_docs for r in out) == 20
+    assert all(r.n_correct == r.n_test_docs for r in out), out
+
+
+def test_naive_bayes_on_real_data_reports_prior_level_accuracy(spark):
+    # documents.lang is an arbitrary label (TESTDATA measurement): NB
+    # accuracy must sit near the majority prior, NOT near 1.0 — if this
+    # ever jumps, the fixture changed and the honest-verdict docstring
+    # needs re-checking.
+    rows = REGISTRY["ml_naive_bayes_lang"].fn(spark, SF_DIR).collect()
+    n_test = sum(r.n_test_docs for r in rows)
+    acc = sum(r.n_correct for r in rows) / n_test
+    max_prior = max(r.n_train_docs for r in rows) / sum(r.n_train_docs for r in rows)
+    assert acc < max_prior + 0.15, (acc, max_prior)
+    # priors are log-probabilities of a proper distribution
+    import math
+    assert abs(sum(math.exp(r.logprior) for r in rows) - 1.0) < 1e-3

@@ -1506,3 +1506,85 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
+
+
+SNM_W = 3       # neighborhood width (rank distance)
+SNM_MAXED = 3   # edit-distance verify threshold
+
+
+@query(
+    "sim_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH n AS (
+        SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    ), r AS (
+        SELECT p_name, n_parts,
+               ROW_NUMBER() OVER (ORDER BY p_name) AS rnk
+        FROM n
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(b.rnk - a.rnk AS INTEGER) AS rank_dist,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SNM_W}
+    WHERE levenshtein(a.p_name, b.p_name) <= {SNM_MAXED}
+    ORDER BY name_a, name_b
+    """,
+)
+def sim_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández-Stolfo SNM):
+    sort the distinct-name vocabulary, compare each name only to its
+    w=3 lexicographic neighbors, verify with edit distance ≤ 3 — the
+    OTHER classic ER blocking strategy, complementing the hash/equality
+    blocking of `sim_fuzzy_name_pairs` (SNM catches near-misses that
+    share a PREFIX but no exact blocking key).
+
+    Scale shape: ranks come from the two-phase prefix sum over the
+    distinct-name table (count=1 per name), never a global window over
+    rows; the neighborhood join is bucketized — each name emits its
+    rank bucket and the next (floor(rank/w), +1), the self-join keys on
+    the bucket, and the rank-distance filter trims to the true window —
+    so every name meets at most ~4w candidates regardless of corpus
+    size, the textbook SNM bound. Levenshtein runs on vocabulary pairs
+    only (the `sim_fuzzy_name_pairs` lesson).
+    """
+    from ..operators.packing import exclusive_prefix_sums
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    ranked = exclusive_prefix_sums(
+        names.withColumn("one", F.lit(1)), "p_name", ["one"]
+    ).select(
+        "p_name", "n_parts", (F.col("one_excl") + 1).cast("long").alias("rnk")
+    )
+    bucketed = ranked.withColumn("b", F.floor(F.col("rnk") / SNM_W))
+    left = bucketed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    right = bucketed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.col("b").alias("jb"),
+    )
+    cand = left.join(right, "jb").filter(
+        (F.col("rnk_b") > F.col("rnk_a"))
+        & (F.col("rnk_b") - F.col("rnk_a") <= SNM_W)
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= SNM_MAXED)
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rnk_b") - F.col("rnk_a")).cast("int").alias("rank_dist"),
+            F.col("edit_dist").cast("int"),
+            F.col("n_parts_a").cast("long"),
+            F.col("n_parts_b").cast("long"),
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -293,3 +293,35 @@ def test_naive_bayes_on_real_data_reports_prior_level_accuracy(spark):
     # priors are log-probabilities of a proper distribution
     import math
     assert abs(sum(math.exp(r.logprior) for r in rows) - 1.0) < 1e-3
+
+
+def test_snm_bucketized_join_finds_all_window_pairs(spark):
+    # the bucket trick must be lossless vs the direct rank-window join
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    got = {
+        (r.name_a, r.name_b)
+        for r in REGISTRY["sim_sorted_neighborhood_pairs"].fn(spark, SF_DIR).collect()
+    }
+    names = sorted(
+        r.p_name
+        for r in load_table(spark, SF_DIR, "part").select("p_name").distinct().collect()
+    )
+    import difflib  # noqa: F401  (stdlib only for clarity; we use a direct DP)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, min(i + 4, len(names)))
+        if lev(names[i], names[j]) <= 3
+    }
+    assert got == want and len(want) > 0

@@ -2118,10 +2118,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 2-decimal rounding), so each median is computed by COUNTING —
     groupBy (type, value) first, then a window over the distinct-value
     table only, whose per-type size is bounded by the value domain
-    (≤ ~50k rows) at ANY corpus scale. Lower-median convention
-    (smallest value whose cumulative count reaches (n+1)/2), identical
-    on both engines. Deviations re-quantize onto the same bounded grid,
-    so the MAD pass repeats the identical trick.
+    (≤ ~50k rows) at ANY corpus scale. Upper-median convention: the
+    smallest value whose cumulative count reaches (n+1)/2 — sorted
+    position n//2+1, i.e. the HIGHER of the two middles for even n —
+    identical on both engines and property-tested against the sorted
+    array. Deviations re-quantize onto the same bounded grid, so the
+    MAD pass repeats the identical trick.
     """
     ev = load_table(spark, sf_dir, "events")
     vc = ev.groupBy("event_type", F.col("value").alias("v")).agg(

@@ -325,3 +325,42 @@ def test_snm_bucketized_join_finds_all_window_pairs(spark):
         if lev(names[i], names[j]) <= 3
     }
     assert got == want and len(want) > 0
+
+
+def test_counting_median_property_vs_numpy_upper_median(spark):
+    """Property: the MAD entry's counting-median (smallest v with
+    cumcount >= (n+1)/2 over the distinct-value table) equals the
+    sorted-array UPPER median (position n//2+1) for ANY multiset of
+    2-decimal values."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(1, 500).map(lambda c: c / 100.0),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        from datetime import datetime
+
+        d = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1), 1, "view", float(v), "{}")
+             for i, v in enumerate(vals)],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        )
+        import tempfile, os
+        tmp = tempfile.mkdtemp()
+        d.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        row = REGISTRY["events_anomaly_mad"].fn(spark, tmp).collect()[0]
+        s = sorted(vals)
+        upper_med = s[len(s) // 2]  # 1-based position n//2+1
+        assert abs(row.median_value - upper_med) < 1e-9, (vals, row)
+        devs = sorted(abs(v - upper_med) for v in vals)
+        mad = devs[len(devs) // 2]
+        assert abs(row.mad - round(np.floor(mad * 100 + 0.5) / 100, 10)) < 1e-9, (vals, row)
+
+    check()

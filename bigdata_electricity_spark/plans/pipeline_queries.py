@@ -1318,3 +1318,70 @@ def sql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_key")
     )
+
+
+@query(
+    "ingest_binary_files",
+    oracle="""
+    WITH first_doc AS (
+        SELECT source, arg_min(text, doc_id) AS text
+        FROM documents GROUP BY source
+    )
+    SELECT source,
+           1 AS n_files,
+           CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM first_doc
+    ORDER BY source
+    """,
+)
+def ingest_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` ingestion certified end-to-end — the multimodal
+    entry point: opaque blobs land as (path, length, content binary)
+    rows, keys derive from the PATH, and payload integrity is proven by
+    checksum against the source of truth. One blob per source is staged
+    from its lowest-id document (a Spark text write, source-partitioned
+    directories, one row per source → exactly one file each, '\\n'
+    appended by the sink — accounted for in both checksums), then read
+    back with format('binaryFile') + recursiveFileLookup +
+    pathGlobFilter('*.txt') (recursive lookup disables partition
+    inference, so the source key is regexp-extracted from the path —
+    the standard layout-to-column recovery for blob stores).
+
+    Scale shape: binaryFile streams each blob as ONE row — fine for
+    media objects; the md5/length projection is per-row expression
+    work, and everything aggregates per directory key. The corpus text
+    is pure ASCII (measured), so byte length == char length + the
+    newline on both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    first_doc = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "text")
+    )
+    out_dir = run_dir("binary_blobs", sf_dir)
+    first_doc.write.mode("overwrite").partitionBy("source").text(out_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(out_dir)
+    )
+    return (
+        blobs.select(
+            F.regexp_extract("path", "source=([^/]+)", 1).alias("source"),
+            F.col("length"),
+            F.md5("content").alias("content_md5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("length").cast("long").alias("n_bytes"),
+            F.min("content_md5").alias("content_md5"),
+        )
+        .orderBy("source")
+    )

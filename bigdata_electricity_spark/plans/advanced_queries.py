@@ -1162,3 +1162,73 @@ def asof_join_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "map_function_zoo",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, COUNT(*) AS c, SUM(value) AS s
+        FROM events WHERE user_id <= 50
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 END), 0) AS INT) AS n_frequent,
+           string_agg('evt_' || event_type, ',' ORDER BY event_type) AS keys_renamed,
+           string_agg(event_type || '=' ||
+                      CAST(CAST(floor(s / c * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+                      ';' ORDER BY event_type) AS avg_cents
+    FROM per
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def map_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP higher-order-function surface in one oracle-checked
+    sweep — the collection-function completion of `array_function_zoo`:
+    per-user maps of event-type counts and value sums, then
+    `map_filter` (frequent types), `transform_keys` (rename), and
+    `map_zip_with` (counts ⋈ sums → average, rendered as exact cents so
+    no float ever crosses the boundary as a string). The oracle
+    computes the SAME values straight from the grouped table, pinning
+    the map semantics against plain relational algebra.
+
+    Determinism: maps are built with map_from_entries over SORTED entry
+    arrays, and every map-valued result is re-sorted on extraction
+    (map iteration order is undefined — render through
+    sort_array(map_entries(...)), never trust it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("user_id") <= 50)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s"))
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("cnts"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sums"),
+    )
+    frequent = F.map_filter("cnts", lambda k, v: v >= 2)
+    renamed = F.transform_keys("cnts", lambda k, v: F.concat(F.lit("evt_"), k))
+    cents = F.map_zip_with(
+        "cnts", "sums",
+        lambda k, c, s: F.floor(s / c * 100.0 + 0.5).cast("long"),
+    )
+    return maps.select(
+        "user_id",
+        F.size("cnts").cast("int").alias("n_types"),
+        F.size(frequent).cast("int").alias("n_frequent"),
+        F.array_join(F.array_sort(F.map_keys(renamed)), ",").alias("keys_renamed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(cents)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ";",
+        ).alias("avg_cents"),
+    ).orderBy("user_id")

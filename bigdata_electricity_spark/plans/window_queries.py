@@ -850,3 +850,88 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_rolling_regression_slope",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id) AS x
+        FROM events
+    ), framed AS (
+        SELECT user_id, ts, event_id, value,
+               COUNT(*)        OVER w AS n,
+               SUM(CAST(x AS DOUBLE))     OVER w AS sx,
+               SUM(value)                 OVER w AS sy,
+               SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) OVER w AS sxx,
+               SUM(CAST(x AS DOUBLE) * value)             OVER w AS sxy,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rev
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(n AS INT) AS n_window,
+           {dround('''CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END''', 9)}
+               AS slope_per_sec
+    FROM framed
+    WHERE rev = 1 AND user_id <= 200
+    ORDER BY user_id
+    """,
+)
+def events_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope inside a window frame — regression WITHOUT a
+    UDF: the trailing-10-events slope of value against time per user,
+    assembled from four windowed sums via the closed form
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), reported at each user's latest event.
+    The window-algebra pattern for online trend features.
+
+    Numerical safety is the point being demonstrated: raw epoch seconds
+    (~1.7e9) square to ~3e18 > 2⁵³, so nΣx² − (Σx)² would cancel
+    catastrophically — x is therefore re-based per user (seconds since
+    the user's first event, a slope-invariant shift) keeping every
+    intermediate exactly representable. Degenerate frames (n < 3 or
+    zero x-variance from same-second events) yield NULL, not a crash —
+    the divide-by-zero class from the degenerate-input sweep. All
+    windows partition by user_id; output is bounded to users ≤ 200.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.withColumn(
+        "x",
+        (
+            F.unix_timestamp("ts")
+            - F.min(F.unix_timestamp("ts")).over(Window.partitionBy("user_id"))
+        ).cast("double"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wrev = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    framed = base.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("value").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("value")).over(w).alias("sxy"),
+        F.row_number().over(wrev).alias("rev"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"])
+    denom = n * sxx - sx * sx
+    slope = F.when((n >= 3) & (denom > 0), (n * sxy - sx * sy) / denom)
+    return (
+        framed.filter((F.col("rev") == 1) & (F.col("user_id") <= 200))
+        .select(
+            "user_id",
+            n.cast("int").alias("n_window"),
+            hround(slope, 9).alias("slope_per_sec"),
+        )
+        .orderBy("user_id")
+    )

@@ -179,6 +179,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         # fixture ships five, so it is exercised at the real SFs instead)
         "text_kneser_ney_bigrams", "ml_naive_bayes_lang",
         "ingest_binary_files", "map_function_zoo",
+        "events_rolling_regression_slope",
         # (sim_sorted_neighborhood_pairs reads part — tiny fixture has no
         # part table, so it is exercised at the real SFs instead)
     ]

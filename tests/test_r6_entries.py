@@ -364,3 +364,39 @@ def test_counting_median_property_vs_numpy_upper_median(spark):
         assert abs(row.mad - round(np.floor(mad * 100 + 0.5) / 100, 10)) < 1e-9, (vals, row)
 
     check()
+
+
+def test_rolling_regression_slope_matches_numpy_polyfit(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    out = {
+        r.user_id: r
+        for r in REGISTRY["events_rolling_regression_slope"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") <= 200)
+        .select("user_id", F.unix_timestamp("ts").alias("t"), "value", "event_id")
+        .collect()
+    )
+    by = defaultdict(list)
+    for r in ev:
+        by[r.user_id].append((r.t, r.event_id, r.value))
+    checked = 0
+    for uid, rows in by.items():
+        rows.sort()
+        tail = rows[-10:]
+        base = min(t for t, _, _ in rows)
+        x = np.array([t - base for t, _, _ in tail], dtype=float)
+        y = np.array([v for _, _, v in tail])
+        if len(tail) >= 3 and np.ptp(x) > 0:
+            want = np.polyfit(x, y, 1)[0]
+            got = out[uid].slope_per_sec
+            assert got is not None and abs(got - want) < 1e-6, (uid, got, want)
+            checked += 1
+        assert out[uid].n_window == len(tail)
+    assert checked >= 10

@@ -1385,3 +1385,73 @@ def ingest_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "observe_export_metrics",
+    oracle=f"""
+    WITH exported AS (
+        SELECT * FROM orders WHERE o_totalprice >= 1000.0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT) AS n_null_dates,
+           {dround('MIN(o_totalprice)', 2)} AS min_price,
+           {dround('MAX(o_totalprice)', 2)} AS max_price,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_scanned
+    FROM exported
+    """,
+)
+def observe_export_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` — metrics collected DURING a real action, not by a
+    second scan: an export writes the filtered orders to parquet while
+    an Observation rides along accumulating row count, null count and
+    price bounds; the entry returns those observed metrics (plus a
+    second observation on the pre-filter scan) as one row. The
+    single-pass circuit-breaker pattern: a pipeline aborts on bad
+    metrics without paying a validation pass over the data it just
+    wrote.
+
+    The observed values are deterministic aggregates (count/min/max
+    commute with partitioning), so the entry stays hash-checkable
+    against an oracle that recomputes them relationally. Metrics travel
+    driver-side as O(1) rows — the data path is untouched.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs_scan = Observation("scan")
+    obs_export = Observation("export")
+    staged = (
+        orders.observe(obs_scan, F.count(F.lit(1)).alias("n_scanned"))
+        .filter(F.col("o_totalprice") >= 1000.0)
+        .observe(
+            obs_export,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_dates"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    staged.write.mode("overwrite").parquet(run_dir("observed_orders", sf_dir))
+    m_export, m_scan = obs_export.get, obs_scan.get
+    # min/max observe as None when the filter matched nothing (the
+    # degenerate-input class): pass NULL through, never float(None).
+    row = [
+        (
+            int(m_export["n_rows"]),
+            int(m_export["n_null_dates"]),
+            None if m_export["min_price"] is None else float(m_export["min_price"]),
+            None if m_export["max_price"] is None else float(m_export["max_price"]),
+            int(m_scan["n_scanned"]),
+        )
+    ]
+    out = spark.createDataFrame(
+        row, "n_rows long, n_null_dates long, min_price double, max_price double, n_scanned long"
+    )
+    return out.select(
+        "n_rows",
+        "n_null_dates",
+        hround("min_price", 2).alias("min_price"),
+        hround("max_price", 2).alias("max_price"),
+        "n_scanned",
+    )

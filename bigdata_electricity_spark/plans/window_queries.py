@@ -935,3 +935,76 @@ def events_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_session_window_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS proposed_end
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value, event_type, proposed_end,
+               CASE WHEN MAX(proposed_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                         OR ts >= MAX(proposed_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g
+    ), sessions AS (
+        SELECT user_id, ts, value, event_type, proposed_end,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(proposed_end), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS n_purchases,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: `session_window` with a PER-ROW gap
+    expression — purchases hold the session open 45 minutes, everything
+    else 15 — the engagement-weighted timeout real session models use
+    (a conversion event earns a longer attention window).
+
+    Dynamic gaps change the merge rule: each event proposes
+    [ts, ts+gap) and overlapping proposals merge, so a session's end is
+    the RUNNING MAX of proposed ends, not last-event+timeout — the
+    oracle replays exactly that (island starts when ts ≥ max of all
+    previous proposed ends; an equal boundary does NOT merge, matching
+    the builtin's exclusive end). Same partial+final merge aggregation
+    shape as the static builtin, fully parallel per user.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)
+            ).cast("long").alias("n_purchases"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_window.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "n_purchases",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

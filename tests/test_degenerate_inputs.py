@@ -180,6 +180,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "text_kneser_ney_bigrams", "ml_naive_bayes_lang",
         "ingest_binary_files", "map_function_zoo",
         "events_rolling_regression_slope",
+        "events_session_window_dynamic_gap", "observe_export_metrics",
         # (sim_sorted_neighborhood_pairs reads part — tiny fixture has no
         # part table, so it is exercised at the real SFs instead)
     ]

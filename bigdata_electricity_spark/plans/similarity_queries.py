@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.rounding import hround
+from ..functions.rounding import dround, hround
 from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 from ..operators.dims import hint_dim
 from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
@@ -1587,4 +1587,86 @@ def sim_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_parts_b").cast("long"),
         )
         .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "mining_association_rules",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM op
+    ), item AS (
+        SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey
+    ), pair AS (
+        SELECT a.l_partkey AS ant, b.l_partkey AS con, COUNT(*) AS c_pair
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT pair.ant, pair.con,
+           CAST(pair.c_pair AS BIGINT) AS n_together,
+           {dround('pair.c_pair / n_orders.n', 6)} AS support,
+           {dround('CAST(pair.c_pair AS DOUBLE) / ia.c', 6)} AS confidence,
+           {dround('(CAST(pair.c_pair AS DOUBLE) / ia.c) / (ic.c / n_orders.n)', 6)} AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = pair.ant
+    JOIN item ic ON ic.l_partkey = pair.con, n_orders
+    ORDER BY lift DESC, ant, con
+    LIMIT 25
+    """,
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — the Apriori level-2 read
+    of the co-purchase graph: for every DIRECTED part pair bought
+    together in ≥3 orders, support P(A∧B), confidence P(B|A) and lift
+    P(B|A)/P(B); top-25 by lift. `graph_copurchase_pairs` reports the
+    co-occurrence COUNTS; this entry turns them into the
+    recommendation-grade metrics (a lift > 1 pair co-occurs more than
+    its popularity predicts).
+
+    Shape: the same bounded per-order fan-out (directed now — C(b,2)×2),
+    one pair shuffle with a map-side-combinable count + a HAVING that
+    prunes the long tail BEFORE the metric joins (the Apriori support
+    prune), then two broadcast-sized joins against the item-frequency
+    table and a scalar order count. Top-25 via TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ant"), F.col("b.l_partkey").alias("con")
+        )
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ant"), F.col("c").alias("c_ant"))
+    ic = item.select(F.col("l_partkey").alias("con"), F.col("c").alias("c_con"))
+    conf = F.col("c_pair").cast("double") / F.col("c_ant")
+    return (
+        pair.join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "con")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ant",
+            "con",
+            F.col("c_pair").cast("long").alias("n_together"),
+            hround(F.col("c_pair") / F.col("n"), 6).alias("support"),
+            hround(conf, 6).alias("confidence"),
+            hround(conf / (F.col("c_con") / F.col("n")), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ant", "con")
+        .limit(25)
     )

@@ -2109,9 +2109,11 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screen per event type: median absolute deviation
     with the 1.4826 normal-consistency factor, counting values beyond
-    3 robust sigmas. MAD survives the heavy tails that wreck the
-    mean/stddev screen and complements the IQR entry (`clean_outlier_iqr`)
-    with the robust-statistics textbook alternative.
+    3 robust sigmas. The scale-safe COUNTING twin of
+    `clean_outlier_mad` (which takes exact per-group percentiles —
+    correct, but its aggregation buffer grows with group size): here
+    no raw value is ever gathered, so the robust screen survives
+    groups of any row count.
 
     Exact medians WITHOUT a per-group sort of raw rows: events.value is
     2-decimal quantized (bounded domain — measured: every value equals
@@ -2328,94 +2330,6 @@ def forecast_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame
             hround("icept", 6).alias("intercept"),
         )
     )
-
-
-@query(
-    "monitor_psi_value_drift",
-    oracle=f"""
-    WITH binned AS (
-        SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INTEGER), 0), 9) AS bin,
-               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
-        FROM events
-    ), bins AS (
-        SELECT unnest(generate_series(0, 9)) AS bin
-    ), cells AS (
-        SELECT bins.bin,
-               COALESCE(SUM(CASE WHEN is_ref = 1 THEN 1 END), 0) AS n_ref,
-               COALESCE(SUM(CASE WHEN is_ref = 0 THEN 1 END), 0) AS n_cur
-        FROM bins LEFT JOIN binned USING (bin)
-        GROUP BY bins.bin
-    ), tot AS (
-        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells
-    ), probs AS (
-        SELECT bin, n_ref, n_cur,
-               (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
-               (n_cur + 0.5) / (t_cur + 5.0) AS p_cur
-        FROM cells, tot
-    )
-    SELECT CAST(bin AS INTEGER) AS bin,
-           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-           {dround('p_ref', 6)} AS p_ref, {dround('p_cur', 6)} AS p_cur,
-           {dround('(p_cur - p_ref) * ln(p_cur / p_ref)', 6)} AS psi_term
-    FROM probs
-    ORDER BY bin
-    """,
-)
-def monitor_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between the first and second half of
-    the event stream (watershed 2024-01-16): the ML-monitoring drift
-    screen run on every feature before a model retrain. Per-bin PSI
-    terms (p_cur − p_ref)·ln(p_cur/p_ref); Σ > 0.2 is the conventional
-    "major shift" alarm.
-
-    Fixed-width 50-unit bins capped at 10 (the monitoring convention
-    when reference quantiles aren't stored), densified from a literal
-    bin spine so empty bins stay visible, and Laplace-smoothed
-    ((n+0.5)/(N+5)) so an empty bin contributes a finite term instead
-    of ln(0) — the ANSI divide-by-zero class from the degenerate-input
-    sweep, handled identically on both engines. One scan, one 10-key
-    aggregate; the spine join is a 10-row broadcast.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    binned = ev.select(
-        F.least(
-            F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)),
-            F.lit(9),
-        ).alias("bin"),
-        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
-        .cast("int")
-        .alias("is_ref"),
-    )
-    spine = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
-    cells = (
-        spine.join(binned, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("is_ref") == 1, 1)), F.lit(0)).alias("n_ref"),
-            F.coalesce(F.sum(F.when(F.col("is_ref") == 0, 1)), F.lit(0)).alias("n_cur"),
-        )
-    )
-    tot = cells.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    probs = cells.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)).alias("p_ref"),
-        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)).alias("p_cur"),
-    )
-    return probs.select(
-        "bin",
-        F.col("n_ref").cast("long").alias("n_ref"),
-        F.col("n_cur").cast("long").alias("n_cur"),
-        hround("p_ref", 6).alias("p_ref"),
-        hround("p_cur", 6).alias("p_cur"),
-        hround(
-            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
-            6,
-        ).alias("psi_term"),
-    ).orderBy("bin")
 
 
 _NB_SCORE = (

@@ -1402,14 +1402,15 @@ def ingest_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def observe_export_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`df.observe()` — metrics collected DURING a real action, not by a
-    second scan: an export writes the filtered orders to parquet while
-    an Observation rides along accumulating row count, null count and
-    price bounds; the entry returns those observed metrics (plus a
-    second observation on the pre-filter scan) as one row. The
-    single-pass circuit-breaker pattern: a pipeline aborts on bad
-    metrics without paying a validation pass over the data it just
-    wrote.
+    """`df.observe()` riding a WRITE action — the export circuit
+    breaker: the filtered orders stream to parquet while an Observation
+    accumulates row count, null count and price bounds; the entry
+    returns those observed metrics (plus a second observation on the
+    pre-filter scan) as one row, so a pipeline can abort on bad metrics
+    without a validation pass over the data it just wrote. Sibling of
+    `observe_filter_funnel_metrics`, which attaches observations to a
+    QUERY's own action — together they cover both halves of the
+    Observation API's production use.
 
     The observed values are deterministic aggregates (count/min/max
     commute with partitioning), so the entry stays hash-checkable

@@ -999,66 +999,6 @@ def maintain_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
     ).orderBy("custkey")
-
-
-@query(
-    "audit_benford_leading_digit",
-    oracle=f"""
-    WITH d AS (
-        SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice))))
-                    AS INTEGER) AS digit
-        FROM orders
-        WHERE o_totalprice > 0
-    ), obs AS (
-        SELECT digit, COUNT(*) AS n_orders,
-               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS obs_share
-        FROM d GROUP BY digit
-    )
-    SELECT digit, n_orders,
-           {dround('obs_share', 6)} AS obs_share,
-           {dround('log10(1.0 + 1.0 / digit)', 6)} AS benford_share,
-           {dround("abs(obs_share - log10(1.0 + 1.0 / digit))", 6)} AS abs_dev
-    FROM obs
-    ORDER BY digit
-    """,
-)
-def audit_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law fraud/quality audit: the observed first-digit
-    distribution of order totals against log10(1 + 1/d). Fabricated or
-    truncated monetary columns show up as digit-share deviations long
-    before row-level rules fire — the classic forensic screen, here as
-    one aggregate.
-
-    The leading digit comes from floor(x / 10^floor(log10 x)) — pure
-    double math, identical in both engines (log10 of a power of 10 is
-    exact in IEEE754 up front, and order totals are never exact powers).
-    Shape: map-side digit extraction, one 9-key shuffle, a 9-row window
-    for the share denominator. Nothing scales with anything but the
-    scan.
-    """
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digit = F.floor(
-        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-    ).cast("int")
-    obs = (
-        orders.select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .withColumn(
-            "obs_share",
-            F.col("n_orders").cast("double") / F.sum("n_orders").over(Window.partitionBy()),
-        )
-    )
-    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    return obs.select(
-        "digit",
-        "n_orders",
-        hround("obs_share", 6).alias("obs_share"),
-        hround(benford, 6).alias("benford_share"),
-        hround(F.abs(F.col("obs_share") - benford), 6).alias("abs_dev"),
-    ).orderBy("digit")
-
-
 def _duck_sessions(pred: str) -> str:
     """Session-summary CTE body over events rows satisfying ``pred``:
     (user_id, st, en, n, cents) with 30-min gap islands — the exact

@@ -170,10 +170,10 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "stats_spearman_rank_corr", "corpus_heaps_law_fit",
         "export_xml_roundtrip", "sql_collation_groupby",
         # r6 additions
-        "audit_benford_leading_digit", "dedup_containment_best",
+        "dedup_containment_best",
         "corpus_zipf_slope", "events_anomaly_mad",
         "events_drift_cusum_chart", "graph_copurchase_pairs",
-        "forecast_theilsen_daily_trend", "monitor_psi_value_drift",
+        "forecast_theilsen_daily_trend",
         "maintain_incremental_sessions", "privacy_t_closeness",
         # (profile_data_card_all_tables reads all ten tables — the tiny
         # fixture ships five, so it is exercised at the real SFs instead)

@@ -803,7 +803,7 @@ def test_mad_windows_are_partitioned_by_event_type(spark):
 
 
 def test_benford_prunes_to_price_column(spark):
-    plan = plan_of(spark, "audit_benford_leading_digit")
+    plan = plan_of(spark, "audit_benford_totalprice")
     read = plan.split("ReadSchema")[1][:200]
     assert "o_totalprice" in read
     assert "o_custkey" not in read and "o_orderdate" not in read

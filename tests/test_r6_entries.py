@@ -93,13 +93,6 @@ def test_cusum_identity_matches_recursion(spark):
         assert r.breach == (s > 4.0 * sigma) or abs(s - 4.0 * sigma) < eps
 
 
-def test_benford_shares_sum_to_one(spark):
-    rows = REGISTRY["audit_benford_leading_digit"].fn(spark, SF_DIR).collect()
-    assert [r.digit for r in rows] == list(range(1, 10))
-    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
-    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
-
-
 def test_zipf_slope_is_negative_and_rank_weighted(spark):
     row = REGISTRY["corpus_zipf_slope"].fn(spark, SF_DIR).collect()[0]
     # frequency must decay with rank on any natural-ish corpus
@@ -150,19 +143,6 @@ def test_theilsen_matches_numpy_pairwise_median(spark):
     lower_med = slopes[(len(slopes) + 1) // 2 - 1]
     assert abs(row.slope_per_day - lower_med) < 1e-7
     assert row.n_pairs == len(slopes)
-
-
-def test_psi_terms_are_finite_and_probabilities_normalize(spark):
-    rows = REGISTRY["monitor_psi_value_drift"].fn(spark, SF_DIR).collect()
-    assert [r.bin for r in rows] == list(range(10))
-    import math
-    for r in rows:
-        assert math.isfinite(r.psi_term)
-        assert 0 < r.p_ref < 1 and 0 < r.p_cur < 1
-    # smoothed probabilities sum to 1 by construction: Σ(n+0.5)/(N+5)
-    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-4
-    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-4
-    assert sum(r.n_ref + r.n_cur for r in rows) == 1000  # sf0.001 row count
 
 
 def test_incremental_sessions_stitch_fires_and_matches(spark, tmp_path):

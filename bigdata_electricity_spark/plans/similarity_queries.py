@@ -1458,56 +1458,6 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_copurchase_pairs",
-    oracle="""
-    WITH op AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), pairs AS (
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               COUNT(*) AS n_orders
-        FROM op a JOIN op b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2
-    )
-    SELECT part_a, part_b, n_orders
-    FROM pairs
-    ORDER BY n_orders DESC, part_a, part_b
-    LIMIT 20
-    """,
-)
-def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite projection of the order–part graph onto parts: the 20
-    part pairs most often bought in the same order — the
-    items-bought-together co-occurrence graph that seeds association
-    rules and retrieval co-click features.
-
-    Shape: distinct (order, part) first, then the self-join keys on the
-    ORDER — per-order fanout is C(basket size, 2), bounded by the
-    largest basket (single digits here), never all-pairs over parts.
-    One shuffle on orderkey for the join, one on the pair for the
-    count, TakeOrderedAndProject for the global top-20 (no full sort).
-    A pathological mega-basket at 100 TB would need a per-order item
-    cap before pairing — the standard co-occurrence mitigation.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-    return pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
-
-
 SNM_W = 3       # neighborhood width (rank distance)
 SNM_MAXED = 3   # edit-distance verify threshold
 
@@ -1622,10 +1572,12 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets — the Apriori level-2 read
     of the co-purchase graph: for every DIRECTED part pair bought
     together in ≥3 orders, support P(A∧B), confidence P(B|A) and lift
-    P(B|A)/P(B); top-25 by lift. `graph_copurchase_pairs` reports the
+    P(B|A)/P(B); top-25 by lift. `market_basket_pairs` reports the undirected
     co-occurrence COUNTS; this entry turns them into the
     recommendation-grade metrics (a lift > 1 pair co-occurs more than
-    its popularity predicts).
+    its popularity predicts). `market_basket_pairs` is the level-1
+    support count this builds on — its docstring calls itself the first
+    Apriori iteration; this entry is the second.
 
     Shape: the same bounded per-order fan-out (directed now — C(b,2)×2),
     one pair shuffle with a map-side-combinable count + a HAVING that

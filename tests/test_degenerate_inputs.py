@@ -172,7 +172,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         # r6 additions
         "dedup_containment_best",
         "corpus_zipf_slope", "events_anomaly_mad",
-        "events_drift_cusum_chart", "graph_copurchase_pairs",
+        "events_drift_cusum_chart",
         "forecast_theilsen_daily_trend",
         "maintain_incremental_sessions", "privacy_t_closeness",
         # (profile_data_card_all_tables reads all ten tables — the tiny

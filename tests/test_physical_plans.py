@@ -766,13 +766,6 @@ def test_no_forced_broadcast_of_scaling_tables(spark, name):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-def test_copurchase_uses_take_ordered_not_global_sort(spark):
-    # Global top-20 must plan TakeOrderedAndProject — a full Sort of the
-    # pair table would be the scale bug the entry exists to avoid.
-    plan = plan_of(spark, "graph_copurchase_pairs")
-    assert "TakeOrderedAndProject" in plan, plan[:2000]
-
-
 def test_containment_join_is_blocked_not_cartesian(spark):
     # The candidate join must key on the block column (equi-join on
     # source) — a CartesianProduct/NestedLoop would mean blocking was

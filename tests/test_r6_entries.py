@@ -100,28 +100,6 @@ def test_zipf_slope_is_negative_and_rank_weighted(spark):
     assert row.vocab_size > 0
 
 
-def test_copurchase_pairs_bounded_by_basket(spark):
-    # every reported pair must actually co-occur in at least one order
-    pairs = REGISTRY["graph_copurchase_pairs"].fn(spark, SF_DIR)
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    truth = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
-        .count()
-    )
-    joined = pairs.join(truth, ["part_a", "part_b"], "left")
-    bad = joined.filter(
-        F.col("count").isNull() | (F.col("count") != F.col("n_orders"))
-    ).count()
-    assert bad == 0
-
-
 def test_theilsen_matches_numpy_pairwise_median(spark):
     import numpy as np
 

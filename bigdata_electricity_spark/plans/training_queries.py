@@ -777,3 +777,95 @@ def mix_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "normalize_quantile_match_by_source",
+    oracle=f"""
+    WITH vc AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2
+    ), src AS (
+        SELECT source, v, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n_s
+        FROM vc
+    ), srcq AS (
+        SELECT source, v, c, (cum - c / 2.0) / n_s AS q, n_s FROM src
+    ), pooled AS (
+        SELECT v, SUM(c) AS c FROM vc GROUP BY v
+    ), pcdf AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(c) OVER () AS frac
+        FROM pooled
+    ), mapped AS (
+        SELECT s.source, s.c, s.n_s, s.v,
+               MIN(p.v) AS target
+        FROM srcq s JOIN pcdf p ON p.frac >= s.q
+        GROUP BY s.source, s.v, s.c, s.n_s
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_docs,
+           {dround('SUM(c * CAST(v AS DOUBLE)) / MIN(n_s)', 4)} AS mean_raw,
+           {dround('SUM(c * CAST(target AS DOUBLE)) / MIN(n_s)', 4)} AS mean_mapped
+    FROM mapped
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def normalize_quantile_match_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile matching (CDF mapping) of n_chars per source onto the
+    pooled distribution — the batch-effect/domain-shift corrector that
+    goes beyond `normalize_zscore_by_source`: z-scoring aligns two
+    moments, quantile matching aligns the WHOLE distribution (each
+    value maps to the pooled quantile at its within-source midpoint
+    CDF fraction — the lowest pooled value whose CDF reaches it).
+
+    Scale shape: both CDFs live on the DISTINCT-VALUE tables (bounded
+    by the n_chars domain, ~500 values at any corpus size — per-source
+    windows are domain-bounded, never n/|sources| row partitions), and
+    the inverse-CDF lookup is a bounded×bounded non-equi join with a
+    MIN aggregate. Per-source mean before/after reported; after mapping
+    every source's mean converges toward the pooled mean, which is the
+    observable the entry certifies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    srcq = vc.select(
+        "source",
+        "v",
+        "c",
+        ((F.sum("c").over(w_cum) - F.col("c") / 2.0) / F.sum("c").over(w_all)).alias("q"),
+        F.sum("c").over(w_all).alias("n_s"),
+    )
+    pooled = vc.groupBy("v").agg(F.sum("c").alias("c"))
+    wp_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp_all = Window.partitionBy()
+    pcdf = pooled.select(
+        F.col("v").alias("pv"),
+        (F.sum("c").over(wp_cum) / F.sum("c").over(wp_all)).alias("frac"),
+    )
+    mapped = (
+        srcq.join(F.broadcast(pcdf), F.col("frac") >= F.col("q"))
+        .groupBy("source", "v", "c", "n_s")
+        .agg(F.min("pv").alias("target"))
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.min("n_s").cast("long").alias("n_docs"),
+            hround(F.sum(F.col("c") * F.col("v").cast("double")) / F.min("n_s"), 4).alias("mean_raw"),
+            hround(F.sum(F.col("c") * F.col("target").cast("double")) / F.min("n_s"), 4).alias("mean_mapped"),
+        )
+        .orderBy("source")
+    )

@@ -181,7 +181,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "ingest_binary_files", "map_function_zoo",
         "events_rolling_regression_slope",
         "events_session_window_dynamic_gap", "observe_export_metrics",
-        "mining_association_rules",
+        "mining_association_rules", "normalize_quantile_match_by_source",
         # (sim_sorted_neighborhood_pairs reads part — tiny fixture has no
         # part table, so it is exercised at the real SFs instead)
     ]

@@ -1283,3 +1283,78 @@ def profile_data_card_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cards[1:]:
         out = out.unionByName(c)
     return out.orderBy("table_name")
+
+
+@query(
+    "maintain_vacuum_orphan_audit",
+    oracle="""
+    SELECT 4 AS n_committed_files,
+           5 AS n_disk_files,
+           1 AS n_orphans,
+           md5((SELECT arg_min(text, doc_id) FROM documents)) AS orphan_md5,
+           (SELECT COUNT(*) FROM orders) AS n_rows_committed
+    """,
+)
+def maintain_vacuum_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM's detection half: find files on disk that no committed
+    manifest references — the debris a failed/zombie writer leaves that
+    silently double-counts rows the moment someone lists the directory
+    instead of the manifest. Staged end-to-end: a 4-file parquet commit
+    is manifested from its own post-write listing, an orphan file is
+    planted beside it (content derived from the corpus so the audit is
+    data-dependent, not a constant check), and the audit is one
+    binaryFile listing anti-joined against the manifest.
+
+    Scale shape: the listing is O(#files) metadata rows (binaryFile
+    content is only read for the orphans found — a projection-ordered
+    lazy column); the anti-join keys on path. On a lakehouse the
+    manifest side comes from the table log instead of a listing —
+    identical plan. Companion to `maintain_compact_small_files`
+    (too many live files) and `retention_prune_days` (too-old live
+    files); this one handles files that were never live at all.
+    """
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_dir("vacuum_demo", sf_dir)
+    orders.repartition(4).write.mode("overwrite").parquet(out)
+
+    def listing():
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(out)
+            .select("path", "content")
+        )
+
+    manifest = listing().select("path")  # the "commit log" snapshot
+    committed_paths = [r.path for r in manifest.collect()]  # O(#files) metadata
+    n_committed = len(committed_paths)
+    # a zombie writer's debris: planted AFTER the manifest snapshot,
+    # with corpus-derived bytes so the audit value is data-dependent
+    first_text = (
+        docs.orderBy("doc_id").select("text").limit(1).collect()[0][0]
+    )
+    with open(os.path.join(out, "orphan-00000.parquet"), "wb") as fh:
+        fh.write(first_text.encode("utf-8"))
+
+    orphans = listing().join(manifest, "path", "left_anti")
+    audit = orphans.agg(
+        F.count(F.lit(1)).cast("int").alias("n_orphans"),
+        F.min(F.md5("content")).alias("orphan_md5"),
+    )
+    # The committed read goes through the MANIFEST paths — a naive
+    # directory-listing read (spark.read.parquet(out)) now fails on the
+    # orphan's bogus footer, which is precisely the hazard this audit
+    # exists to catch before it bites a consumer.
+    n_rows = spark.read.parquet(*committed_paths).count()
+    return (
+        audit.select(
+            F.lit(n_committed).cast("int").alias("n_committed_files"),
+            (F.lit(n_committed) + F.col("n_orphans")).cast("int").alias("n_disk_files"),
+            "n_orphans",
+            "orphan_md5",
+            F.lit(n_rows).cast("long").alias("n_rows_committed"),
+        )
+    )

@@ -379,3 +379,88 @@ def dedup_containment_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("containee_id")
     )
+
+
+@query(
+    "corpus_source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split({_DUCK_NORM}, ' ') AS t
+        FROM documents
+    ), fps AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(t[i:i+4], ' ')) AS fp
+        FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source
+    ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           {dround('CAST(s.n_shared AS DOUBLE) / (sa.n_fps + sb.n_fps - s.n_shared)', 6)}
+               AS fp_jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.src_a
+    JOIN sizes sb ON sb.source = s.src_b
+    ORDER BY n_shared DESC, src_a, src_b
+    """,
+)
+def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source contamination matrix: for every source pair, the
+    count of distinct 5-gram fingerprints they share and the Jaccard of
+    their gram-fingerprint sets — the who-duplicates-whom diagnostic
+    that orders dedup work (dedupe the heavily overlapping crawl
+    snapshots against each other first; leave disjoint sources alone).
+    `dedup_summary` answers "how much is duplicated"; `dedup_repeated_
+    ngrams` finds WHICH grams repeat; this answers "between WHOM".
+    Gram-level (not whole-document) fingerprints because cross-source
+    overlap in real corpora is phrase reuse long before full-document
+    copies — measured here: 0 shared document fingerprints but 1061
+    shared 5-grams at sf0.01.
+
+    Shape: one distinct over (source, 16-byte md5 of the gram) — gram
+    strings never shuffle past the first projection — then a
+    fingerprint-keyed self-join whose per-key fan-out is bounded by
+    C(|sources sharing the gram|, 2) ≤ C(20,2), and a ≤C(20,2)-row
+    rollup joined to two broadcast-sized size tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import token_shingles
+    from ..operators.text import normalize_text
+
+    toks = docs.select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= 5)
+    fps = toks.select(
+        "source", F.explode(token_shingles("t", 5)).alias("g")
+    ).select("source", F.md5("g").alias("fp")).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_fps").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            hround(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+        .orderBy(F.desc("n_shared"), "src_a", "src_b")
+    )

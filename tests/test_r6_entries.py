@@ -374,3 +374,11 @@ def test_quantile_match_aligns_source_means(spark):
     lo = min(r.mean_raw for r in rows)
     hi = max(r.mean_raw for r in rows)
     assert all(lo - 50 <= r.mean_mapped <= hi + 50 for r in rows)
+
+
+def test_source_overlap_matrix_is_non_vacuous_and_symmetric_free(spark):
+    rows = REGISTRY["corpus_source_overlap_matrix"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0 and rows[0].n_shared > 0  # gram overlap must exist
+    # src_a < src_b everywhere: no mirrored duplicates in the matrix
+    assert all(r.src_a < r.src_b for r in rows)
+    assert all(0 < r.fp_jaccard < 1 for r in rows)

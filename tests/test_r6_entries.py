@@ -382,3 +382,42 @@ def test_source_overlap_matrix_is_non_vacuous_and_symmetric_free(spark):
     # src_a < src_b everywhere: no mirrored duplicates in the matrix
     assert all(r.src_a < r.src_b for r in rows)
     assert all(0 < r.fp_jaccard < 1 for r in rows)
+
+
+def test_containment_property_vs_bruteforce(spark):
+    """Property: containment_pairs equals the brute-force pairwise
+    computation (orientation, threshold, values) on random small
+    corpora over a tiny vocabulary (dense overlap regime)."""
+    from hypothesis import given, settings, strategies as st
+
+    VOCAB = ["a", "b", "c", "d", "e"]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=1, max_size=5),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def check(docs):
+        rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r.containee_id, r.container_id): r.containment
+            for r in containment_pairs(df, block_cols=["source"], threshold=0.8).collect()
+        }
+        sets = [set(t) for t in docs]
+        want = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = sets[i], sets[j]
+                small, big = (i, j) if len(a) <= len(b) else (j, i)
+                c = len(a & b) / min(len(a), len(b))
+                if c >= 0.8:
+                    want[(small, big)] = c
+        assert got.keys() == want.keys(), (docs, got, want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12
+
+    check()

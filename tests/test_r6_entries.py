@@ -421,3 +421,44 @@ def test_containment_property_vs_bruteforce(spark):
             assert abs(got[k] - v) < 1e-12
 
     check()
+
+
+def test_incremental_sessions_property_random_streams(spark):
+    """Property: stitched == monolithic for RANDOM event streams around
+    the watershed — covers multi-session straddles, users entirely on
+    one side, empty halves, and single-event users."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings, strategies as st
+
+    W = datetime(2024, 1, 17, 13, 0, 0)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(  # per user: minute offsets from (W - 2h)
+            st.lists(st.integers(0, 240), min_size=1, max_size=12),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(users):
+        import pandas as pd
+
+        rows, eid = [], 0
+        for uid, offsets in enumerate(users):
+            for off in sorted(set(offsets)):
+                rows.append(
+                    (eid, W - timedelta(hours=2) + timedelta(minutes=off),
+                     uid, "view", 1.0, "{}")
+                )
+                eid += 1
+        import tempfile, os
+        tmp = tempfile.mkdtemp()
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(os.path.join(tmp, "events.parquet"), coerce_timestamps="us")
+        r = REGISTRY["maintain_incremental_sessions"].fn(spark, tmp).collect()[0]
+        assert r.sessions_match, (users, r)
+        assert r.n_sessions_mono == r.n_sessions_incr, (users, r)
+
+    check()

@@ -462,3 +462,68 @@ def test_incremental_sessions_property_random_streams(spark):
         assert r.n_sessions_mono == r.n_sessions_incr, (users, r)
 
     check()
+
+
+def test_dynamic_gap_sessions_match_interval_merge_simulation(spark):
+    """Property: the builtin dynamic-gap session_window equals a direct
+    interval-merge simulation (each event proposes [ts, ts+gap); merge
+    while next.ts < running max of proposed ends) — a third
+    implementation, independent of both the Spark plan and the DuckDB
+    oracle's window replay."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings, strategies as st
+
+    BASE = datetime(2024, 1, 10, 0, 0, 0)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(  # (minute offset, is_purchase)
+            st.tuples(st.integers(0, 300), st.booleans()),
+            min_size=1,
+            max_size=15,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(evts):
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        evts = sorted(evts)
+        rows = [
+            (i, BASE + timedelta(minutes=off), 1,
+             "purchase" if p else "view", 1.0, "{}")
+            for i, (off, p) in enumerate(evts)
+        ]
+        tmp = tempfile.mkdtemp()
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(os.path.join(tmp, "events.parquet"), coerce_timestamps="us")
+        got = [
+            (r.session_start, r.session_end, r.n_events, r.n_purchases)
+            for r in REGISTRY["events_session_window_dynamic_gap"].fn(spark, tmp).collect()
+        ]
+        # direct simulation
+        sessions, cur = [], None
+        for off, p in evts:
+            ts = BASE + timedelta(minutes=off)
+            end = ts + timedelta(minutes=45 if p else 15)
+            if cur is None or ts >= cur["max_end"]:
+                if cur:
+                    sessions.append(cur)
+                cur = {"start": ts, "max_end": end, "n": 1, "np": int(p)}
+            else:
+                cur["max_end"] = max(cur["max_end"], end)
+                cur["n"] += 1
+                cur["np"] += int(p)
+        sessions.append(cur)
+        want = [
+            (s["start"].strftime("%Y-%m-%d %H:%M:%S"),
+             s["max_end"].strftime("%Y-%m-%d %H:%M:%S"), s["n"], s["np"])
+            for s in sessions
+        ]
+        assert got == want, (evts, got, want)
+
+    check()

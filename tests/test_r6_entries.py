@@ -527,3 +527,86 @@ def test_dynamic_gap_sessions_match_interval_merge_simulation(spark):
         assert got == want, (evts, got, want)
 
     check()
+
+
+def test_kneser_ney_matches_direct_computation(spark, tmp_path):
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    texts = ["a b a b c", "b c b c", "a c a c a", "c a b"]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = REGISTRY["text_kneser_ney_bigrams"].fn(spark, str(tmp_path)).collect()
+
+    big = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for v, w in zip(toks, toks[1:]):
+            big[(v, w)] += 1
+    cv = defaultdict(int)
+    fanout = defaultdict(int)
+    fanin = defaultdict(int)
+    for (v, w), c in big.items():
+        cv[v] += c
+        fanout[v] += 1
+        fanin[w] += 1
+    B = len(big)
+    D = 0.75
+    for r in rows:
+        c = big[(r.v, r.w)]
+        p_cont = fanin[r.w] / B
+        p_kn = max(c - D, 0) / cv[r.v] + D * fanout[r.v] / cv[r.v] * p_cont
+        assert r.c_bigram == c and r.c_context == cv[r.v]
+        assert abs(r.p_continuation - p_cont) < 1e-6, (r, p_cont)
+        assert abs(r.p_kn - p_kn) < 1e-6, (r, p_kn)
+
+
+def test_quantile_match_matches_direct_cdf_mapping(spark, tmp_path):
+    import pandas as pd
+
+    # two sources, shifted distributions
+    vals_a = [100, 100, 200, 300]
+    vals_b = [300, 400, 400, 500]
+    rows = []
+    for i, v in enumerate(vals_a):
+        rows.append((i, "x", "en", "sA", v))
+    for i, v in enumerate(vals_b):
+        rows.append((100 + i, "x", "en", "sB", v))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {r.source: r for r in
+           REGISTRY["normalize_quantile_match_by_source"].fn(spark, str(tmp_path)).collect()}
+
+    pooled = sorted(vals_a + vals_b)
+    n = len(pooled)
+
+    def pooled_quantile(q):
+        # lowest pooled value whose CDF fraction reaches q
+        from collections import Counter
+        cum = 0
+        for v, c in sorted(Counter(pooled).items()):
+            cum += c
+            if cum / n >= q - 1e-12:
+                return v
+        return pooled[-1]
+
+    for src, vals in [("sA", vals_a), ("sB", vals_b)]:
+        from collections import Counter
+        cnt = sorted(Counter(vals).items())
+        n_s, cum, mapped_sum = len(vals), 0, 0.0
+        for v, c in cnt:
+            cum += c
+            q = (cum - c / 2.0) / n_s
+            mapped_sum += c * pooled_quantile(q)
+        assert abs(out[src].mean_mapped - mapped_sum / n_s) < 1e-6, (src, out[src])
+        assert abs(out[src].mean_raw - sum(vals) / n_s) < 1e-6

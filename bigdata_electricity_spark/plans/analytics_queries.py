@@ -663,3 +663,56 @@ def segment_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_mask")
     )
+
+
+@query(
+    "transpose_priority_metrics",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderpriority AS p,
+               {dround('AVG(o_totalprice)', 2)} AS avg_price,
+               {dround('CAST(COUNT(*) AS DOUBLE)', 2)} AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT 'avg_price' AS key,
+           (SELECT avg_price FROM m WHERE p = '1-URGENT') AS "1-URGENT",
+           (SELECT avg_price FROM m WHERE p = '2-HIGH') AS "2-HIGH",
+           (SELECT avg_price FROM m WHERE p = '3-MEDIUM') AS "3-MEDIUM",
+           (SELECT avg_price FROM m WHERE p = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           (SELECT avg_price FROM m WHERE p = '5-LOW') AS "5-LOW"
+    UNION ALL
+    SELECT 'n_orders',
+           (SELECT n_orders FROM m WHERE p = '1-URGENT'),
+           (SELECT n_orders FROM m WHERE p = '2-HIGH'),
+           (SELECT n_orders FROM m WHERE p = '3-MEDIUM'),
+           (SELECT n_orders FROM m WHERE p = '4-NOT SPECIFIED'),
+           (SELECT n_orders FROM m WHERE p = '5-LOW')
+    ORDER BY key
+    """,
+)
+def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native `DataFrame.transpose()` — metrics-as-rows,
+    groups-as-columns, the report layout every BI handoff asks for and
+    the inverse companion of `pivot_event_type_by_day` (pivot widens a
+    VALUE column by a key; transpose flips the whole frame around its
+    first column). The priority dimension is bounded (5 values, the
+    fixture's enum), which is the only regime where transpose is sane —
+    column count equals source ROW count, so it is a small-aggregate
+    presentation op, never a data-path one.
+
+    Shape: one 5-group aggregate, then transpose collects that 5-row
+    frame to the driver to become the schema (inherent to the API — the
+    output schema depends on data); the driver-side cost is O(groups).
+    All transposed cells share one type (double — counts cast to match;
+    transpose requires a least-common type across metric columns).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            hround(F.avg("o_totalprice"), 2).alias("avg_price"),
+            hround(F.count(F.lit(1)).cast("double"), 2).alias("n_orders"),
+        )
+        .orderBy("p")
+    )
+    return m.transpose().orderBy("key")

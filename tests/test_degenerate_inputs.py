@@ -183,6 +183,7 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
         "events_session_window_dynamic_gap", "observe_export_metrics",
         "mining_association_rules", "normalize_quantile_match_by_source",
         "maintain_vacuum_orphan_audit", "corpus_source_overlap_matrix",
+        "transpose_priority_metrics",
         # (sim_sorted_neighborhood_pairs reads part — tiny fixture has no
         # part table, so it is exercised at the real SFs instead)
     ]

@@ -1328,9 +1328,16 @@ def maintain_vacuum_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("path", "content")
         )
 
-    manifest = listing().select("path")  # the "commit log" snapshot
-    committed_paths = [r.path for r in manifest.collect()]  # O(#files) metadata
+    committed_paths = [r.path for r in listing().select("path").collect()]
     n_committed = len(committed_paths)
+    # The "commit log" snapshot is materialized EXPLICITLY from the
+    # collected paths rather than by reusing the lazy binaryFile
+    # listing: a lazy manifest re-lists the directory at anti-join
+    # execution time, which would silently absorb the orphan planted
+    # below into the "committed" side under any file-index refresh.
+    manifest = spark.createDataFrame(
+        [(p,) for p in committed_paths], schema="path string"
+    )
     # a zombie writer's debris: planted AFTER the manifest snapshot,
     # with corpus-derived bytes so the audit value is data-dependent
     first_text = (

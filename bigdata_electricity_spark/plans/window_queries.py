@@ -365,15 +365,15 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_builtin",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -390,17 +390,22 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via the BUILT-IN ``session_window`` aggregation —
     the one-line twin of `events_sessionization`'s manual
-    gaps-and-islands. The builtin starts a new session when the gap is
-    ≥ the timeout (window end = last event + 30 min), so the oracle's
-    island flag uses >= 1800 where the manual twin uses > 1800 —
-    deliberate, documents the off-by-closure difference between the
-    two operators.
+    gaps-and-islands. Boundary-tie semantics (pinned by a direct
+    micro-experiment on Spark 4.1.2, see
+    tests/test_degenerate_inputs.py): an event landing EXACTLY at the
+    current session end (gap == timeout) is MERGED — the builtin's
+    proposed interval [ts, ts+gap) is treated as closed-at-the-left
+    against the running session end, so a new session starts only when
+    gap > timeout. The oracle's island flag therefore uses the same
+    strict > 1800 as the manual twin; the two operators agree on ties.
 
     The builtin merges windows inside a partial-then-final aggregation
     (no explicit window function pass), which is also the shape its
     streaming variant uses; partitioning is (user_id), fully parallel.
-    date_diff('second') truncates, and floor(gap) >= 1800 ⟺ gap >= 1800,
-    so the oracle boundary is exact.
+    The oracle compares timestamps directly (`ts > prev + INTERVAL 30
+    MINUTE`) rather than a truncating date_diff('second'), so the tie
+    rule is exact at any timestamp precision (a 1800.5s gap splits in
+    both engines; a 1800.0s gap merges in both).
     """
     events = load_table(spark, sf_dir, "events")
     return (
@@ -946,16 +951,16 @@ def events_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFra
                          THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS proposed_end
         FROM events
     ), flagged AS (
-        SELECT user_id, ts, value, event_type, proposed_end,
+        SELECT user_id, ts, event_id, value, event_type, proposed_end,
                CASE WHEN MAX(proposed_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                         OR ts >= MAX(proposed_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         OR ts > MAX(proposed_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS new_session
         FROM g
     ), sessions AS (
         SELECT user_id, ts, value, event_type, proposed_end,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -978,11 +983,14 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     (a conversion event earns a longer attention window).
 
     Dynamic gaps change the merge rule: each event proposes
-    [ts, ts+gap) and overlapping proposals merge, so a session's end is
-    the RUNNING MAX of proposed ends, not last-event+timeout — the
-    oracle replays exactly that (island starts when ts ≥ max of all
-    previous proposed ends; an equal boundary does NOT merge, matching
-    the builtin's exclusive end). Same partial+final merge aggregation
+    [ts, ts+gap] and touching-or-overlapping proposals merge, so a
+    session's end is the RUNNING MAX of proposed ends, not
+    last-event+timeout — the oracle replays exactly that (island
+    starts only when ts > max of all previous proposed ends). An
+    event landing EXACTLY on the running session end IS merged:
+    Spark 4.1.2's builtin treats the boundary as inclusive, pinned by
+    a direct micro-experiment and the interval-merge property test
+    (tests/test_r6_entries.py). Same partial+final merge aggregation
     shape as the static builtin, fully parallel per user.
     """
     events = load_table(spark, sf_dir, "events")

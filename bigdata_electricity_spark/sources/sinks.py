@@ -17,6 +17,7 @@ import glob
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 
@@ -41,24 +42,63 @@ def run_dir(entry: str, sf_dir: str) -> str:
     return f"/root/repo/spark-warehouse/{entry}_{tag}_pid{os.getpid()}"
 
 
-def _prune_dead_run_dirs(prefix: str) -> None:
-    """Delete spark-warehouse/<prefix>_pid<N> trees whose pid is dead.
+def _pid_start_epoch(pid: int) -> float | None:
+    """Best-effort start time (epoch seconds) of ``pid`` via /proc.
 
-    Best-effort only: a live concurrent run's dir is never touched
-    (kill -0 probe), and any filesystem race just leaves the dir for
-    the next call. Keeps the scratch area bounded by the number of
-    CONCURRENT runs instead of the number of historical ones.
+    Field 22 of /proc/<pid>/stat is the start time in clock ticks since
+    boot; the process name (field 2) may contain spaces/parens, so the
+    parse splits after the LAST ')'. Returns None off-Linux or on any
+    read/parse failure — callers fall back to liveness-only pruning.
+    """
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        ticks = float(stat.rsplit(")", 1)[1].split()[19])
+        with open("/proc/uptime") as fh:
+            uptime = float(fh.read().split()[0])
+        return time.time() - uptime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _prune_dead_run_dirs(prefix: str) -> None:
+    """Delete spark-warehouse/<prefix>_pid<N> trees whose pid is dead
+    OR whose pid was recycled by a younger, unrelated process.
+
+    Liveness alone (kill -0) under-prunes: on a long-lived machine the
+    OS reuses pids, so a stale dir can be "protected" forever by an
+    unrelated process that happens to hold the number, and zombies pass
+    the probe too. The tiebreaker is causal: the dir's mtime is bounded
+    above by its creator's lifetime (the creator is the only writer),
+    so if the process now holding the pid STARTED after the dir was
+    last touched (60 s slack for clock fuzz), it cannot be the creator
+    — the dir is debris and is reclaimed. Where /proc is unavailable
+    the probe stays liveness-only (best-effort, documented).
+
+    A live concurrent run's dir is never touched (its pid is alive and
+    its process predates its own writes), and any filesystem race just
+    leaves the dir for the next call. Keeps the scratch area bounded by
+    the number of CONCURRENT runs instead of the number of historical
+    ones.
     """
     for path in glob.glob(f"/root/repo/spark-warehouse/{prefix}_pid[0-9]*"):
         m = re.search(r"_pid(\d+)$", path)
         if not m or int(m.group(1)) == os.getpid():
             continue
+        pid = int(m.group(1))
         try:
-            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+            os.kill(pid, 0)  # raises if the pid is gone
         except ProcessLookupError:
             shutil.rmtree(path, ignore_errors=True)
+            continue
         except PermissionError:
-            pass  # pid exists but owned elsewhere — leave its dir alone
+            pass  # pid exists but owned elsewhere — fall through to age check
+        started = _pid_start_epoch(pid)
+        try:
+            if started is not None and started > os.path.getmtime(path) + 60:
+                shutil.rmtree(path, ignore_errors=True)  # recycled pid
+        except OSError:
+            pass  # dir vanished under us — nothing to prune
 
 
 def run_table(base: str) -> str:

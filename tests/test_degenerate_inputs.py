@@ -198,3 +198,99 @@ def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
     assert seg[1]["n_kept"] == 1 and seg[2]["n_kept"] == 1
     kc = REGISTRY["graph_kcore_peel"].fn(spark, str(d)).collect()
     assert all(r["n_edges_after"] == 0 for r in kc)  # 1 edge can't be a 3-core
+
+
+def test_session_family_exact_boundary_ties(spark, tmp_path_factory):
+    """Pin the tie rule for EVERY session-family entry on a fixture of
+    events landing EXACTLY gap-seconds apart — the measure-zero case
+    ns-precision testdata never exercises, and the class that produced
+    round 6's only bug (the builtin ``session_window`` merges an event
+    at exactly the session end; the oracles originally split).
+
+    Each oracled entry is checked Spark-vs-its-own-DuckDB-oracle with
+    the driver's order-insensitive compare; on top of that the builtin
+    static/dynamic entries get non-vacuous structural assertions that
+    the ties really merged (so a future 'both sides split' regression
+    can't silently pass the self-consistency check).
+    """
+    import datetime as dt
+    import os
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parity import compare_one  # driver-compare replica
+
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    B = dt.datetime(2024, 3, 1, 0, 0, 0)
+    m = lambda mins, micros=0: B + dt.timedelta(minutes=mins, microseconds=micros)
+    rows = [
+        # user 1 — static tie chain: 30:00 gap is exactly the timeout
+        # (merge, inclusive boundary), 30:01 gap splits.
+        (1, m(0), 1, "view"), (2, m(30), 1, "view"),
+        (3, m(60) + dt.timedelta(seconds=1), 1, "view"),
+        # user 2 — dynamic tie chain: purchase at :04 proposes end :49;
+        # the view AT :49 merges and extends to 49+15=:64; the view AT
+        # :64 merges again (tie chains); :79:00.000001 splits.
+        (4, m(0), 2, "view"), (5, m(4), 2, "purchase"),
+        (6, m(49), 2, "view"), (7, m(64), 2, "view"),
+        (8, m(79, 1), 2, "view"),
+        # user 3 — sub-second offsets: .25 base, exactly 1800.0s gap
+        # (merge), then +1800.5s (builtin splits exactly; the manual
+        # twin's truncated unix diff = 1800 merges — each entry must
+        # agree with ITS OWN oracle either way).
+        (9, m(0, 250000), 3, "view"), (10, m(30, 250000), 3, "view"),
+        (11, m(60, 750000), 3, "view"),
+        # user 4 — singleton.
+        (12, m(5), 4, "purchase"),
+    ]
+    d = tmp_path_factory.mktemp("tie_sf")
+    pd.DataFrame(
+        [(eid, ts, uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps="us")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    oracled = [
+        "events_sessionization", "events_session_window_builtin",
+        "events_session_window_dynamic_gap", "user_engagement_segments",
+        "survival_session_km", "maintain_incremental_sessions",
+    ]
+    for name in oracled:
+        err = compare_one(spark, con, REGISTRY[name], str(d))
+        assert err is None or err.startswith("ok:"), (name, err)
+
+    # Non-vacuous: the static tie MERGED (user 1 → [2 events, 1 event]).
+    builtin = REGISTRY["events_session_window_builtin"].fn(spark, str(d))
+    u1 = [r.n_events for r in builtin.collect() if r.user_id == 1]
+    assert u1 == [2, 1], u1
+    # The dynamic tie CHAINED (user 2 → [4 events ending :79, then 1]).
+    dyn = REGISTRY["events_session_window_dynamic_gap"].fn(spark, str(d))
+    u2 = [(r.n_events, r.session_end) for r in dyn.collect() if r.user_id == 2]
+    assert u2 == [(4, "2024-03-01 01:19:00"), (1, "2024-03-01 01:34:00")], u2
+    # Sub-second exactness: user 3's 1800.5s gap splits in the builtin...
+    u3b = [r.n_events for r in builtin.collect() if r.user_id == 3]
+    assert u3b == [2, 1], u3b
+    # ...but merges in the manual twin (truncated unix_timestamp diff).
+    manual = REGISTRY["events_sessionization"].fn(spark, str(d))
+    u3m = sorted(r.n_events for r in manual.collect() if r.user_id == 3)
+    assert u3m == [3], u3m
+
+    # The streaming twin (rows-only, append mode) emits only sessions
+    # the watermark has closed — a SUBSET of the batch builtin, but any
+    # session it does emit must match exactly (same start + n_events),
+    # i.e. the watermark path applies the same inclusive tie rule. The
+    # user-1 static tie session IS emitted (later events advance the
+    # watermark past it), so the subset check is non-vacuous on ties.
+    batch = {
+        (r.user_id, r.session_start): r.n_events for r in builtin.collect()
+    }
+    stream = REGISTRY["streaming_session_window"].fn(spark, str(d)).collect()
+    assert stream, "watermark emitted no sessions at all"
+    for r in stream:
+        assert batch.get((r.user_id, r.session_start)) == r.n_events, r
+    assert any(r.user_id == 1 and r.n_events == 2 for r in stream), stream

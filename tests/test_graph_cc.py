@@ -48,9 +48,17 @@ def test_long_chain_converges_within_diameter(spark):
 def test_cc_matches_union_find_property(spark):
     """Random graphs: distributed label propagation must equal a
     driver-side union-find (the sequential ground truth)."""
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
+    # Planted @examples: edgeless graph (all singletons), duplicate +
+    # reversed edges (must not double-merge), max-diameter chain (the
+    # convergence bound), and two components merged by a single late
+    # bridge edge.
     @settings(max_examples=10, deadline=None)
+    @example(2, [])
+    @example(5, [(0, 1), (1, 0), (0, 1), (3, 4)])
+    @example(14, [(i, i + 1) for i in range(13)])
+    @example(6, [(0, 1), (1, 2), (3, 4), (4, 5), (2, 3)])
     @given(
         st.integers(2, 14),
         st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=25),

@@ -297,14 +297,19 @@ def test_arrow_topk_matches_hof_twin(spark):
 
 def test_morton_roundtrip_property(spark):
     """Property: deinterleaving the Morton code recovers both inputs
-    exactly for all 16-bit values (hypothesis-driven sample)."""
-    from hypothesis import given, settings, strategies as st
+    exactly for all 16-bit values (hypothesis-driven sample; the four
+    domain corners are planted as @examples)."""
+    from hypothesis import example, given, settings, strategies as st
 
     from bigdata_electricity_spark.operators.layout import morton_code
 
     collected = []
 
     @settings(max_examples=50, deadline=None)
+    @example(0, 0)
+    @example(65535, 65535)
+    @example(0, 65535)
+    @example(65535, 0)
     @given(st.integers(0, 65535), st.integers(0, 65535))
     def gen(x, y):
         collected.append((x, y))
@@ -332,14 +337,18 @@ def test_redact_pii_is_idempotent(spark):
 
 
 def test_morton_nd_roundtrip(spark):
-    """3-D interleave/deinterleave roundtrip on sampled 10-bit values."""
-    from hypothesis import given, settings, strategies as st
+    """3-D interleave/deinterleave roundtrip on sampled 10-bit values
+    (domain corners planted as @examples)."""
+    from hypothesis import example, given, settings, strategies as st
 
     from bigdata_electricity_spark.operators.layout import morton_code_nd
 
     collected = []
 
     @settings(max_examples=30, deadline=None)
+    @example(0, 0, 0)
+    @example(1023, 1023, 1023)
+    @example(1023, 0, 512)
     @given(st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 1023))
     def gen(x, y, z):
         collected.append((x, y, z))

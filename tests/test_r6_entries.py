@@ -289,12 +289,20 @@ def test_counting_median_property_vs_numpy_upper_median(spark):
     """Property: the MAD entry's counting-median (smallest v with
     cumcount >= (n+1)/2 over the distinct-value table) equals the
     sorted-array UPPER median (position n//2+1) for ANY multiset of
-    2-decimal values."""
+    2-decimal values.
+
+    Planted @examples pin the known edges: singleton, even n (where
+    upper-vs-lower median actually differs), and an all-equal multiset
+    (MAD exactly 0)."""
     import numpy as np
     import pandas as pd
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     @settings(max_examples=15, deadline=None)
+    @example([0.01])                       # singleton
+    @example([0.01, 0.02])                 # even n → UPPER median 0.02
+    @example([0.05, 0.05, 0.05, 0.05])     # all-equal → MAD 0
+    @example([0.01, 0.01, 0.02, 0.02])     # even n, tied halves
     @given(
         st.lists(
             st.integers(1, 500).map(lambda c: c / 100.0),
@@ -387,12 +395,22 @@ def test_source_overlap_matrix_is_non_vacuous_and_symmetric_free(spark):
 def test_containment_property_vs_bruteforce(spark):
     """Property: containment_pairs equals the brute-force pairwise
     computation (orientation, threshold, values) on random small
-    corpora over a tiny vocabulary (dense overlap regime)."""
-    from hypothesis import given, settings, strategies as st
+    corpora over a tiny vocabulary (dense overlap regime).
+
+    Planted @examples pin the equal-size edges: identical docs (tie on
+    token-set size must orient containee = lower id in BOTH the entry
+    and the brute force), an equal-size partial overlap below threshold
+    (must NOT be emitted), and a subset appearing before AND after its
+    superset (orientation independent of row order)."""
+    from hypothesis import example, given, settings, strategies as st
 
     VOCAB = ["a", "b", "c", "d", "e"]
 
     @settings(max_examples=12, deadline=None)
+    @example([["a", "b"], ["a", "b"]])           # identical: tie → containee 0
+    @example([["a", "b"], ["a", "c"]])           # equal size, 0.5 < 0.8: dropped
+    @example([["a"], ["a", "b", "c"]])           # subset first
+    @example([["a", "b", "c"], ["a"]])           # subset second
     @given(
         st.lists(
             st.lists(st.sampled_from(VOCAB), min_size=1, max_size=5),
@@ -426,14 +444,25 @@ def test_containment_property_vs_bruteforce(spark):
 def test_incremental_sessions_property_random_streams(spark):
     """Property: stitched == monolithic for RANDOM event streams around
     the watershed — covers multi-session straddles, users entirely on
-    one side, empty halves, and single-event users."""
+    one side, empty halves, and single-event users.
+
+    Planted @examples pin the watershed ties (offset 120 == the
+    watershed instant itself): an event exactly AT the watershed, an
+    exact-30-min-gap chain straddling it (gap == timeout merges under
+    the manual > rule, so the stitch must heal the session the split
+    cuts in half), and a straddler next to a user who is entirely
+    pre-watershed."""
     from datetime import datetime, timedelta
 
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     W = datetime(2024, 1, 17, 13, 0, 0)
 
     @settings(max_examples=10, deadline=None)
+    @example([[120]])                      # single event exactly at W
+    @example([[90, 120, 150]])             # exact-gap chain through W
+    @example([[119, 120, 121], [0, 240]])  # tie straddle + far-split user
+    @example([[120, 150], [90, 120]])      # W on each side of the cut
     @given(
         st.lists(  # per user: minute offsets from (W - 2h)
             st.lists(st.integers(0, 240), min_size=1, max_size=12),
@@ -466,17 +495,27 @@ def test_incremental_sessions_property_random_streams(spark):
 
 def test_dynamic_gap_sessions_match_interval_merge_simulation(spark):
     """Property: the builtin dynamic-gap session_window equals a direct
-    interval-merge simulation (each event proposes [ts, ts+gap); merge
-    while next.ts < running max of proposed ends) — a third
+    interval-merge simulation (each event proposes [ts, ts+gap]; merge
+    while next.ts <= running max of proposed ends — Spark's boundary is
+    INCLUSIVE, pinned in round 6 by a micro-experiment) — a third
     implementation, independent of both the Spark plan and the DuckDB
-    oracle's window replay."""
+    oracle's window replay.
+
+    The planted @example is the round-6 Hypothesis counterexample that
+    exposed the inverted tie rule: the purchase at minute 97 proposes
+    end 97+45=142, and the view at exactly minute 142 must MERGE
+    (session end 157), not start a new session."""
     from datetime import datetime, timedelta
 
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     BASE = datetime(2024, 1, 10, 0, 0, 0)
 
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=50, deadline=None, derandomize=True)
+    @example([(0, False), (4, True), (49, False)])  # view, purchase, view at purchase+45min
+    @example([(0, False), (34, False), (66, False), (67, False), (93, False),
+              (97, True), (142, False), (239, False)])  # r6 counterexample
+    @example([(0, False), (15, False)])  # static-gap tie: view exactly 15min later
     @given(
         st.lists(  # (minute offset, is_purchase)
             st.tuples(st.integers(0, 300), st.booleans()),
@@ -510,7 +549,7 @@ def test_dynamic_gap_sessions_match_interval_merge_simulation(spark):
         for off, p in evts:
             ts = BASE + timedelta(minutes=off)
             end = ts + timedelta(minutes=45 if p else 15)
-            if cur is None or ts >= cur["max_end"]:
+            if cur is None or ts > cur["max_end"]:
                 if cur:
                     sessions.append(cur)
                 cur = {"start": ts, "max_end": end, "n": 1, "np": int(p)}

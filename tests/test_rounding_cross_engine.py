@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from bigdata_electricity_spark.functions.rounding import dround, hround
 
@@ -29,7 +29,17 @@ def duck():
 
 
 def test_hround_equals_dround(spark, duck):
+    # Planted @examples: exact .5-at-the-cut values (representable in
+    # binary at n=0 and n=2, where banker's-vs-half-up divergence
+    # lives), negative ties, the motivating divergent double, and a
+    # negative-n cut.
     @settings(max_examples=25, deadline=None)
+    @example([0.5, 1.5, 2.5, 3.5], 0)
+    @example([-0.5, -1.5, -2.5], 0)
+    @example([0.125, 0.375, -0.625], 2)
+    @example([17947.60995], 4)
+    @example([150.0, 250.0, -350.0], -2)
+    @example([0.0, -0.0], 3)
     @given(st.lists(FINITE, min_size=1, max_size=40), st.integers(-2, 6))
     def prop(values, n):
         df = spark.createDataFrame([(v,) for v in values], "x double")

@@ -5,11 +5,16 @@
 Runs, in order:
   1. driver-contract simulation — fresh vanilla SparkSession calls
      __spark_entry__.entry/queries/oracle_sql exactly like the driver;
-  2. full parity sweep (Spark vs DuckDB values) at sf0.01
+  2. pytest tests/ — the FULL unit/property suite (round-7 addition:
+     round 6 shipped with a reproducibly-failing property test because
+     preflight didn't run pytest; never again). Skipped only by
+     --no-pytest for mid-iteration runs — the end-of-round invocation
+     must include it;
+  3. full parity sweep (Spark vs DuckDB values) at sf0.01
      (--fast: sf0.001);
-  3. arrow-type schema lint over every oracle (the class the driver's
+  4. arrow-type schema lint over every oracle (the class the driver's
      type-sensitive hash catches but stringified local compare misses);
-  4. bench.py — prints the one-line JSON the driver records.
+  5. bench.py — prints the one-line JSON the driver records.
 
 Exit code is non-zero if any stage fails. Run this before ending a
 round; each stage is also runnable alone (see the individual tools).
@@ -52,6 +57,11 @@ def main() -> int:
     stages = [
         ("driver contract", [sys.executable, "-c", DRIVER_SIM]),
         ("parity sweep", [sys.executable, "tools/parity.py", sf]),
+    ]
+    if "--no-pytest" not in sys.argv:
+        stages.insert(1, ("pytest", [sys.executable, "-m", "pytest",
+                                     "tests/", "-q", "--tb=short"]))
+    stages += [
         ("schema lint", [sys.executable, "tools/parity.py", "--schemas",
                          "/root/testdata/sf0.001"]),
         ("bench", [sys.executable, "bench.py"]),

@@ -87,7 +87,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_session
@@ -95,7 +95,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -440,7 +440,9 @@ _EPOCH_2024_US = 1704067200000000
         SELECT event_type,
                time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
                value,
-               (epoch_us(CAST(ts AS TIMESTAMP)) - {_EPOCH_2024_US}) * 1048576 + event_id AS ord
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))))
+                 * 2147483648 + event_id AS ord
         FROM events
     )
     SELECT event_type,
@@ -462,20 +464,28 @@ def resample_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     into chartable series at 1/N the storage.
 
     open/close are min_by/max_by on a single deterministic BIGINT
-    ordering key (µs-since-2024 ≪ 20 bits | event_id) because ties on a
-    raw timestamp would make first/last engine-dependent and neither
-    engine takes composite arg-keys. One partial+final aggregation, no
-    window functions, no shuffle wider than (type, hour).
+    ordering key (within-bucket µs ≪ 31 bits | event_id) because ties
+    on a raw timestamp would make first/last engine-dependent and
+    neither engine takes composite arg-keys. The offset is relative to
+    the event's OWN hour bucket — arg ordering only needs to be correct
+    within a group — so the key is date-independent: ≤ 3.6e9 µs × 2³¹
+    ≈ 7.7e18 < 2⁶³ for any timestamp, with event_ids up to 2³¹. (The
+    round-7 boundary-tie sweep caught the previous absolute-epoch
+    packing overflowing LONG for data ≳101 days past its 2024-01-01
+    anchor.) One partial+final aggregation, no window functions, no
+    shuffle wider than (type, hour).
     """
     events = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "1 hour").getField("start")
     ord_key = (
-        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_EPOCH_2024_US))
-        * F.lit(1048576)
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(bucket.cast("timestamp")))
+        * F.lit(2147483648)
         + F.col("event_id")
     )
     keyed = events.select(
         "event_type",
-        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        bucket.alias("bucket"),
         "value",
         ord_key.alias("ord"),
     )
@@ -501,7 +511,7 @@ def resample_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_engagement_segments",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_session
@@ -509,7 +519,7 @@ def resample_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ), per_user AS (
@@ -549,14 +559,17 @@ def user_engagement_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
-        "user_id", "ts",
+        "user_id", "ts", "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
             1,
         ).otherwise(0).alias("new_session"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # cumsum ordered by the SAME (ts, event_id) key as the flag window —
+    # ts alone leaves rows tied on timestamp free to swap between a
+    # flag=1 row and its same-instant successors (the ADVICE r6 class).
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = flagged.select(

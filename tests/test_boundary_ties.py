@@ -124,6 +124,12 @@ def _events_rows():
         # pruned with its partition; midnight Jan 15 exactly survives.
         (240, dt.datetime(2024, 1, 14, 23, 59, 59, 999999), 24, "view", 1.0),
         (241, dt.datetime(2024, 1, 15, 0, 0, 0), 24, "view", 1.0),
+        # user 25 — PSI edges: last second of the reference window vs
+        # first second of the comparison window (inclusive date bounds),
+        # value exactly at the 50-unit bin edge, and the bin-9 cap.
+        (250, dt.datetime(2024, 1, 7, 23, 59, 59), 25, "view", 49.99),
+        (251, dt.datetime(2024, 1, 22, 0, 0, 0), 25, "view", 50.0),
+        (252, dt.datetime(2024, 1, 22, 0, 0, 1), 25, "view", 1000.0),
     ]
 
 
@@ -148,6 +154,7 @@ ENTRIES = [
     "scd2_event_intervals",
     "events_locf_gap_fill",
     "retention_prune_days",
+    "drift_psi_value",
 ]
 
 
@@ -197,11 +204,11 @@ def test_range_join_bounds(spark, tie_dir):
 
 def test_funnel_tie_rows_do_not_advance_stage(spark, tie_dir):
     row = REGISTRY["funnel_view_click_purchase"].fn(spark, tie_dir).collect()[0]
-    # viewers: users 11..21, 23, 24 (10 and 22 have no view) = 13; only
+    # viewers: users 11..21, 23..25 (10 and 22 have no view) = 14; only
     # user 12 has a click strictly after its first view and a purchase
     # strictly after that click — the tie rows alone (view-ts click for
     # 23, click-ts purchase for 12/22) never advance a stage.
-    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (13, 1, 1)
+    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (14, 1, 1)
 
 
 def test_gap_threshold_strict_and_floor(spark, tie_dir):
@@ -328,3 +335,128 @@ def test_range_frame_90d_edge_inclusive(spark, orders_tie_dir):
            for r in spec.fn(spark, orders_tie_dir).collect()}
     # exactly-90-days-earlier is INSIDE the trailing frame; 91 is not.
     assert got == {1: 100.0, 2: 150.0, 3: 10.0, 4: 20.0}
+
+
+def test_psi_window_and_bin_edges(spark, tie_dir):
+    rows = {r.bin: r for r in
+            REGISTRY["drift_psi_value"].fn(spark, tie_dir).collect()}
+    # Only user 25's 23:59:59-Jan-7 event is in the reference period, so
+    # with bins {0, 1, 9} present (k=3) the smoothed reference shares
+    # are exactly (1+1)/(1+3) for bin 0 and 1/4 elsewhere — pinning the
+    # inclusive date bounds, the 50-exactly bin edge, and the bin-9 cap.
+    assert set(rows) == {0, 1, 9}
+    assert rows[0].p_a == 0.5
+    assert rows[1].p_a == 0.25 and rows[9].p_a == 0.25
+
+
+@pytest.fixture(scope="module")
+def orders_edge_dir(tmp_path_factory):
+    """Orders fixture for calendar-edge conventions: a Sunday/Monday
+    pair straddling the week-truncation boundary, and open orders at
+    exactly the 30/90/365-day aging-bucket edges (snapshot day set by a
+    closed order so it never enters the backlog itself)."""
+    today = dt.datetime(2024, 6, 30)
+    rows = [
+        (10, 1, "F", 100.0, dt.datetime(2024, 3, 3), "1-URGENT"),   # Sunday
+        (11, 1, "F", 200.0, dt.datetime(2024, 3, 4), "1-URGENT"),   # Monday
+        (12, 1, "F", 300.0, today, "1-URGENT"),                     # snapshot
+        (20, 2, "O", 10.0, today - dt.timedelta(days=30), "2-HIGH"),
+        (21, 2, "O", 20.0, today - dt.timedelta(days=31), "2-HIGH"),
+        (22, 2, "O", 30.0, today - dt.timedelta(days=90), "2-HIGH"),
+        (23, 2, "O", 40.0, today - dt.timedelta(days=91), "2-HIGH"),
+        (24, 2, "O", 50.0, today - dt.timedelta(days=365), "2-HIGH"),
+        (25, 2, "O", 60.0, today - dt.timedelta(days=366), "2-HIGH"),
+    ]
+    d = tmp_path_factory.mktemp("edge_orders")
+    pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]).to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def orders_edge_con(orders_edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{orders_edge_dir}/orders.parquet'"
+    )
+    return con
+
+
+def test_week_trunc_sunday_monday_split(spark, orders_edge_dir, orders_edge_con):
+    from parity import compare_one
+
+    spec = REGISTRY["growth_weekly_revenue"]
+    err = compare_one(spark, orders_edge_con, spec, orders_edge_dir)
+    assert err is None or err.startswith("ok:"), err
+    weeks = {str(r.week_start): r.n_orders for r in
+             spec.fn(spark, orders_edge_dir).collect()}
+    # Both engines truncate weeks to MONDAY: Sun Mar 3 belongs to the
+    # week of Feb 26, Mon Mar 4 starts its own week.
+    assert weeks["2024-02-26"] == 1 and weeks["2024-03-04"] == 1
+
+
+def test_aging_bucket_edges_inclusive_upper(spark, orders_edge_dir, orders_edge_con):
+    from parity import compare_one
+
+    spec = REGISTRY["warehouse_backlog_aging"]
+    err = compare_one(spark, orders_edge_con, spec, orders_edge_dir)
+    assert err is None or err.startswith("ok:"), err
+    got = {r.age_bucket: (r.n_orders, r.backlog_value) for r in
+           spec.fn(spark, orders_edge_dir).collect()}
+    # age <= 30 / <= 90 / <= 365 are inclusive: each exact-edge order
+    # stays in the lower bucket, edge+1 falls through.
+    assert got == {
+        "0-030d": (1, 10.0),       # exactly 30 days old
+        "031-090d": (2, 50.0),     # 31 and exactly 90
+        "091-365d": (2, 90.0),     # 91 and exactly 365
+        "366d+": (1, 60.0),        # 366
+    }
+
+
+@pytest.fixture(scope="module")
+def lineitem_edge_dir(tmp_path_factory):
+    """Lineitem fixture whose p01/p99 land EXACTLY on data values:
+    101 sorted values v[0..100] put quantile position q*(n-1) at integer
+    indexes — p01 = v[1] = 1.0, p99 = v[99] = 9999.99 — so the clip
+    predicate's strictness at the fence is observable. The top pair
+    also straddles the 10k histogram bin edge."""
+    vals = [float(i) for i in range(99)] + [9999.99, 10000.0]
+    rows = [(i, "A", v) for i, v in enumerate(vals)]
+    d = tmp_path_factory.mktemp("edge_lineitem")
+    pd.DataFrame(rows, columns=["l_orderkey", "l_returnflag", "l_extendedprice"]) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def lineitem_edge_con(lineitem_edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{lineitem_edge_dir}/lineitem.parquet'"
+    )
+    return con
+
+
+def test_winsorize_fence_values_not_clipped(spark, lineitem_edge_dir, lineitem_edge_con):
+    from parity import compare_one
+
+    spec = REGISTRY["transform_winsorize"]
+    err = compare_one(spark, lineitem_edge_con, spec, lineitem_edge_dir)
+    assert err is None or err.startswith("ok:"), err
+    r = spec.fn(spark, lineitem_edge_dir).collect()[0]
+    # strict </>: only 0.0 (< p01=1.0) and 10000.0 (> p99=9999.99) clip;
+    # the values sitting exactly ON both fences survive unclipped.
+    assert (r.n_rows, r.n_clipped) == (101, 2)
+
+
+def test_histogram_bin_edge(spark, lineitem_edge_dir, lineitem_edge_con):
+    from parity import compare_one
+
+    spec = REGISTRY["histogram_price_bins"]
+    err = compare_one(spark, lineitem_edge_con, spec, lineitem_edge_dir)
+    assert err is None or err.startswith("ok:"), err
+    bins = {r.bin: r for r in spec.fn(spark, lineitem_edge_dir).collect()}
+    assert bins[0].n == 100 and bins[0].bin_max == 9999.99
+    assert bins[1].n == 1 and bins[1].bin_min == 10000.0  # exact edge → bin 1

@@ -26,6 +26,32 @@ Entries marked **exact, small-data** keep deliberately exact semantics
 whose plan does not survive a 100× scale-up (global sorts, full-corpus
 scans, row fan-outs); each links its scale-safe twin — use the twin in
 production pipelines.
+
+## Boundary conventions (cross-engine traps, pinned by tests)
+
+Empirically pinned semantics a user porting queries should know —
+every one is enforced by `tests/test_boundary_ties.py` /
+`tests/test_degenerate_inputs.py` on planted exact collisions:
+
+- **`session_window` merges at exactly-gap distance** (static AND
+  dynamic gaps): Spark 4.1.2 treats the running session end as an
+  INCLUSIVE boundary, so a new session starts only when gap > timeout
+  — the same strict `>` as a manual gaps-and-islands build. Repro:
+  two events exactly 15 min apart with a 15-min gap form ONE session.
+  (A `>=`-split replay diverges only on ties — invisible until a user
+  has second-granular timestamps.)
+- **Manual sessionization cumsums must order by the full flag key**
+  `(ts, event_id)`: ordering the running sum by `ts` alone lets rows
+  tied on timestamp swap across a session boundary.
+- **DuckDB `CAST(epoch(ts) AS BIGINT)` ROUNDS; Spark `unix_timestamp`
+  truncates** — always `floor(epoch(ts))` in oracles, or sub-second
+  events shift window frames by one second.
+- As-of joins are STRICT on both directions (a same-instant candidate
+  never matches); range joins are strict-lower / inclusive-upper;
+  tumbling/sliding buckets are `[start, end)`; RANGE frames
+  (trailing 90d / 24h) include the exact lower edge; gap and aging
+  thresholds are inclusive-upper (`<= 30d` keeps the 30-day row);
+  week truncation is to MONDAY in both engines.
 """
 
 

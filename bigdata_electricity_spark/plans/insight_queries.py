@@ -326,7 +326,8 @@ def skyline_customer_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ), scored AS (
         SELECT e.event_type, dayofweek(e.ts) + 1 AS dow,
-               {dround('abs((e.value - c.m) / c.s)', 4)} AS abs_z
+               CASE WHEN c.s > 0
+                    THEN {dround('abs((e.value - c.m) / c.s)', 4)} END AS abs_z
         FROM events e
         JOIN cells c ON dayofweek(e.ts) + 1 = c.dow AND hour(e.ts) = c.h
     )
@@ -349,7 +350,12 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 168-row profile broadcast-joins back to events — one shuffle
     for the profile agg, map-side scoring after. |z| is rounded to 4
     decimals BEFORE the threshold and max on both engines so the
-    flag count can't flap on float noise.
+    flag count can't flap on float noise. A zero-variance cell (all
+    values equal, or a single event → NULL stddev) has no z-scale:
+    abs_z is NULL there on both engines — never an ANSI
+    divide-by-zero (Spark) or ±inf (DuckDB); such rows still count
+    in n_events but can't be anomalies (the wide-net tie sweep
+    caught the unguarded division).
     """
     events = load_table(spark, sf_dir, "events")
     cells = events.groupBy(
@@ -361,7 +367,10 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         cells.dow.alias("dow"),
-        hround(F.abs((F.col("value") - F.col("m")) / F.col("s")), 4).alias("abs_z"),
+        F.when(
+            F.col("s") > 0,
+            hround(F.abs((F.col("value") - F.col("m")) / F.col("s")), 4),
+        ).alias("abs_z"),
     )
     return (
         scored.groupBy("event_type", "dow")

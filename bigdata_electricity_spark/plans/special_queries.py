@@ -369,7 +369,9 @@ def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
                value,
-               (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 1048576 + event_id AS ord
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))))
+                 * 2147483648 + event_id AS ord
         FROM events
     )
     SELECT event_type,

@@ -149,8 +149,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
-           floor((AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INTEGER)) AS BIGINT) AS sum_k,
+           floor((AVG(CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -159,7 +159,13 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``k`` out of the JSON props column
-    and aggregate per event type (get_json_object stays JVM-side)."""
+    and aggregate per event type (get_json_object stays JVM-side).
+
+    Rows whose props lack a ``k`` key yield NULL on both engines:
+    Spark's get_json_object returns NULL, and the oracle NULLIFs
+    DuckDB's no-match empty string before the cast (a bare
+    CAST('' AS INTEGER) is a hard ConversionException — the wide-net
+    tie sweep caught the oracle crashing on k-less props)."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (

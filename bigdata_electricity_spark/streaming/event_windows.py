@@ -378,14 +378,20 @@ def streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     name = f"stream_ohlc_{next(_COUNTER)}"
     events = _read_events_stream(spark, sf_dir)
+    # Within-bucket µs offset ≪ 31 bits | event_id — the same
+    # date-independent packing as the batch twin (an absolute-epoch
+    # offset overflows LONG ~101 days past its anchor; caught by the
+    # round-7 tie sweep in both twins).
+    bucket = F.window("ts", "1 hour")
     ord_key = (
-        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000))
-        * F.lit(1048576)
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(bucket.getField("start").cast("timestamp")))
+        * F.lit(2147483648)
         + F.col("event_id")
     )
     keyed = events.withWatermark("ts", "1 hour").select(
         "event_type",
-        F.window("ts", "1 hour").alias("w"),
+        bucket.alias("w"),
         "value",
         ord_key.alias("ord"),
     )

@@ -183,6 +183,47 @@ def test_tie_fixture_spark_matches_oracle(spark, tie_dir, duck_con, name):
     assert err is None or err.startswith("ok:"), (name, err)
 
 
+def _events_only_entries():
+    """Every oracled entry whose oracle touches ONLY the events table —
+    auto-enrolled so future events entries inherit the tie sweep
+    without listing themselves. (The curated ENTRIES list above keeps
+    the per-convention documentation; this net catches the rest.)"""
+    import re
+
+    others = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings", "partsupp"]
+    out = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        # sql-text twins register EVERY table as a temp view up front
+        # (their point is the spark.sql surface), so they need a full
+        # fixture directory regardless of which tables the query reads.
+        if "sqltext" in name:
+            continue
+        sql = spec.oracle.lower()
+        if "events" not in sql:
+            continue
+        if any(re.search(r"\b" + t + r"\b", sql) for t in others):
+            continue
+        if name not in ENTRIES:
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", _events_only_entries())
+def test_tie_fixture_events_wide_net(spark, tie_dir, duck_con, name):
+    """Wide net: every other events-only oracled entry must survive the
+    planted-collision fixture and still match its oracle — same-instant
+    rows, sub-second offsets, exact window/threshold edges, and the
+    sparse multi-month span are exactly the inputs SF testdata never
+    produces (this class caught the OHLC ord-key overflow)."""
+    from parity import compare_one
+
+    err = compare_one(spark, duck_con, REGISTRY[name], tie_dir)
+    assert err is None or err.startswith("ok:"), (name, err)
+
+
 def test_asof_ties_are_strict(spark, tie_dir):
     back = {r.event_id: r for r in
             REGISTRY["asof_join_click_to_purchase"].fn(spark, tie_dir).collect()}

@@ -36,5 +36,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot(a,b) / (‖a‖·‖b‖); null-safe only insofar as inputs are non-empty."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot(a,b) / (‖a‖·‖b‖), NULL when either vector has zero norm.
+
+    A zero vector has no direction, so its cosine to anything is
+    undefined — surfaced as NULL, never an ANSI divide-by-zero (Spark)
+    or ±inf/NaN (DuckDB's x/0). Oracles mirror the guard with a CASE
+    on the same product (plans/similarity_queries._DUCK_COS)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

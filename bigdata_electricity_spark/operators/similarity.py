@@ -24,13 +24,18 @@ def _unit_base(embeddings: DataFrame, id_col: str, vec_col: str,
     outnumber rows quadratically within buckets, so per-pair expression
     count dominates. The norm is materialized in its own projection
     first (inlined in the transform lambda it would be re-evaluated per
-    element — the HOF-CSE trap, docs/ROUND_NOTES.md)."""
+    element — the HOF-CSE trap, docs/ROUND_NOTES.md).
+
+    Zero-norm vectors are EXCLUDED: they have no direction, so they can
+    neither be a neighbour nor have one under cosine — and dividing by
+    their norm is an ANSI divide-by-zero. Oracles apply the same
+    WHERE nrm > 0 (plans/similarity_queries._DUCK_UNITS)."""
     with_norm = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(bucket_col).alias("bucket"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     return with_norm.select(
         "id", "bucket",
         F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),

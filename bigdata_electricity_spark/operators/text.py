@@ -31,9 +31,18 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def distinct_token_ratio(col: Column) -> Column:
-    """|unique tokens| / |tokens| — repetition signal for quality filters."""
-    tokens = F.split(col, r"\s+")
-    return F.size(F.array_distinct(tokens)) / F.size(tokens)
+    """|unique tokens| / |tokens| — repetition signal for quality filters.
+
+    Tokens are \\S+ runs (same alphabet as :func:`token_count`), NOT a
+    split on a literal space: split-based tokenization manufactures
+    empty-string tokens from leading/multiple whitespace and disagrees
+    with DuckDB's string_split on tabs/newlines (docs edge sweep).
+    A token-less text (empty or all-whitespace) has no defined ratio →
+    NULL, and composite scores built on it inherit the NULL."""
+    tokens = F.regexp_extract_all(col, F.lit(r"\S+"), 0)
+    return F.when(
+        F.size(tokens) > 0, F.size(F.array_distinct(tokens)) / F.size(tokens)
+    )
 
 
 def punct_ratio(col: Column) -> Column:

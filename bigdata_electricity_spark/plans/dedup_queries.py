@@ -110,8 +110,9 @@ _CURATION_ORACLE_TEMPLATE = """
     ), scored0 AS (
         SELECT doc_id, source, text,
                floor((LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0) * 0.5
-                      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                         / len(string_split(text, ' '))) * 0.5) * 1000000.0 + 0.5) / 1000000.0 AS q,
+                      + (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                  THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\\S+')) END) * 0.5) * 1000000.0 + 0.5) / 1000000.0 AS q,
                {best} AS best
         FROM keep WHERE rn = 1
     ), scored AS (
@@ -261,8 +262,9 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_QUALITY = """floor((LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0) * 0.5
-                      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                         / len(string_split(text, ' '))) * 0.5) * 1000000.0 + 0.5) / 1000000.0"""
+                      + (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                  THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\\S+')) END) * 0.5) * 1000000.0 + 0.5) / 1000000.0"""
 
 
 @query(

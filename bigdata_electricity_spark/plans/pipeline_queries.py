@@ -1236,7 +1236,16 @@ def export_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "text", F.md5("text").alias("fp_written")
     )
     docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
-    back = spark.read.format("xml").option("rowTag", "doc").load(out_dir)
+    # ignoreSurroundingSpaces defaults to TRUE on the reader, which
+    # trims whitespace-ONLY payloads to '' — this very audit caught it
+    # on a planted "   " doc. With it off, empty, whitespace-only, and
+    # tab/newline payloads all round-trip byte-exact (probed).
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(out_dir)
+    )
     # content integrity: the text that came back must hash to the
     # fingerprint computed before the write, for every row. Null-safe
     # comparison: if the XML reader nulls a payload out (e.g. an
@@ -1329,7 +1338,7 @@ def sql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            1 AS n_files,
-           CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
            md5(text || chr(10)) AS content_md5
     FROM first_doc
     ORDER BY source
@@ -1350,9 +1359,11 @@ def ingest_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: binaryFile streams each blob as ONE row — fine for
     media objects; the md5/length projection is per-row expression
-    work, and everything aggregates per directory key. The corpus text
-    is pure ASCII (measured), so byte length == char length + the
-    newline on both engines.
+    work, and everything aggregates per directory key. The oracle
+    counts UTF-8 BYTES (octet_length(encode(..)) — char length
+    undercounts any non-ASCII doc, which the docs edge sweep caught)
+    plus the sink's newline; md5 over VARCHAR already hashes UTF-8
+    bytes on both engines.
     """
     from pyspark.sql import Window
 

@@ -17,11 +17,17 @@ from ..sources.loaders import load_table
 from .registry import query
 
 # DuckDB cosine between two FLOAT[] lists with double accumulation.
+# NULL when either norm is zero — mirrors functions/vectors.py's
+# cosine_similarity guard (DuckDB's x/0 is ±inf, Spark ANSI throws;
+# NULL is the one value both engines can agree on for "no direction").
 _DUCK_COS = """
-list_sum(list_transform(list_zip({a}, {b}),
-         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-   * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+CASE WHEN (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0
+     THEN list_sum(list_transform(list_zip({a}, {b}),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+END
 """
 
 # Pre-normalized variant for the bucketed pair queries: unit vectors are
@@ -39,6 +45,7 @@ _DUCK_UNITS = """
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
             FROM embeddings
         )
+        WHERE nrm > 0
 """
 _DUCK_UDOT = "list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2]))"
 
@@ -269,9 +276,12 @@ _DUCK_DEQUANT = """
     quant_scored AS (
         SELECT q.vec_id AS query_id, e.vec_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(e.dq, q.dq), p -> p[1] * p[2]))
-                   / (sqrt(list_sum(list_transform(e.dq, x -> x * x)))
-                      * sqrt(list_sum(list_transform(q.dq, x -> x * x)))) DESC,
+                   CASE WHEN (sqrt(list_sum(list_transform(e.dq, x -> x * x)))
+                              * sqrt(list_sum(list_transform(q.dq, x -> x * x)))) > 0
+                        THEN list_sum(list_transform(list_zip(e.dq, q.dq), p -> p[1] * p[2]))
+                             / (sqrt(list_sum(list_transform(e.dq, x -> x * x)))
+                                * sqrt(list_sum(list_transform(q.dq, x -> x * x))))
+                   END DESC,
                    e.vec_id) AS rn
         FROM dq e JOIN dq q
           ON q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
@@ -336,9 +346,12 @@ def quantized_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id", "vec_id",
-                (
+                # NULL for zero-norm sides (a dequantized zero vector
+                # stays zero) — same guard as cosine_similarity.
+                F.when(
+                    (l2_norm(F.col(vec_col)) * l2_norm(F.col("qvec"))) > 0,
                     dot_product(F.col(vec_col), F.col("qvec"))
-                    / (l2_norm(F.col(vec_col)) * l2_norm(F.col("qvec")))
+                    / (l2_norm(F.col(vec_col)) * l2_norm(F.col("qvec"))),
                 ).alias("c"),
             )
         )
@@ -926,7 +939,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     with_norm = emb.select(
         "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
     units = with_norm.select(
         "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
     )
@@ -1042,7 +1055,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     with_norm = emb.select(
         "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
     units = with_norm.select(
         "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
     )
@@ -1193,7 +1206,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     withn = emb.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
     units = withn.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),

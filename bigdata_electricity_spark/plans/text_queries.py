@@ -31,8 +31,9 @@ from .registry import query
            CAST(length(text) AS INTEGER) AS n_chars,
            CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpe_tokens,
-           floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
+           floor((CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                  THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\\S+')) END) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
     FROM documents
     ORDER BY doc_id
     """,
@@ -58,10 +59,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id,
                LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0) * 0.5
-               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' '))) * 0.5 AS q,
-               floor((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                     / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio
+               + (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                  THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\\S+')) END) * 0.5 AS q,
+               floor((CASE WHEN length(text) > 0
+                           THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                / length(text) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio
         FROM documents
     )
     SELECT doc_id, floor((q) * 1000000.0 + 0.5) / 1000000.0 AS quality, punct_ratio,

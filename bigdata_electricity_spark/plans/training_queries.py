@@ -570,6 +570,7 @@ def sample_fixed_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / 16777216.0 + 5.9604644775390625e-08)
                / n_chars AS es_key
         FROM documents
+        WHERE n_chars > 0
     ), ranked AS (
         SELECT lang, doc_id,
                row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
@@ -586,6 +587,10 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     long documents proportionally more likely, yet fully deterministic
     because u is a salted-md5 draw, not engine RNG. The u=0 corner is
     shifted by half a draw-quantum (2^-24/2) so ln() never sees zero.
+    Zero-weight docs (n_chars = 0, e.g. empty text) have selection
+    probability 0 under E-S — they are excluded up front rather than
+    dividing by their weight (ANSI divide-by-zero; the docs edge
+    sweep caught it).
 
     Scale shape: identical to sample_fixed_n_per_group — map-side key
     computation, one shuffle on the stratum, WindowGroupLimit keeps
@@ -594,7 +599,11 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("w"), F.col("doc_id").cast("string"))), 1, 6),

@@ -183,15 +183,18 @@ def test_tie_fixture_spark_matches_oracle(spark, tie_dir, duck_con, name):
     assert err is None or err.startswith("ok:"), (name, err)
 
 
-def _events_only_entries():
-    """Every oracled entry whose oracle touches ONLY the events table —
-    auto-enrolled so future events entries inherit the tie sweep
-    without listing themselves. (The curated ENTRIES list above keeps
-    the per-convention documentation; this net catches the rest.)"""
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings", "partsupp"]
+
+
+def _single_table_entries(table: str, exclude=()):
+    """Every oracled entry whose oracle touches ONLY ``table`` —
+    auto-enrolled so future entries inherit the edge sweeps without
+    listing themselves. (The curated ENTRIES list above keeps the
+    per-convention documentation; these nets catch the rest.)"""
     import re
 
-    others = ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "documents", "embeddings", "partsupp"]
+    others = [t for t in ALL_TABLES if t != table]
     out = []
     for name, spec in REGISTRY.items():
         if not spec.oracle:
@@ -202,13 +205,17 @@ def _events_only_entries():
         if "sqltext" in name:
             continue
         sql = spec.oracle.lower()
-        if "events" not in sql:
+        if table not in sql:
             continue
         if any(re.search(r"\b" + t + r"\b", sql) for t in others):
             continue
-        if name not in ENTRIES:
+        if name not in exclude:
             out.append(name)
     return sorted(out)
+
+
+def _events_only_entries():
+    return _single_table_entries("events", exclude=ENTRIES)
 
 
 @pytest.mark.parametrize("name", _events_only_entries())
@@ -501,3 +508,124 @@ def test_histogram_bin_edge(spark, lineitem_edge_dir, lineitem_edge_con):
     bins = {r.bin: r for r in spec.fn(spark, lineitem_edge_dir).collect()}
     assert bins[0].n == 100 and bins[0].bin_max == 9999.99
     assert bins[1].n == 1 and bins[1].bin_min == 10000.0  # exact edge → bin 1
+
+
+@pytest.fixture(scope="module")
+def docs_edge_dir(tmp_path_factory):
+    """Documents fixture of tokenizer/dedup pathologies real corpora
+    contain and SF testdata never does: empty and whitespace-only
+    texts, a zero-entropy single-token repeat, unicode, punctuation
+    soup, a case variant that collides with its original only AFTER
+    normalization, an exact cross-source duplicate, and a long
+    all-distinct-token doc. n_chars stays consistent with the text."""
+    base = "the quick brown fox jumps over the lazy dog"
+    near = "the quick brown fox leaps over the lazy dog"
+    rows = [
+        (0, base, "en", "src0"),
+        (1, base, "en", "src1"),                       # exact cross-source dup
+        (2, "", "en", "src0"),                         # empty text
+        (3, "   ", "en", "src0"),                      # whitespace only
+        (4, "hello", "en", "src0"),                    # single token
+        (5, "spam spam spam spam spam spam", "en", "src1"),  # zero entropy
+        (6, "héllo wörld ça va bien 日本語 テスト", "fr", "src2"),
+        (7, "!!! ??? ... ;;; :::", "de", "src2"),      # punctuation soup
+        (8, " ".join(f"tok{i}" for i in range(500)), "es", "src3"),
+        (9, near, "en", "src1"),                       # near-dup of 0
+        (10, base.title(), "zh", "src3"),              # case variant of 0
+        (11, "a\tb\nc d", "en", "src4"),               # tab/newline whitespace
+    ]
+    d = tmp_path_factory.mktemp("edge_docs")
+    pd.DataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def docs_edge_con(docs_edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{docs_edge_dir}/documents.parquet'"
+    )
+    return con
+
+
+# multimodal_frame_sample's oracle has a DOCUMENTED ASCII precondition
+# (DuckDB md5/substring are VARCHAR-only, so the SQL twin hashes char
+# windows; the entry asserts the precondition loudly at runtime and the
+# multibyte byte-split path is covered by a Python-md5 unit test) — the
+# unicode doc in this fixture violates it by design.
+_DOCS_NET_SKIP = {"multimodal_frame_sample"}
+
+
+@pytest.mark.parametrize(
+    "name", _single_table_entries("documents", exclude=_DOCS_NET_SKIP)
+)
+def test_docs_edge_spark_matches_oracle(spark, docs_edge_dir, docs_edge_con, name):
+    from parity import compare_one
+
+    err = compare_one(spark, docs_edge_con, REGISTRY[name], docs_edge_dir)
+    assert err is None or err.startswith("ok:"), (name, err)
+
+
+def test_frame_sample_ascii_precondition_is_loud(spark, docs_edge_dir):
+    """The one docs-net exclusion must FAIL FAST on a non-ASCII corpus
+    (assert, not silent wrong answers) — pin that contract."""
+    with pytest.raises(AssertionError, match="ASCII"):
+        REGISTRY["multimodal_frame_sample"].fn(spark, docs_edge_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def emb_edge_dir(tmp_path_factory):
+    """Embeddings fixture with the vectors that break naive cosine
+    math: the all-zero vector (norm 0), exact duplicates (similarity
+    ties), an antipodal pair, denormal-scale and huge-scale vectors,
+    plus a spread of deterministic dense vectors."""
+    import math
+
+    dim = 64
+
+    def dense(i):
+        return [math.sin(0.7 * i + 0.31 * j) for j in range(dim)]
+
+    rows = [
+        (0, [0.0] * dim, 0),                            # zero vector
+        (1, [1.0] + [0.0] * (dim - 1), 1),              # e0
+        (2, [1.0] + [0.0] * (dim - 1), 1),              # exact dup of e0
+        (3, [-1.0] + [0.0] * (dim - 1), 2),             # antipodal
+        # scale spread stays inside the engine's documented rounding
+        # domain (|x|·10ⁿ < 2⁵³, functions/rounding.py): distances over
+        # 1e2-scale vectors round exactly at every n the entries use;
+        # 1e10-scale would push hround's floor past LONG range.
+        (4, [1e-30] * dim, 3),                          # denormal scale
+        (5, [1e2] * dim, 4),                            # large scale
+    ] + [(i, dense(i), i % 10) for i in range(6, 24)]
+    d = tmp_path_factory.mktemp("edge_emb")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def emb_edge_con(emb_edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{emb_edge_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _single_table_entries("embeddings"))
+def test_embeddings_edge_spark_matches_oracle(spark, emb_edge_dir, emb_edge_con, name):
+    from parity import compare_one
+
+    err = compare_one(spark, emb_edge_con, REGISTRY[name], emb_edge_dir)
+    assert err is None or err.startswith("ok:"), (name, err)

@@ -564,10 +564,10 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (flag-only, status-only, grand total) —
     planned as one Expand + single hash aggregate, same as cube/rollup.
     Run through the SQL front-end (the DataFrame API gained groupingSets
-    recently; the SQL shape is the portable one)."""
-    from ..sources.loaders import register_views
-
-    register_views(spark, sf_dir)
+    recently; the SQL shape is the portable one). Registers ONLY the
+    view it reads — a blanket register_views would make the entry
+    demand every table on disk for a single-table query."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql("""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -428,6 +428,7 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH digits AS (
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
         FROM orders
+        WHERE floor(o_totalprice * 100.0 + 0.5) > 0
     )
     SELECT d,
            COUNT(*) AS n,
@@ -447,12 +448,15 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     The first digit is extracted via exact integer cents →
     string-of-integer, never log10-of-double (floor(log10(x)) flips at
     exact powers of ten depending on the engine's libm; integer
-    rendering is identical everywhere). One groupBy on a 9-value key;
-    the share window runs over 9 rows.
+    rendering is identical everywhere). Zero amounts have no leading
+    digit — they are excluded, as in standard Benford practice (a d=0
+    bucket also divides by zero in the expectation log10(1+1/d); the
+    orders edge sweep planted one). One groupBy on a ≤9-value key;
+    the share window runs over ≤9 rows.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
-    digits = orders.select(
+    digits = orders.filter(cents > 0).select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
     )
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))

@@ -414,6 +414,17 @@ def orders_edge_dir(tmp_path_factory):
         (23, 2, "O", 40.0, today - dt.timedelta(days=91), "2-HIGH"),
         (24, 2, "O", 50.0, today - dt.timedelta(days=365), "2-HIGH"),
         (25, 2, "O", 60.0, today - dt.timedelta(days=366), "2-HIGH"),
+        # net plants (dates avoid the week/aging assertion windows):
+        # a zero price (Benford leading digit, Gini), a same-customer
+        # same-day price tie, an exact cross-customer price tie, and a
+        # priority group with two EQUAL values (zero within-group
+        # variance — the t-test/z-test denominators' worst case).
+        (30, 3, "F", 0.0, dt.datetime(2024, 4, 10), "3-MEDIUM"),
+        (31, 3, "F", 500.0, dt.datetime(2024, 4, 10), "3-MEDIUM"),
+        (32, 4, "F", 500.0, dt.datetime(2024, 4, 11), "3-MEDIUM"),
+        (33, 5, "F", 123.45, dt.datetime(2024, 5, 5), "4-NOT SPECIFIED"),
+        (34, 5, "F", 123.45, dt.datetime(2024, 5, 6), "4-NOT SPECIFIED"),
+        (35, 6, "F", 99999999.99, dt.datetime(2024, 5, 20), "5-LOW"),
     ]
     d = tmp_path_factory.mktemp("edge_orders")
     pd.DataFrame(rows, columns=[
@@ -465,16 +476,41 @@ def test_aging_bucket_edges_inclusive_upper(spark, orders_edge_dir, orders_edge_
 
 @pytest.fixture(scope="module")
 def lineitem_edge_dir(tmp_path_factory):
-    """Lineitem fixture whose p01/p99 land EXACTLY on data values:
-    101 sorted values v[0..100] put quantile position q*(n-1) at integer
-    indexes — p01 = v[1] = 1.0, p99 = v[99] = 9999.99 — so the clip
-    predicate's strictness at the fence is observable. The top pair
-    also straddles the 10k histogram bin edge."""
+    """Full-schema lineitem fixture. Prices: 101 sorted values v[0..100]
+    put quantile position q*(n-1) at integer indexes — p01 = v[1] = 1.0,
+    p99 = v[99] = 9999.99 — so the clip predicate's strictness at the
+    fence is observable, and the top pair straddles the 10k histogram
+    bin edge. Other columns plant: the TPC-H q1 shipdate boundary
+    (1998-09-02 inclusive vs 09-03), the q6 year window edge
+    (1994-12-31 vs 1995-01-01) with discounts exactly at the BETWEEN
+    0.05/0.07 bounds and a quantity exactly 24 (strict < 24), a
+    zero-quantity line, one NULL l_tax, and shared part/order keys
+    dense enough for basket/graph entries."""
+    rows = []
     vals = [float(i) for i in range(99)] + [9999.99, 10000.0]
-    rows = [(i, "A", v) for i, v in enumerate(vals)]
+    ships = [dt.datetime(1994, 3, 15), dt.datetime(1994, 12, 31),
+             dt.datetime(1995, 1, 1), dt.datetime(1998, 9, 2),
+             dt.datetime(1998, 9, 3)]
+    for i, v in enumerate(vals):
+        rows.append((
+            i // 3,                       # l_orderkey: ~3 lines per order
+            i % 7,                        # l_partkey
+            i % 3,                        # l_suppkey
+            i % 3 + 1,                    # l_linenumber
+            0.0 if i == 0 else (24.0 if i % 5 == 0 else float(i % 50) + 1),
+            v,                            # l_extendedprice (fence ladder)
+            [0.05, 0.06, 0.07, 0.0][i % 4],
+            None if i == 50 else (0.0 if i % 2 else 0.04),
+            "A",                          # single flag (winsorize assert)
+            "O" if i % 2 else "F",
+            ships[i % 5],
+        ))
     d = tmp_path_factory.mktemp("edge_lineitem")
-    pd.DataFrame(rows, columns=["l_orderkey", "l_returnflag", "l_extendedprice"]) \
-        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]).to_parquet(os.path.join(d, "lineitem.parquet"), coerce_timestamps="us")
     return str(d)
 
 
@@ -628,4 +664,20 @@ def test_embeddings_edge_spark_matches_oracle(spark, emb_edge_dir, emb_edge_con,
     from parity import compare_one
 
     err = compare_one(spark, emb_edge_con, REGISTRY[name], emb_edge_dir)
+    assert err is None or err.startswith("ok:"), (name, err)
+
+
+@pytest.mark.parametrize("name", _single_table_entries("orders"))
+def test_orders_edge_spark_matches_oracle(spark, orders_edge_dir, orders_edge_con, name):
+    from parity import compare_one
+
+    err = compare_one(spark, orders_edge_con, REGISTRY[name], orders_edge_dir)
+    assert err is None or err.startswith("ok:"), (name, err)
+
+
+@pytest.mark.parametrize("name", _single_table_entries("lineitem"))
+def test_lineitem_edge_spark_matches_oracle(spark, lineitem_edge_dir, lineitem_edge_con, name):
+    from parity import compare_one
+
+    err = compare_one(spark, lineitem_edge_con, REGISTRY[name], lineitem_edge_dir)
     assert err is None or err.startswith("ok:"), (name, err)

@@ -1,0 +1,708 @@
+"""Learning-and-mining extensions: matrix factorization, tree
+induction, and link prediction as declarative Spark plans.
+
+Three algorithm families the registry did not yet cover (the reference's
+ML surface stops at MLlib linear regression — `MLOperations.scala:12-174`
+— and the existing iterative entries cover EM/k-means, power-iteration
+PCA, gradient descent, isotonic, LPA):
+
+- alternating least squares (collaborative filtering's workhorse) at
+  rank 1, where each half-step is exactly one join + one grouped
+  aggregate — the honest declarative core of distributed ALS;
+- histogram-binned decision-tree induction (the LightGBM/XGBoost-hist
+  shape: pre-bin features once, choose every split from bin-histogram
+  prefix sums — no per-split data scans);
+- Adamic-Adar link prediction over a support-thresholded co-purchase
+  graph (wedge join + anti-join of known edges).
+
+All three are hash-checkable: every cross-engine float crosses the
+boundary through the `hround`/`dround` lockstep idiom, and every argmin
+is taken over a single BIGINT ordering key (composite arg-keys are not
+portable to DuckDB — ROUND_NOTES r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import dround, hround
+from ..sources.loaders import load_table
+from .registry import query
+
+ALS_ROUNDS = 3
+ALS_REG = 0.1  # ridge term; also guards a factor's denominator at 0
+
+
+def _als_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    lam = "CAST(0.1 AS DOUBLE)"  # bare 0.1 would be DECIMAL in DuckDB
+    sql = f"""
+    WITH ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    ), v0 AS MATERIALIZED (
+        SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS vf FROM ratings
+    )"""
+    for r in range(1, ALS_ROUNDS + 1):
+        p = r - 1
+        sql += f""", u{r} AS MATERIALIZED (
+        SELECT t.u, {r9(f'SUM(t.r * v.vf) / ({lam} + SUM(v.vf * v.vf))')} AS uf
+        FROM ratings t JOIN v{p} v ON t.i = v.i GROUP BY t.u
+    ), v{r} AS MATERIALIZED (
+        SELECT t.i, {r9(f'SUM(t.r * u.uf) / ({lam} + SUM(u.uf * u.uf))')} AS vf
+        FROM ratings t JOIN u{r} u ON t.u = u.u GROUP BY t.i
+    ), e{r} AS (
+        SELECT {dround('sqrt(AVG((t.r - u.uf * v.vf) * (t.r - u.uf * v.vf)))', 6)} AS rmse,
+               (SELECT {dround('SUM(uf * uf)', 4)} FROM u{r}) AS u_ss,
+               (SELECT {dround('SUM(vf * vf)', 4)} FROM v{r}) AS v_ss
+        FROM ratings t
+        JOIN u{r} u ON t.u = u.u
+        JOIN v{r} v ON t.i = v.i
+    )"""
+    selects = [
+        f"SELECT {r} AS als_round, rmse, u_ss, v_ss FROM e{r}"
+        for r in range(1, ALS_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY als_round"
+
+
+@query("ml_als_rank1_rounds", oracle=_als_oracle())
+def ml_als_rank1_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares on the customer x part implicit
+    'rating' matrix (r = total quantity ever ordered), 3 unrolled
+    alternations, reported as the (rmse, ||u||^2, ||v||^2) trajectory.
+
+    Each half-step is the closed-form ridge solution at rank 1:
+    u_i = sum_j(r_ij v_j) / (lambda + sum_j v_j^2) over the items user i
+    rated, then symmetrically for v. On Spark that is ONE shuffle join
+    (ratings x current factor, keyed on the factor's id — both sides
+    scale with SF, so no broadcast hint) plus ONE grouped aggregate with
+    map-side combine — exactly the per-iteration shape of production
+    distributed ALS, minus the rank-k normal-equation solve that needs a
+    dense kxk inverse per entity (rank 1 makes the solve a scalar
+    division, which keeps the whole trajectory expressible on both
+    engines and therefore hash-checkable). Factor updates are 1e-9
+    half-up rounded on both engines so the 3-round trajectory cannot
+    drift apart (the ml_gd_linreg_rounds float-lockstep idiom); the
+    factor tables are lazily localCheckpointed because each is
+    referenced twice per round (Catalyst does not CSE whole subplans
+    across joins — ROUND_NOTES r7).
+
+    ||u||^2 / ||v||^2 sum ~55k squared factors of magnitude ~1-60, so
+    they are rounded at 1e-4 (|x| * 10^n must stay < 2^53 for the
+    cross-engine floor idiom).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+        .localCheckpoint(eager=False)  # referenced 3x per round
+    )
+    lam = F.lit(ALS_REG)
+    v = ratings.select("i").distinct().select("i", F.lit(1.0).alias("vf"))
+    out_rows: list[DataFrame] = []
+    for r in range(1, ALS_ROUNDS + 1):
+        u = (
+            ratings.join(v, "i")
+            .groupBy("u")
+            .agg(
+                hround(
+                    F.sum(F.col("r") * F.col("vf"))
+                    / (lam + F.sum(F.col("vf") * F.col("vf"))),
+                    9,
+                ).alias("uf")
+            )
+            .localCheckpoint(eager=False)  # used by v-step, rmse, u_ss
+        )
+        v = (
+            ratings.join(u, "u")
+            .groupBy("i")
+            .agg(
+                hround(
+                    F.sum(F.col("r") * F.col("uf"))
+                    / (lam + F.sum(F.col("uf") * F.col("uf"))),
+                    9,
+                ).alias("vf")
+            )
+            .localCheckpoint(eager=False)
+        )
+        rmse = (
+            ratings.join(u, "u")
+            .join(v, "i")
+            .agg(
+                hround(
+                    F.sqrt(
+                        F.avg(
+                            (F.col("r") - F.col("uf") * F.col("vf"))
+                            * (F.col("r") - F.col("uf") * F.col("vf"))
+                        )
+                    ),
+                    6,
+                ).alias("rmse")
+            )
+        )
+        u_ss = u.agg(hround(F.sum(F.col("uf") * F.col("uf")), 4).alias("u_ss"))
+        v_ss = v.agg(hround(F.sum(F.col("vf") * F.col("vf")), 4).alias("v_ss"))
+        out_rows.append(
+            rmse.crossJoin(F.broadcast(u_ss))
+            .crossJoin(F.broadcast(v_ss))
+            .select(F.lit(r).alias("als_round"), "rmse", "u_ss", "v_ss")
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("als_round")
+
+
+TREE_BINS = 8  # histogram resolution: 7 interior quantile edges
+
+
+def _tree_oracle() -> str:
+    """Depth-2 histogram-tree oracle.
+
+    Mirrors the Spark plan CTE for CTE; every float that feeds a
+    comparison (bin edges, entropies) is rounded through dround before
+    use, and the per-node argmin over candidate splits is a MIN over a
+    single BIGINT key (entropy_1e9 * 1000 + feature * 100 + cut_bin).
+    """
+    probs = ", ".join(
+        f"CAST({b}.0/{TREE_BINS} AS DOUBLE)" for b in range(1, TREE_BINS)
+    )
+    ent = (
+        "CASE WHEN {n} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "(CASE WHEN {p} > 0 THEN -({p} / {n}) * ln({p} / {n}) ELSE 0.0 END"
+        " + CASE WHEN {n} - {p} > 0 THEN -(({n} - {p}) / {n}) * ln(({n} - {p}) / {n})"
+        " ELSE 0.0 END) END"
+    )
+    went = (
+        "(" + ent.format(p="lp", n="ln_") + ") * ln_ / (ln_ + rn)"
+        " + (" + ent.format(p="rp", n="rn") + ") * rn / (ln_ + rn)"
+    )
+    return f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CAST(n_chars AS DOUBLE) AS f1,
+               CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS f2,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks
+        FROM documents
+    ), med AS (
+        SELECT {dround('quantile_cont(toks, CAST(0.5 AS DOUBLE))', 9)} AS m FROM feats
+    ), edges AS MATERIALIZED (
+        SELECT list_transform(quantile_cont(f1, [{probs}]), e -> {dround('e', 9)}) AS e1,
+               list_transform(quantile_cont(f2, [{probs}]), e -> {dround('e', 9)}) AS e2
+        FROM feats
+    ), rows_ AS MATERIALIZED (
+        SELECT CASE WHEN toks > m THEN 1 ELSE 0 END AS y,
+               1 + len(list_filter(e1, c -> f1 > c)) AS b1,
+               1 + len(list_filter(e2, c -> f2 > c)) AS b2
+        FROM feats, med, edges
+    ), melted AS MATERIALIZED (
+        SELECT 1 AS feature, b1 AS bin, y FROM rows_
+        UNION ALL
+        SELECT 2 AS feature, b2 AS bin, y FROM rows_
+    ), hist AS (
+        SELECT feature, bin,
+               CAST(COUNT(*) AS DOUBLE) AS c,
+               CAST(SUM(y) AS DOUBLE) AS cp
+        FROM melted GROUP BY feature, bin
+    ), prefix AS (
+        SELECT feature, bin,
+               SUM(c) OVER (PARTITION BY feature ORDER BY bin) AS ln_,
+               SUM(cp) OVER (PARTITION BY feature ORDER BY bin) AS lp,
+               SUM(c) OVER (PARTITION BY feature) - SUM(c) OVER (PARTITION BY feature ORDER BY bin) AS rn,
+               SUM(cp) OVER (PARTITION BY feature) - SUM(cp) OVER (PARTITION BY feature ORDER BY bin) AS rp
+        FROM hist
+    ), cand AS (
+        SELECT feature, bin, {dround(went, 9)} AS we
+        FROM prefix WHERE bin < {TREE_BINS} AND rn > 0
+    ), root AS MATERIALIZED (
+        -- k IS NOT NULL: MIN over an EMPTY candidate set (single-bin or
+        -- empty corpus) is a 1-row NULL in SQL but an empty groupBy on
+        -- Spark — drop it so both engines emit zero rows for the
+        -- degenerate tree.
+        SELECT MIN(CAST(floor(we * 1000000000.0 + 0.5) AS BIGINT) * 1000
+                   + feature * 100 + bin) AS k
+        FROM cand
+    ), root_pick AS MATERIALIZED (
+        SELECT CAST((k % 1000) / 100 AS INTEGER) AS feature,
+               CAST(k % 100 AS INTEGER) AS cut_bin,
+               CAST(k / 1000 AS DOUBLE) / 1000000000.0 AS we
+        FROM root WHERE k IS NOT NULL
+    ), sided AS MATERIALIZED (
+        SELECT r.y, r.b1, r.b2,
+               CASE WHEN (CASE WHEN p.feature = 1 THEN r.b1 ELSE r.b2 END)
+                    <= p.cut_bin THEN 'L' ELSE 'R' END AS side
+        FROM rows_ r, root_pick p
+    ), melted2 AS (
+        SELECT side, 1 AS feature, b1 AS bin, y FROM sided
+        UNION ALL
+        SELECT side, 2 AS feature, b2 AS bin, y FROM sided
+    ), hist2 AS (
+        SELECT side, feature, bin,
+               CAST(COUNT(*) AS DOUBLE) AS c, CAST(SUM(y) AS DOUBLE) AS cp
+        FROM melted2 GROUP BY side, feature, bin
+    ), prefix2 AS (
+        SELECT side, feature, bin,
+               SUM(c) OVER (PARTITION BY side, feature ORDER BY bin) AS ln_,
+               SUM(cp) OVER (PARTITION BY side, feature ORDER BY bin) AS lp,
+               SUM(c) OVER (PARTITION BY side, feature)
+                 - SUM(c) OVER (PARTITION BY side, feature ORDER BY bin) AS rn,
+               SUM(cp) OVER (PARTITION BY side, feature)
+                 - SUM(cp) OVER (PARTITION BY side, feature ORDER BY bin) AS rp
+        FROM hist2
+    ), cand2 AS (
+        SELECT side, feature, bin, {dround(went, 9)} AS we
+        FROM prefix2 WHERE bin < {TREE_BINS} AND rn > 0
+    ), child_pick AS MATERIALIZED (
+        SELECT side,
+               CAST((k % 1000) / 100 AS INTEGER) AS feature,
+               CAST(k % 100 AS INTEGER) AS cut_bin,
+               CAST(k / 1000 AS DOUBLE) / 1000000000.0 AS we
+        FROM (
+            SELECT side,
+                   MIN(CAST(floor(we * 1000000000.0 + 0.5) AS BIGINT) * 1000
+                       + feature * 100 + bin) AS k
+            FROM cand2 GROUP BY side
+        )
+    ), leaves AS MATERIALIZED (
+        SELECT s.side,
+               CASE WHEN (CASE WHEN c.feature = 1 THEN s.b1 ELSE s.b2 END)
+                    <= c.cut_bin THEN 'L' ELSE 'R' END AS sub,
+               s.y
+        FROM sided s JOIN child_pick c ON s.side = c.side
+    ), leaf_stats AS MATERIALIZED (
+        SELECT side, sub, COUNT(*) AS n, SUM(y) AS np,
+               CASE WHEN SUM(y) * 2 >= COUNT(*) THEN 1 ELSE 0 END AS maj
+        FROM leaves GROUP BY side, sub
+    ), acc AS (
+        SELECT {dround('SUM(CASE WHEN l.y = s.maj THEN 1.0 ELSE 0.0 END) / COUNT(*)', 6)} AS acc
+        FROM leaves l JOIN leaf_stats s ON l.side = s.side AND l.sub = s.sub
+    ), node_rows AS (
+        SELECT 'root' AS node,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n,
+               (SELECT CAST(SUM(y) AS BIGINT) FROM rows_) AS n_pos,
+               p.feature, p.cut_bin, {dround('p.we', 6)} AS wentropy,
+               (SELECT acc FROM acc) AS acc
+        FROM root_pick p
+        UNION ALL
+        SELECT s.side AS node,
+               CAST(t.n AS BIGINT) AS n, CAST(t.np AS BIGINT) AS n_pos,
+               s.feature, s.cut_bin, {dround('s.we', 6)} AS wentropy,
+               CAST(NULL AS DOUBLE) AS acc
+        FROM child_pick s
+        JOIN (SELECT side, SUM(n) AS n, SUM(np) AS np
+              FROM leaf_stats GROUP BY side) t ON t.side = s.side
+    )
+    SELECT * FROM node_rows ORDER BY node
+    """
+
+
+@query("ml_tree_depth2_histogram", oracle=_tree_oracle())
+def ml_tree_depth2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision-tree induction over documents, the
+    histogram-binned way (LightGBM / XGBoost-hist): features are
+    pre-binned ONCE into 8 equal-frequency bins, and every split —
+    root and both children — is chosen from bin-histogram prefix sums,
+    so growing a level costs one grouped aggregate over (node, feature,
+    bin, y) counts, never a per-candidate data scan.
+
+    Task: predict y = (token count > corpus median) from n_chars and
+    the distinct-token count — the one genuinely learnable relation in
+    this corpus (n_chars ~ tokens, corr ~0.998; ROUND_NOTES r7), so the
+    reported depth-2 train accuracy is high for a real reason, not by
+    label leakage. Split criterion is minimum weighted child entropy;
+    ties break on the single BIGINT key (entropy_1e9 | feature | bin),
+    the portable composite-argmin idiom. Output: one row per node
+    (root/L/R) with its chosen (feature, cut_bin), weighted entropy,
+    class counts, and — on the root row — whole-tree train accuracy
+    from the four leaf majorities.
+
+    At 100 TB: bin edges come from one quantile aggregate (swap
+    F.percentile for approxQuantile when GK error is acceptable), bin
+    assignment is a map-side broadcast compare, and each level is one
+    map-combinable groupBy over at most nodes x features x bins x 2
+    cells — the histogram trick is exactly what makes distributed GBDT
+    feasible; deeper trees just repeat the `sided` step per level.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    feats = docs.select(
+        F.col("n_chars").cast("double").alias("f1"),
+        F.size(F.array_distinct(toks)).cast("double").alias("f2"),
+        F.size(toks).cast("double").alias("toks"),
+    ).localCheckpoint(eager=False)  # feeds edges, median, and rows
+    probs = [b / TREE_BINS for b in range(1, TREE_BINS)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    edges = feats.agg(
+        F.transform(
+            F.percentile("f1", parr), lambda e: hround(e, 9)
+        ).alias("e1"),
+        F.transform(
+            F.percentile("f2", parr), lambda e: hround(e, 9)
+        ).alias("e2"),
+        hround(F.percentile("toks", F.lit(0.5)), 9).alias("m"),
+    )
+    rows = (
+        feats.crossJoin(F.broadcast(edges))
+        .select(
+            F.when(F.col("toks") > F.col("m"), 1).otherwise(0).alias("y"),
+            (
+                F.lit(1)
+                + F.size(F.filter("e1", lambda c: F.col("f1") > c))
+            ).alias("b1"),
+            (
+                F.lit(1)
+                + F.size(F.filter("e2", lambda c: F.col("f2") > c))
+            ).alias("b2"),
+        )
+        .localCheckpoint(eager=False)  # feeds both levels + accuracy
+    )
+
+    def melt(df: DataFrame, keys: list[str]) -> DataFrame:
+        m1 = df.select(*keys, F.lit(1).alias("feature"), F.col("b1").alias("bin"), "y")
+        m2 = df.select(*keys, F.lit(2).alias("feature"), F.col("b2").alias("bin"), "y")
+        return m1.unionByName(m2)
+
+    def entropy(p: F.Column, n: F.Column) -> F.Column:
+        term = lambda c: F.when(c > 0, -(c / n) * F.log(c / n)).otherwise(0.0)  # noqa: E731
+        return F.when(n == 0, F.lit(0.0)).otherwise(term(p) + term(n - p))
+
+    def best_splits(df: DataFrame, keys: list[str]) -> DataFrame:
+        """Per-`keys` argmin over (feature, cut_bin) candidates from the
+        bin histogram — one grouped agg + one bounded window."""
+        from pyspark.sql import Window
+
+        hist = melt(df, keys).groupBy(*keys, "feature", "bin").agg(
+            F.count(F.lit(1)).cast("double").alias("c"),
+            F.sum("y").cast("double").alias("cp"),
+        )
+        w = Window.partitionBy(*keys, "feature").orderBy("bin")
+        wt = Window.partitionBy(*keys, "feature")
+        prefix = hist.select(
+            *keys,
+            "feature",
+            "bin",
+            F.sum("c").over(w).alias("ln_"),
+            F.sum("cp").over(w).alias("lp"),
+            (F.sum("c").over(wt) - F.sum("c").over(w)).alias("rn"),
+            (F.sum("cp").over(wt) - F.sum("cp").over(w)).alias("rp"),
+        )
+        tot = F.col("ln_") + F.col("rn")
+        we = hround(
+            entropy(F.col("lp"), F.col("ln_")) * F.col("ln_") / tot
+            + entropy(F.col("rp"), F.col("rn")) * F.col("rn") / tot,
+            9,
+        )
+        cand = prefix.filter(
+            (F.col("bin") < TREE_BINS) & (F.col("rn") > 0)
+        ).select(*keys, "feature", "bin", we.alias("we"))
+        key = (
+            F.floor(F.col("we") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+            * F.lit(1000)
+            + F.col("feature") * F.lit(100)
+            + F.col("bin")
+        )
+        picked = cand.groupBy(*keys).agg(F.min(key).alias("k"))
+        return picked.select(
+            *keys,
+            ((F.col("k") % 1000) / 100).cast("int").alias("feature"),
+            (F.col("k") % 100).cast("int").alias("cut_bin"),
+            ((F.col("k") / 1000).cast("double") / F.lit(1e9)).alias("we"),
+        )
+
+    root_pick = best_splits(rows.withColumn("g", F.lit(1)), ["g"]).drop("g")
+    side = F.when(
+        F.when(F.col("feature") == 1, F.col("b1")).otherwise(F.col("b2"))
+        <= F.col("cut_bin"),
+        "L",
+    ).otherwise("R")
+    sided = (
+        rows.crossJoin(F.broadcast(root_pick))
+        .select("y", "b1", "b2", side.alias("side"))
+        .localCheckpoint(eager=False)  # feeds child split + leaves
+    )
+    child_pick = best_splits(sided, ["side"])
+    leaves = (
+        sided.join(child_pick.withColumnRenamed("side", "cside"),
+                   F.col("side") == F.col("cside"))
+        .select("side", "y", side.alias("sub"))
+    )
+    leaf_stats = leaves.groupBy("side", "sub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("np"),
+        F.when(F.sum("y") * 2 >= F.count(F.lit(1)), 1).otherwise(0).alias("maj"),
+    )
+    acc = (
+        leaves.join(F.broadcast(leaf_stats), ["side", "sub"])
+        .agg(
+            hround(
+                F.sum(F.when(F.col("y") == F.col("maj"), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("acc")
+        )
+    )
+    totals = rows.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
+    )
+    root_row = (
+        root_pick.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(acc))
+        .select(
+            F.lit("root").alias("node"),
+            "n",
+            "n_pos",
+            "feature",
+            "cut_bin",
+            hround("we", 6).alias("wentropy"),
+            "acc",
+        )
+    )
+    side_tot = leaf_stats.groupBy("side").agg(
+        F.sum("n").alias("n"), F.sum("np").cast("long").alias("n_pos")
+    )
+    child_rows = child_pick.join(side_tot, "side").select(
+        F.col("side").alias("node"),
+        "n",
+        "n_pos",
+        "feature",
+        "cut_bin",
+        hround("we", 6).alias("wentropy"),
+        F.lit(None).cast("double").alias("acc"),
+    )
+    return root_row.unionByName(child_rows).orderBy("node")
+
+
+AA_MIN_SUPPORT = 2
+AA_TOP_K = 20
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH pair_counts AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               COUNT(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ), edges AS MATERIALIZED (
+        SELECT pa, pb FROM pair_counts WHERE support >= {AA_MIN_SUPPORT}
+    ), und AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM edges
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM edges
+    ), deg AS MATERIALIZED (
+        SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u
+    ), wedges AS (
+        SELECT e1.v AS a, e2.v AS b, e1.u AS z
+        FROM und e1 JOIN und e2
+          ON e1.u = e2.u AND e1.v < e2.v
+    ), scored AS (
+        SELECT w.a, w.b,
+               SUM(1.0 / ln(d.d)) AS aa_raw,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM wedges w JOIN deg d ON w.z = d.u
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.pa = w.a AND e.pb = w.b
+        )
+        GROUP BY w.a, w.b
+    )
+    SELECT a AS part_a, b AS part_b, {dround('aa_raw', 6)} AS aa_score, n_common
+    FROM scored
+    ORDER BY {dround('aa_raw', 6)} DESC, a, b
+    LIMIT {AA_TOP_K}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the support-thresholded
+    co-purchase graph: parts are nodes, an edge exists when two parts
+    share >= 2 distinct orders, and for every NON-adjacent pair with
+    common neighbors the score is sum(1/ln(deg(z))) over the shared
+    neighbors z. Top-20 predicted links.
+
+    The support threshold is the scale bound, and it is not optional:
+    the raw co-occurrence graph here has mean degree ~120 and ~300M
+    wedges at sf0.1 (measured), while min-support 2 prunes it to <10k
+    wedges — the same frequent-itemset pruning `market_basket_pairs`
+    applies, for the same reason. The wedge join (und x und on the
+    shared center) shuffles on the center key; a wedge center by
+    construction has degree >= 2, so ln(deg) never divides by zero. The
+    anti-join against known edges removes already-connected pairs.
+    Final ranking is 1e-6-rounded before ORDER BY so the cross-engine
+    top-k cut is tie-stable ((score, a, b) is a total order).
+
+    At 100x: every stage is a keyed shuffle (pair counts on (pa, pb),
+    degrees on node, wedges on center, scores on (a, b)); the one knob
+    is the support threshold, which production itemset miners raise
+    with corpus size precisely to hold the wedge count flat.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, ["ok"])
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= AA_MIN_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # feeds und twice + the anti-join
+    )
+    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    e1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = e1.join(e2, ["z"]).filter(F.col("a") < F.col("b"))
+    open_wedges = wedges.join(
+        edges,
+        (wedges.a == edges.pa) & (wedges.b == edges.pb),
+        "left_anti",
+    )
+    scored = (
+        open_wedges.join(deg, open_wedges.z == deg.u)
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.lit(1.0) / F.log(F.col("d"))).alias("aa_raw"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            hround("aa_raw", 6).alias("aa_score"),
+            "n_common",
+        )
+        .orderBy(F.desc("aa_score"), "part_a", "part_b")
+        .limit(AA_TOP_K)
+    )
+
+
+HITS_ROUNDS = 2
+HITS_TOP_K = 10
+
+
+def _hits_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), h0 AS MATERIALIZED (
+        SELECT DISTINCT u, CAST(1.0 AS DOUBLE) AS h FROM edges
+    )"""
+    for r in range(1, HITS_ROUNDS + 1):
+        p = r - 1
+        sql += f""", ar{r} AS MATERIALIZED (
+        SELECT e.i, SUM(h.h) AS a
+        FROM edges e JOIN h{p} h ON e.u = h.u GROUP BY e.i
+    ), an{r} AS MATERIALIZED (
+        SELECT sqrt(SUM(a * a)) AS nrm FROM ar{r}
+    ), a{r} AS MATERIALIZED (
+        SELECT i, {r9('a / nrm')} AS a FROM ar{r}, an{r}
+    ), hr{r} AS MATERIALIZED (
+        SELECT e.u, SUM(a.a) AS h
+        FROM edges e JOIN a{r} a ON e.i = a.i GROUP BY e.u
+    ), hn{r} AS MATERIALIZED (
+        SELECT sqrt(SUM(h * h)) AS nrm FROM hr{r}
+    ), h{r} AS MATERIALIZED (
+        SELECT u, {r9('h / nrm')} AS h FROM hr{r}, hn{r}
+    )"""
+    last = HITS_ROUNDS
+    return sql + f"""
+    SELECT kind, rnk, node_id, score FROM (
+        SELECT 'authority' AS kind,
+               CAST(ROW_NUMBER() OVER (ORDER BY {dround('a', 6)} DESC, i) AS BIGINT) AS rnk,
+               i AS node_id, {dround('a', 6)} AS score
+        FROM a{last}
+        UNION ALL
+        SELECT 'hub' AS kind,
+               CAST(ROW_NUMBER() OVER (ORDER BY {dround('h', 6)} DESC, u) AS BIGINT) AS rnk,
+               u AS node_id, {dround('h', 6)} AS score
+        FROM h{last}
+    ) WHERE rnk <= {HITS_TOP_K}
+    ORDER BY kind, rnk
+    """
+
+
+@query("graph_hits_rounds", oracle=_hits_oracle())
+def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the customer->part purchase
+    bipartite graph, 2 unrolled power-iteration rounds with L2
+    normalization — the mutually-recursive cousin of
+    `graph_pagerank_nations` (authority mass flows from good hubs and
+    back; on a bipartite graph HITS is exactly alternating power
+    iteration on A^T A, so it converges fast and 2 rounds already
+    separate heavy buyers from popular parts).
+
+    Each half-step is one edges x scores shuffle join + grouped sum
+    (map-side combinable) and one 1-row L2-norm aggregate broadcast
+    back as the divisor — at 100 TB the norm is the only global state,
+    the classic scalar-broadcast iterative shape (same as
+    `ml_gd_linreg_rounds`). Normalized scores are 1e-9 lockstep-rounded
+    per round; the top-10 per side is rank over the 1e-6-rounded score
+    with node-id tie-break, so the cut is total-order stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced twice per round
+    )
+    h = edges.select("u").distinct().select("u", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        ar = edges.join(h, "u").groupBy("i").agg(F.sum("h").alias("a"))
+        anorm = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        a = (
+            ar.crossJoin(F.broadcast(anorm))
+            .select("i", hround(F.col("a") / F.col("nrm"), 9).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        hr = edges.join(a, "i").groupBy("u").agg(F.sum("a").alias("h"))
+        hnorm = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        h = (
+            hr.crossJoin(F.broadcast(hnorm))
+            .select("u", hround(F.col("h") / F.col("nrm"), 9).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy().limit() (TakeOrderedAndProject — per-
+    # partition heaps, no global sort), THEN rank the k survivors; a
+    # row_number window straight over the SF-scaling factor table would
+    # be a single-partition sort of all nodes.
+    auth_top = (
+        a.select(F.col("i").alias("node_id"), hround(F.col("a"), 6).alias("score"))
+        .orderBy(F.desc("score"), "node_id")
+        .limit(HITS_TOP_K)
+    )
+    hub_top = (
+        h.select(F.col("u").alias("node_id"), hround(F.col("h"), 6).alias("score"))
+        .orderBy(F.desc("score"), "node_id")
+        .limit(HITS_TOP_K)
+    )
+    wk = Window.orderBy(F.desc("score"), "node_id")  # k rows only
+    auth = auth_top.select(
+        F.lit("authority").alias("kind"),
+        F.row_number().over(wk).cast("bigint").alias("rnk"),
+        "node_id",
+        "score",
+    )
+    hubs = hub_top.select(
+        F.lit("hub").alias("kind"),
+        F.row_number().over(wk).cast("bigint").alias("rnk"),
+        "node_id",
+        "score",
+    )
+    return auth.unionByName(hubs).orderBy("kind", "rnk")

@@ -1162,3 +1162,226 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_FD_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _fd_oracle() -> str:
+    ctes = []
+    selects = []
+    for lhs in _FD_COLS:
+        others = [c for c in _FD_COLS if c != lhs]
+        cds = ", ".join(
+            f"COUNT(DISTINCT {rhs}) AS cd_{rhs}" for rhs in others
+        )
+        ctes.append(
+            f"g_{lhs} AS MATERIALIZED (SELECT {cds} FROM orders GROUP BY {lhs})"
+        )
+        for rhs in others:
+            selects.append(
+                f"SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_groups,"
+                f" CAST(SUM(CASE WHEN cd_{rhs} > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_violations,"
+                f" SUM(CASE WHEN cd_{rhs} > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds"
+                f" FROM g_{lhs}"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY lhs, rhs"
+    )
+
+
+@query("audit_functional_dependencies", oracle=_fd_oracle())
+def audit_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over `orders`: for every ordered
+    column pair (A, B), does A -> B hold (every A-group has exactly one
+    B value)? Reports group/violation counts for all 30 pairs — the
+    schema-mining layer of data-quality tooling (key detection, derived
+    columns, denormalization audits), complementing
+    `audit_referential_integrity` (cross-table FKs) and
+    `validate_constraints` (declared single-column rules).
+
+    Shape: ONE grouped aggregate per LHS column — 6 scans, each
+    computing all 5 distinct-counts for that grouping together
+    (partial/distinct aggregation, map-side combinable) — then a tiny
+    rollup of each group table to (n_groups, n_violations). Never the
+    naive 30 per-pair scans, and never a row-level unpivot self-join
+    (that would shuffle |rows|x|cols|^2). At 100 TB the same plan runs
+    with approx_count_distinct per group (HLL, one-sided error on the
+    HOLDS verdict) — the exact form here keeps the entry
+    hash-checkable; `sketch_*` entries cover the sketch substitution.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    frames: list[DataFrame] = []
+    for lhs in _FD_COLS:
+        others = [c for c in _FD_COLS if c != lhs]
+        grouped = orders.groupBy(lhs).agg(
+            *[F.count_distinct(F.col(rhs)).alias(f"cd_{rhs}") for rhs in others]
+        )
+        rollup = grouped.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            *[
+                F.sum(F.when(F.col(f"cd_{rhs}") > 1, 1).otherwise(0)).alias(
+                    f"viol_{rhs}"
+                )
+                for rhs in others
+            ],
+        )
+        for rhs in others:
+            frames.append(
+                rollup.select(
+                    F.lit(lhs).alias("lhs"),
+                    F.lit(rhs).alias("rhs"),
+                    F.col("n_groups"),
+                    F.col(f"viol_{rhs}").alias("n_violations"),
+                    (F.col(f"viol_{rhs}") == 0).alias("fd_holds"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("lhs", "rhs")
+
+
+_CRAMER_PAIRS = [
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderstatus", "order_dow"),
+    ("o_orderpriority", "order_dow"),
+]
+
+
+def _cramers_oracle() -> str:
+    blocks = []
+    for ca, cb in _CRAMER_PAIRS:
+        blocks.append(f"""
+    SELECT '{ca}' AS col_a, '{cb}' AS col_b, n, r_levels, c_levels,
+           {dround('chi2', 4)} AS chi2,
+           {dround('sqrt(chi2 / (n * GREATEST(LEAST(r_levels, c_levels) - 1, 1)))', 6)}
+             AS cramers_v
+    FROM (
+        SELECT SUM((o - e) * (o - e) / e) AS chi2,
+               MAX(n) AS n, MAX(r_levels) AS r_levels, MAX(c_levels) AS c_levels
+        FROM (
+            SELECT COALESCE(c.o, 0.0) AS o,
+                   rm.ra * cm.cb / tot.n AS e,
+                   tot.n,
+                   tot.r_levels, tot.c_levels
+            FROM (
+                SELECT a, CAST(SUM(o) AS DOUBLE) AS ra FROM grid_{ca}_{cb} GROUP BY a
+            ) rm
+            CROSS JOIN (
+                SELECT b, CAST(SUM(o) AS DOUBLE) AS cb FROM grid_{ca}_{cb} GROUP BY b
+            ) cm
+            CROSS JOIN (
+                SELECT CAST(SUM(o) AS DOUBLE) AS n,
+                       CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+                       CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels
+                FROM grid_{ca}_{cb}
+            ) tot
+            LEFT JOIN grid_{ca}_{cb} c ON c.a = rm.a AND c.b = cm.b
+        )
+    )""")
+    grids = ",\n".join(
+        f"""grid_{ca}_{cb} AS MATERIALIZED (
+        SELECT CAST({'CAST(dayofweek(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER)' if ca == 'order_dow' else ca} AS VARCHAR) AS a,
+               CAST({'CAST(dayofweek(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER)' if cb == 'order_dow' else cb} AS VARCHAR) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM orders GROUP BY 1, 2
+    )"""
+        for ca, cb in _CRAMER_PAIRS
+    )
+    return "WITH " + grids + "\n" + "\nUNION ALL\n".join(blocks) + "\nORDER BY col_a, col_b"
+
+
+@query("stats_cramers_v_pairs", oracle=_cramers_oracle())
+def stats_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the categorical columns of
+    `orders` (status, priority, order day-of-week): the normalized-
+    chi-square effect size in [0,1] — the categorical complement of
+    `stats_correlation_matrix` (numeric Pearson) and the effect-SIZE
+    companion of `abtest_chi_square_dow` (which tests significance of
+    one pair; V says how strong the dependence is, comparable across
+    tables of different shape).
+
+    One |A|x|B| contingency aggregate per pair (single shuffle each,
+    map-combinable), then margins / expected counts over the tiny
+    grouped grid — chi-square is summed over the FULL r x c grid
+    (margin cross join, zero-observed cells contribute their expected
+    mass), not just observed cells, which matters exactly when an
+    association is strong enough to empty a cell. GREATEST(min(r,c)-1,
+    1) guards the 1-level degenerate domain (V:=0 there, chi2 is 0
+    anyway — the t-closeness lesson from r8's tiny-table sweep).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dow = F.dayofweek("o_orderdate").cast("int")
+    col_of = {
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "order_dow": dow,
+    }
+    frames: list[DataFrame] = []
+    for ca, cb in _CRAMER_PAIRS:
+        grid = orders.groupBy(
+            col_of[ca].cast("string").alias("a"), col_of[cb].cast("string").alias("b")
+        ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+        rm = grid.groupBy("a").agg(F.sum("o").alias("ra"))
+        cm = grid.groupBy("b").agg(F.sum("o").alias("cb"))
+        tot = grid.agg(
+            F.sum("o").alias("n"),
+            F.count_distinct("a").alias("r_levels"),
+            F.count_distinct("b").alias("c_levels"),
+        )
+        cells = (
+            rm.crossJoin(cm)
+            .crossJoin(F.broadcast(tot))
+            .join(grid, ["a", "b"], "left")
+            .select(
+                F.coalesce("o", F.lit(0.0)).alias("o"),
+                (F.col("ra") * F.col("cb") / F.col("n")).alias("e"),
+                "n",
+                "r_levels",
+                "c_levels",
+            )
+        )
+        stat = cells.agg(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2"),
+            F.max("n").alias("n"),
+            F.max("r_levels").alias("r_levels"),
+            F.max("c_levels").alias("c_levels"),
+        )
+        frames.append(
+            stat.select(
+                F.lit(ca).alias("col_a"),
+                F.lit(cb).alias("col_b"),
+                "n",
+                "r_levels",
+                "c_levels",
+                hround("chi2", 4).alias("chi2"),
+                hround(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n")
+                            * F.greatest(
+                                F.least("r_levels", "c_levels") - 1, F.lit(1)
+                            )
+                        )
+                    ),
+                    6,
+                ).alias("cramers_v"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("col_a", "col_b")

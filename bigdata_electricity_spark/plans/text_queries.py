@@ -560,3 +560,145 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "text_vocab_js_drift",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT source, t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM documents,
+             UNNEST(regexp_extract_all(text, '\\S+')) AS t(tok)
+        GROUP BY source, t.tok
+    ), totals AS MATERIALIZED (
+        SELECT source, SUM(c) AS tot, COUNT(*) AS n_types
+        FROM toks GROUP BY source
+    ), probs AS MATERIALIZED (
+        SELECT k.source, k.tok, k.c / t.tot AS p
+        FROM toks k JOIN totals t ON k.source = t.source
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM totals a JOIN totals b ON a.source < b.source
+    ), side_a AS (
+        SELECT pr.sa, pr.sb,
+               SUM(0.5 * pa.p * ln(2.0 * pa.p / (pa.p + COALESCE(pb.p, 0.0)))) AS js_part,
+               CAST(SUM(CASE WHEN pb.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM pairs pr
+        JOIN probs pa ON pa.source = pr.sa
+        LEFT JOIN probs pb ON pb.source = pr.sb AND pb.tok = pa.tok
+        GROUP BY pr.sa, pr.sb
+    ), side_b AS (
+        SELECT pr.sa, pr.sb,
+               SUM(0.5 * pb.p * ln(2.0 * pb.p / (pb.p + COALESCE(pa.p, 0.0)))) AS js_part
+        FROM pairs pr
+        JOIN probs pb ON pb.source = pr.sb
+        LEFT JOIN probs pa ON pa.source = pr.sa AND pa.tok = pb.tok
+        GROUP BY pr.sa, pr.sb
+    )
+    SELECT a.sa AS source_a, a.sb AS source_b,
+           ta.n_types AS n_types_a, tb.n_types AS n_types_b,
+           a.n_shared,
+           floor((a.js_part + b.js_part) * 1000000.0 + 0.5) / 1000000.0 AS js_nats
+    FROM side_a a
+    JOIN side_b b ON a.sa = b.sa AND a.sb = b.sb
+    JOIN totals ta ON ta.source = a.sa
+    JOIN totals tb ON tb.source = a.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def text_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus slices: Jensen-Shannon divergence
+    of the unigram distributions for every pair of sources — the
+    corpus-level companion of `drift_psi_value` (which watches ONE
+    numeric column through fixed bins; JS here compares full token
+    distributions, is symmetric, and is bounded by ln 2 even on
+    disjoint vocabularies, where KL diverges).
+
+    JS(P,Q) = 0.5·KL(P||M) + 0.5·KL(Q||M) with M the midpoint, computed
+    without materializing M: each side's terms come from its own token
+    list with the other side's probability left-joined in (absent → 0,
+    where the term reduces to 0.5·p·ln 2). Tokens are the pinned \\S+
+    runs (convention #10 of the r9 edge sweep). Both windows of the
+    computation shuffle on (source, token) — at 100 TB the token-keyed
+    group is the only wide stage, and it prunes to |vocab| rows before
+    the tiny per-pair join; the |sources|² pair fan-out multiplies
+    |vocab|-sized sides, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_types")
+    )
+    probs = (
+        toks.join(totals.select("source", "tot"), "source")
+        .select("source", "tok", (F.col("c") / F.col("tot")).alias("p"))
+        .localCheckpoint(eager=False)  # referenced 4x across the two sides
+    )
+    pairs = (
+        totals.select(F.col("source").alias("sa"))
+        .join(totals.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    pa = probs.select(F.col("source").alias("sa"), "tok", F.col("p").alias("p_a"))
+    pb = probs.select(F.col("source").alias("sb"), "tok", F.col("p").alias("p_b"))
+    side_a = (
+        pairs.join(pa, "sa")
+        .join(pb, ["sb", "tok"], "left")
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.lit(0.5)
+                * F.col("p_a")
+                * F.log(
+                    F.lit(2.0) * F.col("p_a")
+                    / (F.col("p_a") + F.coalesce("p_b", F.lit(0.0)))
+                )
+            ).alias("js_a"),
+            F.sum(F.when(F.col("p_b").isNotNull(), 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    side_b = (
+        pairs.join(pb, "sb")
+        .join(pa, ["sa", "tok"], "left")
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.lit(0.5)
+                * F.col("p_b")
+                * F.log(
+                    F.lit(2.0) * F.col("p_b")
+                    / (F.col("p_b") + F.coalesce("p_a", F.lit(0.0)))
+                )
+            ).alias("js_b")
+        )
+    )
+    return (
+        side_a.join(side_b, ["sa", "sb"])
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("sa"),
+                                      F.col("n_types").alias("n_types_a"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("sb"),
+                                      F.col("n_types").alias("n_types_b"))),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_types_a",
+            "n_types_b",
+            "n_shared",
+            hround(F.col("js_a") + F.col("js_b"), 6).alias("js_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )

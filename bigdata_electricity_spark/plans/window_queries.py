@@ -1035,3 +1035,116 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "events_pattern_vshape",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), dirs AS (
+        SELECT user_id, value, ord, prev,
+               CAST(sign(value - prev) AS INTEGER) AS dir
+        FROM ordered WHERE prev IS NOT NULL
+    ), runs AS (
+        SELECT user_id, value, ord, prev, dir,
+               SUM(CASE WHEN pdir IS NULL OR dir != pdir THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ord) AS run_id
+        FROM (
+            SELECT d.*, LAG(dir) OVER (PARTITION BY user_id ORDER BY ord) AS pdir
+            FROM dirs d
+        )
+    ), run_stats AS (
+        SELECT user_id, run_id, MIN(dir) AS dir,
+               MIN(ord) AS s_ord, MAX(ord) AS e_ord,
+               arg_min(prev, ord) AS start_prev,
+               arg_max(value, ord) AS end_val
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+           floor(MAX(d.start_prev - d.end_val) * 1000000.0 + 0.5) / 1000000.0 AS max_depth,
+           floor(AVG(d.start_prev - d.end_val) * 1000000.0 + 0.5) / 1000000.0 AS avg_depth
+    FROM run_stats d
+    JOIN run_stats u
+      ON u.user_id = d.user_id AND u.s_ord = d.e_ord + 1
+     AND d.dir = -1 AND u.dir = 1
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+)
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE `DOWN+ UP+` V
+    shape, which Spark has no native operator for) as gaps-and-islands:
+    per-user step directions (sign of consecutive value delta over the
+    tie-stable (ts, event_id) order), direction runs via the
+    change-flag cumulative sum, then one self-join of run summaries on
+    run adjacency — a strictly-falling run immediately followed by a
+    strictly-rising run is one V. Depth = value entering the fall minus
+    the trough (min_by/arg_max over a single BIGINT in-run order key —
+    composite arg-keys don't port to DuckDB, ROUND_NOTES r4).
+
+    A flat step (exact value tie — planted by the edge net, never by
+    ns-precision testdata) is its own dir=0 run and BLOCKS adjacency:
+    down-flat-up is deliberately NOT a V (strict pattern semantics,
+    documented over the alternative of fuzzy plateaus).
+
+    Scale: both windows and the run aggregation are user-partitioned;
+    the adjacency join keys on (user_id, run boundary) — every stage
+    shuffles on the entity key, nothing global. This is the same
+    recognizer shape Flink's CEP compiles simple NFA patterns to when
+    state fits in a keyed window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("ord"),
+        F.lag("value").over(w).alias("prev"),
+    )
+    dirs = ordered.filter(F.col("prev").isNotNull()).select(
+        "user_id",
+        "value",
+        "ord",
+        "prev",
+        F.signum(F.col("value") - F.col("prev")).cast("int").alias("dir"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ord")
+    runs = dirs.withColumn("pdir", F.lag("dir").over(wo)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("pdir").isNull() | (F.col("dir") != F.col("pdir")), 1
+            ).otherwise(0)
+        ).over(wo),
+    )
+    run_stats = runs.groupBy("user_id", "run_id").agg(
+        F.min("dir").alias("dir"),
+        F.min("ord").alias("s_ord"),
+        F.max("ord").alias("e_ord"),
+        F.min_by("prev", "ord").alias("start_prev"),
+        F.max_by("value", "ord").alias("end_val"),
+    )
+    d = run_stats.alias("d")
+    u = run_stats.alias("u")
+    vs = d.join(
+        u,
+        (F.col("d.user_id") == F.col("u.user_id"))
+        & (F.col("u.s_ord") == F.col("d.e_ord") + 1)
+        & (F.col("d.dir") == -1)
+        & (F.col("u.dir") == 1),
+    )
+    depth = F.col("d.start_prev") - F.col("d.end_val")
+    return (
+        vs.groupBy(F.col("d.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vshapes"),
+            hround(F.max(depth), 6).alias("max_depth"),
+            hround(F.avg(depth), 6).alias("avg_depth"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,539 @@
+"""Third-implementation checks for the learning/mining entries.
+
+Every algorithmic entry gets a check against a direct Python
+computation (on a planted fixture or real sf0.001 data), on top of its
+DuckDB oracle — the CUSUM lesson (ROUND_NOTES r9): parity alone cannot
+catch a bug implemented identically on both engines.
+
+- rank-1 ALS: trajectory vs a plain-Python recursion on a planted
+  4-user x 4-item block matrix, plus RMSE-decreases on real data;
+- depth-2 histogram tree: exact node table on a fixture whose bins,
+  splits, and leaf purity are hand-derivable;
+- Adamic-Adar: top-k vs a set-based brute force on real sf0.001 data
+  (same support threshold, same tie-break).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+
+from bigdata_electricity_spark.plans import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _hr(x: float, n: int) -> float:
+    s = 10.0 ** n
+    return math.floor(x * s + 0.5) / s
+
+
+# ---------------------------------------------------------------- ALS
+
+
+def _write_als_fixture(d: str) -> dict[tuple[int, int], float]:
+    """4 customers x 4 parts with a 2-block structure; returns the
+    expected rating matrix r[(custkey, partkey)] = sum(quantity)."""
+    orders = [(k, 100 + k % 4, "O", 10.0, pd.Timestamp("2024-01-01"), "1-URGENT")
+              for k in range(1, 9)]
+    # order k belongs to customer 100 + k%4; block A customers (100,101)
+    # buy parts (10,11) heavily, block B customers (102,103) buy parts
+    # (12,13) lightly; one cross edge makes the matrix irreducible.
+    li = []
+    ln = 0
+    for k in range(1, 9):
+        cust = 100 + k % 4
+        parts = [10, 11] if cust in (100, 101) else [12, 13]
+        for p in parts:
+            ln += 1
+            qty = 8.0 if cust in (100, 101) else 2.0
+            li.append((k, p, 500, ln, qty, 100.0, 0.0, 0.0, "N", "O",
+                       pd.Timestamp("2024-02-01")))
+    ln += 1
+    li.append((1, 12, 500, ln, 1.0, 100.0, 0.0, 0.0, "N", "O",
+               pd.Timestamp("2024-02-01")))  # cross edge
+    pd.DataFrame(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+    pd.DataFrame(
+        li,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), coerce_timestamps="us")
+    r: dict[tuple[int, int], float] = {}
+    for row in li:
+        key = (100 + row[0] % 4, row[1])
+        r[key] = r.get(key, 0.0) + row[4]
+    return r
+
+
+def _als_direct(r: dict[tuple[int, int], float], rounds: int):
+    items = sorted({i for (_, i) in r})
+    v = {i: 1.0 for i in items}
+    lam = 0.1
+    traj = []
+    for _ in range(rounds):
+        by_u: dict[int, list[tuple[int, float]]] = {}
+        for (u, i), rv in r.items():
+            by_u.setdefault(u, []).append((i, rv))
+        uf = {
+            u: _hr(
+                sum(rv * v[i] for i, rv in lst)
+                / (lam + sum(v[i] * v[i] for i, _ in lst)),
+                9,
+            )
+            for u, lst in sorted(by_u.items())
+        }
+        by_i: dict[int, list[tuple[int, float]]] = {}
+        for (u, i), rv in r.items():
+            by_i.setdefault(i, []).append((u, rv))
+        v = {
+            i: _hr(
+                sum(rv * uf[u] for u, rv in lst)
+                / (lam + sum(uf[u] * uf[u] for u, _ in lst)),
+                9,
+            )
+            for i, lst in sorted(by_i.items())
+        }
+        sq = [(rv - uf[u] * v[i]) ** 2 for (u, i), rv in sorted(r.items())]
+        traj.append(
+            (
+                _hr(math.sqrt(sum(sq) / len(sq)), 6),
+                _hr(sum(x * x for x in uf.values()), 4),
+                _hr(sum(x * x for x in v.values()), 4),
+            )
+        )
+    return traj
+
+
+def test_als_matches_direct_recursion_on_planted_blocks(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("als_fix"))
+    r = _write_als_fixture(d)
+    expect = _als_direct(r, 3)
+    got = REGISTRY["ml_als_rank1_rounds"].fn(spark, d).collect()
+    assert [row.als_round for row in got] == [1, 2, 3]
+    for row, (rmse, u_ss, v_ss) in zip(got, expect):
+        # tiny sums (<=5 terms) — float-order drift cannot reach 1e-6
+        assert abs(row.rmse - rmse) < 1e-6, (row, rmse)
+        assert abs(row.u_ss - u_ss) < 1e-3, (row, u_ss)
+        assert abs(row.v_ss - v_ss) < 1e-3, (row, v_ss)
+
+
+def test_als_rmse_decreases_on_real_data(spark):
+    got = REGISTRY["ml_als_rank1_rounds"].fn(spark, SF0001).collect()
+    rmses = [row.rmse for row in got]
+    assert len(rmses) == 3
+    assert rmses[1] <= rmses[0] and rmses[2] <= rmses[1], rmses
+    # ALS must actually fit something: a rank-1 model on this matrix
+    # beats the trivial all-zero predictor (rmse < sqrt(E r^2)).
+    import duckdb
+
+    base = duckdb.connect().execute(
+        f"""SELECT sqrt(AVG(r * r)) FROM (
+              SELECT CAST(SUM(l.l_quantity) AS DOUBLE) AS r
+              FROM '{SF0001}/lineitem.parquet' l
+              JOIN '{SF0001}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey, l.l_partkey)"""
+    ).fetchone()[0]
+    assert rmses[-1] < base
+
+
+# --------------------------------------------------- depth-2 tree
+
+
+def _write_tree_fixture(d: str) -> None:
+    """16 docs, two clean classes: 8 docs with 2 tokens / n_chars 20..27,
+    8 docs with 10 tokens / n_chars 108..115. Every octile bin holds
+    exactly two docs, the root split is bin 4 on feature 1 (both
+    features separate perfectly; the BIGINT argmin key must prefer
+    feature 1), children are pure, accuracy 1.0."""
+    rows = []
+    for i in range(8):
+        text = f"a{i} b{i}"  # 2 distinct tokens
+        rows.append((i, text, "en", "web", 20 + i))
+    for i in range(8):
+        text = " ".join(f"w{i}x{j}" for j in range(10))  # 10 distinct tokens
+        rows.append((8 + i, text, "en", "web", 108 + i))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_tree_exact_nodes_on_planted_two_class_fixture(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tree_fix"))
+    _write_tree_fixture(d)
+    got = {row.node: row for row in
+           REGISTRY["ml_tree_depth2_histogram"].fn(spark, d).collect()}
+    assert set(got) == {"root", "L", "R"}
+    root = got["root"]
+    assert (root.n, root.n_pos) == (16, 8)
+    assert (root.feature, root.cut_bin) == (1, 4)  # tie with f2 -> key picks f1
+    assert root.wentropy == 0.0 and root.acc == 1.0
+    left, right = got["L"], got["R"]
+    assert (left.n, left.n_pos) == (8, 0)
+    assert (right.n, right.n_pos) == (8, 8)
+    # pure children: every candidate has weighted entropy 0, argmin key
+    # falls to the smallest (feature, populated cut bin)
+    assert (left.feature, left.cut_bin, left.wentropy) == (1, 1, 0.0)
+    assert (right.feature, right.cut_bin, right.wentropy) == (1, 5, 0.0)
+    assert left.acc is None and right.acc is None
+
+
+def test_tree_parity_on_planted_fixture(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    d = str(tmp_path_factory.mktemp("tree_fix2"))
+    _write_tree_fixture(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    err = compare_one(spark, con, REGISTRY["ml_tree_depth2_histogram"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_tree_single_bin_corpus_yields_empty_tree(spark, tmp_path_factory):
+    """Degenerate input: identical docs put every row in one bin — no
+    candidate split has a non-empty right side, so the tree has no
+    nodes. Both engines must agree on ZERO rows (the SQL MIN-over-empty
+    NULL row is explicitly filtered in the oracle)."""
+    import duckdb
+
+    from parity import compare_one
+
+    d = str(tmp_path_factory.mktemp("tree_degen"))
+    pd.DataFrame(
+        [(i, "same text here", "en", "web", 14) for i in range(5)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["ml_tree_depth2_histogram"].fn(spark, d)
+    assert out.count() == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    err = compare_one(spark, con, REGISTRY["ml_tree_depth2_histogram"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_tree_accuracy_is_high_on_real_learnable_target(spark):
+    got = {row.node: row for row in
+           REGISTRY["ml_tree_depth2_histogram"].fn(spark, SF0001).collect()}
+    # n_chars ~ token count at corr ~0.998: a depth-2 threshold model
+    # must be far above the 0.5 majority floor.
+    assert got["root"].acc > 0.9, got["root"]
+
+
+# --------------------------------------------------- Adamic-Adar
+
+
+def test_adamic_adar_matches_brute_force_on_real_data(spark):
+    import duckdb
+
+    pairs = duckdb.connect().execute(
+        f"""SELECT a.l_partkey, b.l_partkey, COUNT(DISTINCT a.l_orderkey)
+            FROM '{SF0001}/lineitem.parquet' a
+            JOIN '{SF0001}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    edges = {(pa, pb) for pa, pb, c in pairs if c >= 2}
+    nbrs: dict[int, set[int]] = {}
+    for pa, pb in edges:
+        nbrs.setdefault(pa, set()).add(pb)
+        nbrs.setdefault(pb, set()).add(pa)
+    deg = {z: len(s) for z, s in nbrs.items()}
+    scores: dict[tuple[int, int], tuple[float, int]] = {}
+    for z, s in nbrs.items():
+        for a in s:
+            for b in s:
+                if a < b and (a, b) not in edges:
+                    sc, nc = scores.get((a, b), (0.0, 0))
+                    scores[(a, b)] = (sc + 1.0 / math.log(deg[z]), nc + 1)
+    expect = sorted(
+        ((_hr(sc, 6), a, b, nc) for (a, b), (sc, nc) in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = REGISTRY["graph_adamic_adar"].fn(spark, SF0001).collect()
+    assert [(r.aa_score, r.part_a, r.part_b, r.n_common) for r in got] == [
+        (sc, a, b, nc) for sc, a, b, nc in expect
+    ]
+
+
+# --------------------------------------------------- V-shape pattern
+
+
+def _vshape_direct(seq: list[float]):
+    """Direct recognizer: maximal strict-down run immediately followed
+    by a strict-up run; flats break adjacency. Returns (count, depths)."""
+    dirs = []
+    for i in range(1, len(seq)):
+        d = seq[i] - seq[i - 1]
+        dirs.append(0 if d == 0 else (1 if d > 0 else -1))
+    runs = []  # (dir, start_idx, end_idx) over dirs[], idx = step index
+    for i, d in enumerate(dirs):
+        if runs and runs[-1][0] == d:
+            runs[-1][2] = i
+        else:
+            runs.append([d, i, i])
+    depths = []
+    for r1, r2 in zip(runs, runs[1:]):
+        if r1[0] == -1 and r2[0] == 1:
+            # step i moves seq[i] -> seq[i+1]; fall entered at seq[start]
+            depths.append(seq[r1[1]] - seq[r1[2] + 1])
+    return len(depths), depths
+
+
+def _write_events(d: str, rows) -> None:
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps="us")
+
+
+def test_vshape_planted_patterns_and_flat_blocking(spark, tmp_path_factory):
+    import datetime as dt
+
+    B = dt.datetime(2024, 3, 1, 0, 0, 0)
+    mk = lambda uid, vals: [  # noqa: E731
+        (uid * 100 + i, B + dt.timedelta(minutes=i), uid, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows = []
+    rows += mk(1, [5.0, 3.0, 1.0, 4.0, 6.0])        # one V, depth 4
+    rows += mk(2, [5.0, 3.0, 3.0, 6.0])             # flat blocks: no V
+    rows += mk(3, [9.0, 7.0, 8.0, 2.0, 5.0])        # two Vs, depths 2 and 6
+    rows += mk(4, [1.0, 2.0, 3.0])                  # rise only: no V
+    d = str(tmp_path_factory.mktemp("vshape"))
+    _write_events(d, rows)
+    got = {r.user_id: r for r in
+           REGISTRY["events_pattern_vshape"].fn(spark, d).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_vshapes, got[1].max_depth) == (1, 4.0)
+    assert (got[3].n_vshapes, got[3].max_depth) == (2, 6.0)
+    assert abs(got[3].avg_depth - 4.0) < 1e-9
+
+
+def test_vshape_matches_direct_recognizer_on_random_streams(spark, tmp_path_factory):
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260815)
+    B = dt.datetime(2024, 3, 1)
+    rows, expect = [], {}
+    for uid in range(1, 13):
+        vals = [float(rng.randint(0, 4)) for _ in range(rng.randint(2, 24))]
+        rows += [
+            (uid * 1000 + i, B + dt.timedelta(minutes=i), uid, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        n, depths = _vshape_direct(vals)
+        if n:
+            expect[uid] = (n, _hr(max(depths), 6), _hr(sum(depths) / n, 6))
+    d = str(tmp_path_factory.mktemp("vshape_rand"))
+    _write_events(d, rows)
+    got = {r.user_id: (r.n_vshapes, r.max_depth, r.avg_depth)
+           for r in REGISTRY["events_pattern_vshape"].fn(spark, d).collect()}
+    assert got == expect
+
+
+# --------------------------------------------------- JS vocab drift
+
+
+def test_js_drift_matches_direct_computation_on_real_data(spark):
+    import duckdb
+    import re
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    counts: dict[str, dict[str, int]] = {}
+    for source, text in docs:
+        m = counts.setdefault(source, {})
+        for tok in re.findall(r"\S+", text):
+            m[tok] = m.get(tok, 0) + 1
+    probs = {
+        s: {t: c / sum(m.values()) for t, c in m.items()} for s, m in counts.items()
+    }
+    got = REGISTRY["text_vocab_js_drift"].fn(spark, SF0001).collect()
+    assert len(got) == len(probs) * (len(probs) - 1) // 2
+    for row in got:
+        pa, pb = probs[row.source_a], probs[row.source_b]
+        js = sum(
+            0.5 * p * math.log(2.0 * p / (p + pb.get(t, 0.0))) for t, p in pa.items()
+        ) + sum(
+            0.5 * q * math.log(2.0 * q / (q + pa.get(t, 0.0))) for t, q in pb.items()
+        )
+        assert abs(row.js_nats - js) < 1e-6, (row, js)
+        assert row.n_types_a == len(pa) and row.n_types_b == len(pb)
+        assert row.n_shared == len(set(pa) & set(pb))
+        assert 0.0 <= row.js_nats <= math.log(2.0) + 1e-9
+
+
+def test_js_drift_disjoint_vocabularies_hit_ln2(spark, tmp_path_factory):
+    rows = [(i, " ".join(f"a{i}x{j}" for j in range(4)), "en", "web", 20)
+            for i in range(4)]
+    rows += [(10 + i, " ".join(f"b{i}y{j}" for j in range(4)), "en", "books", 20)
+             for i in range(4)]
+    d = str(tmp_path_factory.mktemp("js_disjoint"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    got = REGISTRY["text_vocab_js_drift"].fn(spark, d).collect()
+    assert len(got) == 1
+    assert got[0].n_shared == 0
+    assert abs(got[0].js_nats - math.log(2.0)) < 1e-6
+
+
+# --------------------------------------------------- FD discovery
+
+
+def test_fd_discovery_planted_dependencies(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    # o_orderkey is a key (-> everything); o_custkey -> o_orderstatus
+    # holds by construction; o_orderstatus -> o_orderpriority is
+    # violated exactly once.
+    rows = [
+        (1, 100, "O", 10.0, pd.Timestamp("2024-01-01"), "1-URGENT"),
+        (2, 100, "O", 20.0, pd.Timestamp("2024-01-02"), "1-URGENT"),
+        (3, 101, "F", 30.0, pd.Timestamp("2024-01-03"), "2-HIGH"),
+        (4, 101, "F", 40.0, pd.Timestamp("2024-01-04"), "3-MEDIUM"),
+        (5, 102, "P", 50.0, pd.Timestamp("2024-01-05"), "2-HIGH"),
+    ]
+    d = str(tmp_path_factory.mktemp("fd_fix"))
+    pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+    got = {(r.lhs, r.rhs): r for r in
+           REGISTRY["audit_functional_dependencies"].fn(spark, d).collect()}
+    assert len(got) == 30
+    for rhs in ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+                "o_orderpriority"]:
+        assert got[("o_orderkey", rhs)].fd_holds, rhs
+    assert got[("o_custkey", "o_orderstatus")].fd_holds
+    r = got[("o_orderstatus", "o_orderpriority")]
+    assert not r.fd_holds and r.n_violations == 1 and r.n_groups == 3
+    assert not got[("o_custkey", "o_totalprice")].fd_holds
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    err = compare_one(spark, con, REGISTRY["audit_functional_dependencies"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- HITS
+
+
+def test_hits_matches_direct_power_iteration(spark):
+    import duckdb
+
+    edges = duckdb.connect().execute(
+        f"""SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM '{SF0001}/lineitem.parquet' l
+            JOIN '{SF0001}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    h = {u: 1.0 for u, _ in edges}
+    a: dict[int, float] = {}
+    for _ in range(2):
+        a = {}
+        for u, i in edges:
+            a[i] = a.get(i, 0.0) + h[u]
+        nrm = math.sqrt(sum(x * x for x in a.values()))
+        a = {i: _hr(x / nrm, 9) for i, x in a.items()}
+        h = {}
+        for u, i in edges:
+            h[u] = h.get(u, 0.0) + a[i]
+        nrm = math.sqrt(sum(x * x for x in h.values()))
+        h = {u: _hr(x / nrm, 9) for u, x in h.items()}
+    exp_auth = sorted(((-_hr(s, 6), i) for i, s in a.items()))[:10]
+    exp_hub = sorted(((-_hr(s, 6), u) for u, s in h.items()))[:10]
+    got = REGISTRY["graph_hits_rounds"].fn(spark, SF0001).collect()
+    ga = [(r.rnk, r.node_id, r.score) for r in got if r.kind == "authority"]
+    gh = [(r.rnk, r.node_id, r.score) for r in got if r.kind == "hub"]
+    assert [(k + 1, i) for k, (_, i) in enumerate(exp_auth)] == [
+        (r, i) for r, i, _ in ga
+    ]
+    assert [(k + 1, u) for k, (_, u) in enumerate(exp_hub)] == [
+        (r, u) for r, u, _ in gh
+    ]
+    for (negs, _), (_, _, s) in zip(exp_auth, ga):
+        assert abs(-negs - s) < 2e-6
+    for (negs, _), (_, _, s) in zip(exp_hub, gh):
+        assert abs(-negs - s) < 2e-6
+
+
+# --------------------------------------------------- Cramér's V
+
+
+def test_cramers_v_perfect_association_is_one(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    # status determines priority exactly; dow is constant (1-level
+    # degenerate domain -> V = 0 with the GREATEST guard, chi2 = 0).
+    rows = [
+        (k, 100 + k, "O" if k % 2 == 0 else "F", 10.0 * k,
+         pd.Timestamp("2024-01-01"), "1-URGENT" if k % 2 == 0 else "5-LOW")
+        for k in range(1, 21)
+    ]
+    d = str(tmp_path_factory.mktemp("cramers"))
+    pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+    got = {(r.col_a, r.col_b): r for r in
+           REGISTRY["stats_cramers_v_pairs"].fn(spark, d).collect()}
+    assert got[("o_orderstatus", "o_orderpriority")].cramers_v == 1.0
+    assert got[("o_orderstatus", "order_dow")].cramers_v == 0.0
+    assert got[("o_orderstatus", "order_dow")].chi2 == 0.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    err = compare_one(spark, con, REGISTRY["stats_cramers_v_pairs"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_cramers_v_matches_direct_chi2_on_real_data(spark):
+    import duckdb
+
+    orders = duckdb.connect().execute(
+        f"""SELECT o_orderstatus, o_orderpriority,
+                   dayofweek(CAST(o_orderdate AS TIMESTAMP))
+            FROM '{SF0001}/orders.parquet'"""
+    ).fetchall()
+    got = {(r.col_a, r.col_b): r for r in
+           REGISTRY["stats_cramers_v_pairs"].fn(spark, SF0001).collect()}
+    for (ca, cb), (ia, ib) in {
+        ("o_orderstatus", "o_orderpriority"): (0, 1),
+        ("o_orderstatus", "order_dow"): (0, 2),
+        ("o_orderpriority", "order_dow"): (1, 2),
+    }.items():
+        obs: dict[tuple[str, str], int] = {}
+        for row in orders:
+            key = (str(row[ia]), str(row[ib]))
+            obs[key] = obs.get(key, 0) + 1
+        ra: dict[str, int] = {}
+        cbm: dict[str, int] = {}
+        for (x, y), c in obs.items():
+            ra[x] = ra.get(x, 0) + c
+            cbm[y] = cbm.get(y, 0) + c
+        n = len(orders)
+        chi2 = sum(
+            (obs.get((x, y), 0) - ra[x] * cbm[y] / n) ** 2 / (ra[x] * cbm[y] / n)
+            for x in ra for y in cbm
+        )
+        v = math.sqrt(chi2 / (n * max(min(len(ra), len(cbm)) - 1, 1)))
+        r = got[(ca, cb)]
+        assert abs(r.chi2 - chi2) < 1e-3, (ca, cb, r.chi2, chi2)
+        assert abs(r.cramers_v - v) < 1e-5
+        assert (r.r_levels, r.c_levels) == (len(ra), len(cbm))

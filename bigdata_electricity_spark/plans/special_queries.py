@@ -10,7 +10,7 @@ so it DOES get an oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import dround, hround
 from ..ml.regression import run_regression_pipeline
@@ -1148,3 +1148,156 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.max("n").alias("n_events"))
         .orderBy("window_start")
     )
+
+
+HIST_SHARDS = 8
+HIST_BINS = 64
+
+
+def _hist_quantile_oracle() -> str:
+    # est = lo + width * (bin + (target - cum_before) / c) with all
+    # inputs derived from exact integer counts and the shared (lo, hi)
+    # broadcast — identical double math on both engines.
+    est = (
+        "lo + width * (cum.bin + (({q} * n - cw + c) / c))"
+    )
+    pick = (
+        "SELECT MIN(bin) AS bin FROM cum, bounds WHERE cw >= {q} * n"
+    )
+    return f"""
+    WITH bounds AS MATERIALIZED (
+        SELECT MIN(value) AS lo, MAX(value) AS hi,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               (MAX(value) - MIN(value)) / {HIST_BINS}.0 AS width
+        FROM events
+    ), binned AS (
+        SELECT CASE WHEN width = 0 THEN 0
+                    ELSE LEAST(CAST(floor((value - lo) / width) AS BIGINT),
+                               {HIST_BINS - 1}) END AS bin,
+               CAST(hash(CAST(event_id AS VARCHAR)) % {HIST_SHARDS} AS BIGINT) AS shard
+        FROM events, bounds
+    ), shard_hists AS MATERIALIZED (
+        SELECT shard, bin, COUNT(*) AS c FROM binned GROUP BY shard, bin
+    ), merged AS MATERIALIZED (
+        SELECT bin, CAST(SUM(c) AS DOUBLE) AS c FROM shard_hists GROUP BY bin
+    ), cum AS MATERIALIZED (
+        SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cw FROM merged
+    ), picks AS (
+        SELECT 'p50' AS stat, CAST(0.5 AS DOUBLE) AS q,
+               ({pick.format(q='0.5')}) AS bin
+        UNION ALL
+        SELECT 'p90' AS stat, CAST(0.9 AS DOUBLE) AS q,
+               ({pick.format(q='0.9')}) AS bin
+    ), ests AS (
+        SELECT p.stat,
+               CASE WHEN b.width = 0 THEN b.lo
+                    ELSE {est.format(q='p.q')} END AS est,
+               b.width
+        FROM picks p
+        JOIN cum ON cum.bin = p.bin
+        CROSS JOIN bounds b
+    ), exact AS (
+        SELECT quantile_cont(value, CAST(0.5 AS DOUBLE)) AS x50,
+               quantile_cont(value, CAST(0.9 AS DOUBLE)) AS x90
+        FROM events
+    )
+    SELECT e.stat,
+           {dround('e.est', 6)} AS est,
+           {dround("CASE WHEN e.stat = 'p50' THEN x.x50 ELSE x.x90 END", 6)} AS exact,
+           {dround('e.width', 6)} AS bin_width,
+           abs(e.est - CASE WHEN e.stat = 'p50' THEN x.x50 ELSE x.x90 END)
+             <= e.width + 1e-9 AS within_bound
+    FROM ests e CROSS JOIN exact x
+    ORDER BY e.stat
+    """
+
+
+@query("sketch_histogram_shard_quantiles", oracle=_hist_quantile_oracle())
+def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles with an explicit
+    shard-merge step: each of 8 hash shards builds its own 64-bin
+    histogram of events.value, the shard histograms are merged by plain
+    per-bin addition (histograms are mergeable BY CONSTRUCTION — the
+    property `sketch_shard_merge` certifies for HLL and this entry
+    certifies for quantiles), and p50/p90 are read off the merged
+    cumulative histogram by within-bin linear interpolation.
+
+    The certification column is the point: |est − exact| ≤ bin_width is
+    a GUARANTEE of the equi-width construction (the true quantile lies
+    in the picked bin; interpolation can only move within it), checked
+    against the exact interpolated percentile on the same data. That
+    differs from `sketch_quantile_error_bound`, which certifies
+    approx_percentile's KLL RANK-space ε — this one is value-space,
+    distribution-sensitive (a heavy-tailed value column widens bins),
+    and exactly reproducible cross-engine because every input to the
+    estimate is an integer count or the shared (min, max) broadcast.
+
+    At 100 TB the two grouped aggregates ARE the full cost: one pass to
+    (shard, bin) cells (map-side combinable), one |shards|x|bins| merge
+    — the same plan shape keeps working when 'shard' means 'executor'
+    or 'day partition', which is how warehouse rollups maintain
+    streaming quantile dashboards without re-scanning history.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ((F.max("value") - F.min("value")) / F.lit(float(HIST_BINS))).alias("width"),
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("width") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / F.col("width")).cast("bigint"),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .alias("bin"),
+        (F.col("event_id") % HIST_SHARDS).alias("shard"),
+    )
+    shard_hists = binned.groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("c"))
+    merged = shard_hists.groupBy("bin").agg(F.sum("c").cast("double").alias("c"))
+    cum = merged.select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cw"),  # 64 rows
+    ).localCheckpoint(eager=False)  # referenced once per stat
+    exact = events.agg(
+        F.percentile("value", F.lit(0.5)).alias("x50"),
+        F.percentile("value", F.lit(0.9)).alias("x90"),
+    )
+    frames: list[DataFrame] = []
+    for stat, q in [("p50", 0.5), ("p90", 0.9)]:
+        pick = cum.crossJoin(F.broadcast(bounds.select("n"))).filter(
+            F.col("cw") >= F.lit(q) * F.col("n")
+        ).agg(F.min("bin").alias("bin"))
+        est_expr = F.when(F.col("width") == 0, F.col("lo")).otherwise(
+            F.col("lo")
+            + F.col("width")
+            * (
+                F.col("bin")
+                + (F.lit(q) * F.col("n") - F.col("cw") + F.col("c")) / F.col("c")
+            )
+        )
+        frames.append(
+            cum.join(F.broadcast(pick), "bin")
+            .crossJoin(F.broadcast(bounds))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(stat).alias("stat"),
+                hround(est_expr, 6).alias("est"),
+                hround(F.col("x50") if stat == "p50" else F.col("x90"), 6).alias(
+                    "exact"
+                ),
+                hround("width", 6).alias("bin_width"),
+                (
+                    F.abs(
+                        est_expr
+                        - (F.col("x50") if stat == "p50" else F.col("x90"))
+                    )
+                    <= F.col("width") + F.lit(1e-9)
+                ).alias("within_bound"),
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("stat")

@@ -1148,3 +1148,145 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+COPRESENCE_TOP_K = 20
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "intervals_copresence_pairs",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), intervals AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        FROM sess
+        GROUP BY user_id, session_id
+        HAVING MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+    ), ovl AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS ov_us
+        FROM intervals a JOIN intervals b
+          ON a.user_id < b.user_id
+         AND a.s_us < b.e_us AND b.s_us < a.e_us
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_copresent,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us,
+           MAX(ov_us) AS max_overlap_us
+    FROM ovl
+    WHERE ov_us > 0
+    GROUP BY user_a, user_b
+    ORDER BY total_overlap_us DESC, user_a, user_b
+    LIMIT {COPRESENCE_TOP_K}
+    """,
+)
+def intervals_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: which user pairs run concurrent
+    purchase sessions? Sessions are the manual 30-min gaps-and-islands
+    intervals (the events_sessionization rule, purchase-containing
+    only), and two sessions co-occur when they STRICTLY overlap
+    (min(end) - max(start) > 0 — touching endpoints are not presence,
+    pinned by the edge net's exact-tie fixtures).
+
+    The Spark plan is the bucket-blocked interval join — the generic
+    distributed recipe for interval x interval overlap, which Spark has
+    no native operator for (`range_join_event_pairs` covers point-in-
+    range): explode each interval to the hour buckets it touches, join
+    on bucket, and keep a surviving pair only in the bucket holding
+    max(start_a, start_b) so a pair spanning several shared buckets is
+    counted exactly once without a post-join distinct. Overlap
+    arithmetic is INTEGER microseconds end to end (epoch_us on both
+    engines) — no float crosses the boundary, every output column is
+    exact. The oracle is the direct non-equi join (DuckDB IEJoin),
+    deliberately a DIFFERENT join algorithm certifying the blocking.
+
+    At 100 TB: bucket width trades replication (intervals/bucket) for
+    candidate density — the sum over buckets of n_b^2 is the real cost,
+    the same skew law as `diagnose_key_skew`; co-presence is inherently
+    quadratic in per-bucket concurrency, so production deployments
+    thin the interval set first (here: purchase sessions only).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            # ts is NTZ from the nanos loader; NTZ->ts cast is tz-free under
+            # the pinned UTC session (events_user_gaps idiom)
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("e_us"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_purchase"),
+        )
+        .filter(F.col("has_purchase") == 1)
+        .drop("has_purchase")
+    )
+    buckets = intervals.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_HOUR_US}"), F.expr(f"e_us div {_HOUR_US}")
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"),
+        "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"),
+        "bucket",
+    )
+    ov = F.least("ea", "eb") - F.greatest("sa", "sb")
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        # count each overlapping pair exactly once: only in the bucket
+        # where the overlap starts
+        .filter(F.col("bucket") == F.expr(f"greatest(sa, sb) div {_HOUR_US}"))
+        .select("user_a", "user_b", ov.alias("ov_us"))
+        .filter(F.col("ov_us") > 0)
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_copresent"),
+            F.sum("ov_us").alias("total_overlap_us"),
+            F.max("ov_us").alias("max_overlap_us"),
+        )
+        .orderBy(F.desc("total_overlap_us"), "user_a", "user_b")
+        .limit(COPRESENCE_TOP_K)
+    )

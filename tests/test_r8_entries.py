@@ -537,3 +537,153 @@ def test_cramers_v_matches_direct_chi2_on_real_data(spark):
         assert abs(r.chi2 - chi2) < 1e-3, (ca, cb, r.chi2, chi2)
         assert abs(r.cramers_v - v) < 1e-5
         assert (r.r_levels, r.c_levels) == (len(ra), len(cbm))
+
+
+# --------------------------------------------------- co-presence
+
+
+def _copresence_direct(rows):
+    """rows: (event_id, ts, user_id, event_type). Returns the full
+    sorted result of the copresence query, computed with plain Python
+    interval logic (no bucketing — certifies the blocked join)."""
+    by_user: dict[int, list[tuple]] = {}
+    for eid, ts, uid, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    intervals = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if int((nxt[0] - prev[0]).total_seconds()) > 1800:
+                intervals.append((uid, cur))
+                cur = []
+            cur.append(nxt)
+        intervals.append((uid, cur))
+    ivs = []
+    for uid, evs in intervals:
+        if any(et == "purchase" for _, _, et in evs):
+            s = min(t for t, _, _ in evs)
+            e = max(t for t, _, _ in evs)
+            ivs.append((uid, int(s.timestamp() * 1_000_000),
+                        int(e.timestamp() * 1_000_000)))
+    agg: dict[tuple[int, int], list] = {}
+    for i, (ua, sa, ea) in enumerate(ivs):
+        for ub, sb, eb in ivs[i + 1:]:
+            if ua == ub:
+                continue
+            a, b = (ua, ub) if ua < ub else (ub, ua)
+            ov = min(ea, eb) - max(sa, sb)
+            if ov > 0:
+                st = agg.setdefault((a, b), [0, 0, 0])
+                st[0] += 1
+                st[1] += ov
+                st[2] = max(st[2], ov)
+    out = sorted(
+        ((a, b, n, tot, mx) for (a, b), (n, tot, mx) in agg.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    return out[:20]
+
+
+def test_copresence_planted_boundaries_and_bucket_dedup(spark, tmp_path_factory):
+    import datetime as dt
+
+    B = dt.datetime(2024, 4, 1, 10, 0, 0)
+    mins = lambda m: B + dt.timedelta(minutes=m)  # noqa: E731
+    rows = []
+    # user 1: one session 10:00-12:55 (25-min cadence, under the 30-min
+    # gap); user 2: one session 10:30-12:35 — overlap [10:30, 12:35] =
+    # 125 min, spanning THREE shared hour buckets; must count ONCE
+    eid = 0
+    for m in range(0, 176, 25):  # 0,25,...,175
+        eid += 1
+        rows.append((eid, mins(m), 1, "purchase" if m == 0 else "view"))
+    for m in [30, 55, 80, 105, 125]:
+        eid += 1
+        rows.append((eid, mins(m), 2, "purchase" if m == 30 else "view"))
+    # user 3 starts EXACTLY at user 1's session end (12:55) — overlap 0,
+    # strictly excluded
+    rows += [(100, mins(175), 3, "purchase"), (101, mins(195), 3, "view")]
+    # user 4 overlaps user 1 but has no purchase — filtered out
+    rows += [(110, mins(10), 4, "view"), (111, mins(20), 4, "view")]
+    evrows = [(eid_, ts, uid, et, 1.0, "{}") for eid_, ts, uid, et in rows]
+    d = str(tmp_path_factory.mktemp("copresence"))
+    _write_events(d, evrows)
+    got = REGISTRY["intervals_copresence_pairs"].fn(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.user_a, r.user_b, r.n_copresent) == (1, 2, 1)
+    assert r.total_overlap_us == 95 * 60 * 1_000_000  # 10:30 -> 12:05
+    assert r.max_overlap_us == r.total_overlap_us
+
+
+def test_copresence_matches_direct_interval_logic_on_real_data(spark):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_id, ts, user_id, event_type FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    expect = _copresence_direct(rows)
+    got = [(r.user_a, r.user_b, r.n_copresent, r.total_overlap_us, r.max_overlap_us)
+           for r in REGISTRY["intervals_copresence_pairs"].fn(spark, SF0001).collect()]
+    assert got == expect
+
+
+# --------------------------------------------------- histogram quantiles
+
+
+def test_hist_quantiles_match_direct_python(spark):
+    import duckdb
+
+    vals = [v for (v,) in duckdb.connect().execute(
+        f"SELECT value FROM '{SF0001}/events.parquet'"
+    ).fetchall()]
+    lo, hi, n = min(vals), max(vals), len(vals)
+    width = (hi - lo) / 64.0
+    counts = [0] * 64
+    for v in vals:
+        counts[min(int(math.floor((v - lo) / width)), 63)] += 1
+    got = {r.stat: r for r in
+           REGISTRY["sketch_histogram_shard_quantiles"].fn(spark, SF0001).collect()}
+    svals = sorted(vals)
+
+    def interp_exact(q):
+        pos = q * (n - 1)
+        i = int(math.floor(pos))
+        f = pos - i
+        return svals[i] + f * (svals[min(i + 1, n - 1)] - svals[i])
+
+    for stat, q in [("p50", 0.5), ("p90", 0.9)]:
+        cw = 0
+        for b in range(64):
+            cw += counts[b]
+            if cw >= q * n:
+                est = lo + width * (b + (q * n - (cw - counts[b])) / counts[b])
+                break
+        r = got[stat]
+        assert abs(r.est - est) < 1e-6, (stat, r.est, est)
+        assert abs(r.exact - interp_exact(q)) < 1e-6
+        assert r.within_bound
+        assert abs(r.est - r.exact) <= r.bin_width + 1e-9
+
+
+def test_hist_quantiles_degenerate_constant_column(spark, tmp_path_factory):
+    import datetime as dt
+    import duckdb
+
+    from parity import compare_one
+
+    B = dt.datetime(2024, 4, 1)
+    rows = [(i, B + dt.timedelta(minutes=i), 1, "view", 7.5, "{}")
+            for i in range(10)]
+    d = str(tmp_path_factory.mktemp("hist_degen"))
+    _write_events(d, rows)
+    got = {r.stat: r for r in
+           REGISTRY["sketch_histogram_shard_quantiles"].fn(spark, d).collect()}
+    for stat in ("p50", "p90"):
+        assert got[stat].est == 7.5 and got[stat].exact == 7.5
+        assert got[stat].bin_width == 0.0 and got[stat].within_bound
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    err = compare_one(spark, con, REGISTRY["sketch_histogram_shard_quantiles"], d)
+    assert err is None or err.startswith("ok:"), err

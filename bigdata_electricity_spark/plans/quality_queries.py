@@ -1385,3 +1385,207 @@ def stats_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("col_a", "col_b")
+
+
+HUBER_K = "1.345"   # 95%-efficiency Huber constant, shared literal
+HUBER_ROUNDS = 2
+_MADN = "1.4826"    # normal-consistency factor for the MAD scale
+
+
+def _huber_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH x AS MATERIALIZED (
+        SELECT l_extendedprice AS v FROM lineitem
+    ), m0 AS MATERIALIZED (
+        SELECT {r9('quantile_cont(v, CAST(0.5 AS DOUBLE))')} AS m FROM x
+    ), s0 AS MATERIALIZED (
+        SELECT {r9(f'{_MADN} * quantile_cont(abs(v - m), CAST(0.5 AS DOUBLE))')} AS s
+        FROM x, m0
+    )"""
+    in_core = f"abs(v - m) <= {HUBER_K} * s OR s = 0"
+    wnum = (
+        f"SUM(CASE WHEN {in_core} THEN v"
+        f" ELSE v * {HUBER_K} * s / abs(v - m) END)"
+    )
+    wden = (
+        f"SUM(CASE WHEN {in_core} THEN 1.0"
+        f" ELSE {HUBER_K} * s / abs(v - m) END)"
+    )
+    for r in range(1, HUBER_ROUNDS + 1):
+        p = f"m{r - 1}"
+        sql += f""", m{r} AS MATERIALIZED (
+        SELECT {r9(wnum + ' / ' + wden)} AS m,
+               {dround(wden, 4)} AS sum_w
+        FROM x, {p}, s0
+    )"""
+    selects = [
+        f"SELECT {r} AS irls_round, {dround('m', 6)} AS huber_mean, sum_w,"
+        f" (SELECT {dround('m', 6)} FROM m0) AS start_median,"
+        f" (SELECT {dround('AVG(v)', 6)} FROM x) AS plain_mean,"
+        f" (SELECT {dround('s', 6)} FROM s0) AS mad_scale"
+        f" FROM m{r}"
+        for r in range(1, HUBER_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY irls_round"
+
+
+@query("stats_huber_mean_irls", oracle=_huber_oracle())
+def stats_huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location for lineitem extended price, 2
+    unrolled IRLS rounds — the ROBUST mean, completing the robust-stats
+    ladder (clean_outlier_mad detects, transform_winsorize clips; the
+    M-estimator instead downweights smoothly: w = min(1, k·s/|x − m|),
+    k = 1.345 for 95% Gaussian efficiency, scale s = normalized MAD).
+
+    Start at the exact median, scale = 1.4826·MAD (one interpolated-
+    percentile aggregate each — the F.percentile ≡ quantile_cont parity
+    trick), then each IRLS round is ONE full-scan aggregate computing
+    the weighted numerator and denominator together against the 1-row
+    broadcast state — the ml_gd_linreg_rounds shape; at 100 TB the
+    estimate is a pair of map-combinable sums per round. s = 0
+    (zero-MAD degenerate column, the tiny-table class) forces all
+    weights to 1, collapsing to the plain mean instead of dividing by
+    zero. Updates 1e-9 lockstep-rounded; trajectory hash-checkable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_extendedprice").alias("v")).localCheckpoint(eager=False)
+    m0 = x.agg(hround(F.percentile("v", F.lit(0.5)), 9).alias("m"))
+    s0 = (
+        x.crossJoin(F.broadcast(m0))
+        .agg(
+            hround(
+                F.lit(float(_MADN))
+                * F.percentile(F.abs(F.col("v") - F.col("m")), F.lit(0.5)),
+                9,
+            ).alias("s")
+        )
+    )
+    plain = x.agg(hround(F.avg("v"), 6).alias("plain_mean"))
+    k = F.lit(float(HUBER_K))
+    state = m0
+    out_rows: list[DataFrame] = []
+    for r in range(1, HUBER_ROUNDS + 1):
+        dev = F.abs(F.col("v") - F.col("m"))
+        in_core = (dev <= k * F.col("s")) | (F.col("s") == 0)
+        w = F.when(in_core, F.lit(1.0)).otherwise(k * F.col("s") / dev)
+        upd = (
+            x.crossJoin(F.broadcast(state))
+            .crossJoin(F.broadcast(s0))
+            .agg(
+                hround(F.sum(w * F.col("v")) / F.sum(w), 9).alias("m"),
+                hround(F.sum(w), 4).alias("sum_w"),
+            )
+        )
+        state = upd.select("m")
+        out_rows.append(
+            upd.select(
+                F.lit(r).alias("irls_round"),
+                hround("m", 6).alias("huber_mean"),
+                "sum_w",
+            )
+            .crossJoin(F.broadcast(m0.select(hround("m", 6).alias("start_median"))))
+            .crossJoin(F.broadcast(plain))
+            .crossJoin(F.broadcast(s0.select(hround("s", 6).alias("mad_scale"))))
+            .select(
+                "irls_round", "huber_mean", "sum_w", "start_median",
+                "plain_mean", "mad_scale",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("irls_round")
+
+
+RR_P = 0.75  # probability of answering truthfully
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH flips AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+               CAST(CAST(('0x' || substr(md5('rr' || CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) AS DOUBLE) / 16777216.0 AS u_honest,
+               CASE WHEN CAST(('0x' || substr(md5('rb' || CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS coin
+        FROM events
+    ), reported AS (
+        SELECT b, CASE WHEN u_honest < {RR_P} THEN b ELSE coin END AS rep
+        FROM flips
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(b) AS DOUBLE) / COUNT(*) AS true_rate,
+               CAST(SUM(rep) AS DOUBLE) / COUNT(*) AS reported_rate
+        FROM reported
+    )
+    SELECT n,
+           {dround('true_rate', 6)} AS true_rate,
+           {dround('reported_rate', 6)} AS reported_rate,
+           {dround(f'(reported_rate - (1.0 - {RR_P}) / 2.0) / {RR_P}', 6)} AS estimated_rate,
+           {dround(f'abs((reported_rate - (1.0 - {RR_P}) / 2.0) / {RR_P} - true_rate)', 6)}
+             AS abs_err,
+           {dround(f'ln(({RR_P} + (1.0 - {RR_P}) / 2.0) / ((1.0 - {RR_P}) / 2.0))', 4)}
+             AS epsilon
+    FROM agg
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response over the 'did this event convert'
+    bit: each row reports the truth with probability p = 0.75 and a
+    fair coin otherwise, and the aggregate debiases the reported rate
+    back to an unbiased estimate: (rep − (1−p)/2) / p — LOCAL
+    differential privacy with per-record plausible deniability
+    (ε = ln((p + (1−p)/2) / ((1−p)/2)) ≈ ln 7), complementing
+    `privacy_dp_noisy_counts` (central DP: noise added to the
+    aggregate, not the record).
+
+    Both 'random' draws are salted md5 hashes of event_id (salts 'rr'
+    and 'rb' — independent of every other registry salt), so the
+    mechanism is deterministic and hash-checkable while behaving
+    statistically like the real coin flips; the estimate is exact
+    closed-form arithmetic on two integer counts. One scan, one
+    aggregate — the mechanism is embarrassingly parallel at any scale
+    (that is the point of LOCAL DP: the per-record transform commutes
+    with partitioning).
+    """
+    events = load_table(spark, sf_dir, "events")
+    u_honest = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rr"), F.col("event_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        / F.lit(16777216.0)
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rb"), F.col("event_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    reported = events.select(
+        b.alias("b"),
+        F.when(u_honest < F.lit(RR_P), b).otherwise(coin).alias("rep"),
+    )
+    p = F.lit(RR_P)
+    agg = reported.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("b").cast("double") / F.count(F.lit(1))).alias("true_rate"),
+        (F.sum("rep").cast("double") / F.count(F.lit(1))).alias("reported_rate"),
+    )
+    est = (F.col("reported_rate") - (F.lit(1.0) - p) / 2) / p
+    return agg.select(
+        "n",
+        hround("true_rate", 6).alias("true_rate"),
+        hround("reported_rate", 6).alias("reported_rate"),
+        hround(est, 6).alias("estimated_rate"),
+        hround(F.abs(est - F.col("true_rate")), 6).alias("abs_err"),
+        hround(
+            F.log((p + (F.lit(1.0) - p) / 2) / ((F.lit(1.0) - p) / 2)), 4
+        ).alias("epsilon"),
+    )

@@ -7,7 +7,7 @@ SQL-expressible by design (SURVEY §7.2 step 8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.text import (
     LANG_STOPWORDS,
@@ -702,3 +702,136 @@ def text_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+TEXTRANK_ROUNDS = 3
+TEXTRANK_MIN_FREQ = 5
+TEXTRANK_TOP_K = 15
+_TR_DAMP = "0.85"
+
+
+def _textrank_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    sql = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, t.tok, t.pos
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos,
+                   unnest(regexp_extract_all(text, '\\S+')) AS tok
+            FROM documents
+        ) AS t(doc_id, pos, tok)
+    ), freq AS MATERIALIZED (
+        SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= {TEXTRANK_MIN_FREQ}
+    ), pairs AS (
+        SELECT LEAST(a.tok, b.tok) AS wa, GREATEST(a.tok, b.tok) AS wb
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok != b.tok
+          AND a.tok IN (SELECT tok FROM freq)
+          AND b.tok IN (SELECT tok FROM freq)
+    ), und AS MATERIALIZED (
+        SELECT wa, wb, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY wa, wb
+    ), edges AS MATERIALIZED (
+        SELECT wa AS src, wb AS dst, w FROM und
+        UNION ALL
+        SELECT wb AS src, wa AS dst, w FROM und
+    ), wdeg AS MATERIALIZED (
+        SELECT src, SUM(w) AS d FROM edges GROUP BY src
+    ), r0 AS MATERIALIZED (
+        SELECT src AS tok, CAST(1.0 AS DOUBLE) AS r FROM wdeg
+    )"""
+    for i in range(1, TEXTRANK_ROUNDS + 1):
+        p = i - 1
+        sql += f""", r{i} AS MATERIALIZED (
+        SELECT e.dst AS tok,
+               {r9(f'0.15 + {_TR_DAMP} * SUM(r.r * e.w / d.d)')} AS r
+        FROM edges e
+        JOIN r{p} r ON e.src = r.tok
+        JOIN wdeg d ON e.src = d.src
+        GROUP BY e.dst
+    )"""
+    return sql + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {dround('r', 6)} DESC, tok) AS BIGINT) AS rnk,
+           tok AS word, {dround('r', 6)} AS score
+    FROM r{TEXTRANK_ROUNDS}
+    QUALIFY rnk <= {TEXTRANK_TOP_K}
+    ORDER BY rnk
+    """
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph from ADJACENT token pairs (window 2, the
+    paper's default), drop rare tokens (corpus freq < 5 — the noise
+    floor that also bounds the graph to the frequent vocabulary), and
+    run 3 rounds of damped weighted PageRank; top-15 words by final
+    score. Graph centrality as keyword salience — complements
+    `text_tfidf_top_term` (frequency-contrast salience) and reuses the
+    iterative scalar-free shape of `graph_pagerank_nations` on a
+    corpus-DERIVED graph instead of a relational one.
+
+    Every stage is a keyed shuffle: adjacency pairs group to undirected
+    edge weights (|frequent-vocab|²-bounded, corpus-scanned once),
+    weighted degree is one grouped sum, each round is one edges x
+    scores join + grouped sum (the LPA/HITS iterative shape, scores
+    1e-9 lockstep-rounded). Top-k via orderBy().limit() on Spark
+    (TakeOrderedAndProject), rank window only over the k survivors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("pos", "tok"),
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TEXTRANK_MIN_FREQ)
+        .select("tok")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("ta"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("tb"))
+    adj = (
+        a.join(b, ["doc_id"])
+        .filter((F.col("pb") == F.col("pa") + 1) & (F.col("ta") != F.col("tb")))
+        .join(freq.withColumnRenamed("tok", "ta"), "ta", "left_semi")
+        .join(freq.withColumnRenamed("tok", "tb"), "tb", "left_semi")
+        .select(
+            F.least("ta", "tb").alias("wa"), F.greatest("ta", "tb").alias("wb")
+        )
+    )
+    und = adj.groupBy("wa", "wb").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    edges = (
+        und.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "w")
+        .unionByName(und.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "w"))
+        .localCheckpoint(eager=False)  # referenced once per round + wdeg
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("d")).localCheckpoint(eager=False)
+    r = wdeg.select(F.col("src").alias("tok"), F.lit(1.0).alias("r"))
+    for _ in range(TEXTRANK_ROUNDS):
+        r = (
+            edges.join(r.withColumnRenamed("tok", "src"), "src")
+            .join(wdeg, "src")
+            .groupBy(F.col("dst").alias("tok"))
+            .agg(
+                hround(
+                    F.lit(0.15)
+                    + F.lit(float(_TR_DAMP))
+                    * F.sum(F.col("r") * F.col("w") / F.col("d")),
+                    9,
+                ).alias("r")
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = (
+        r.select(F.col("tok").alias("word"), hround("r", 6).alias("score"))
+        .orderBy(F.desc("score"), "word")
+        .limit(TEXTRANK_TOP_K)
+    )
+    wk = Window.orderBy(F.desc("score"), "word")  # k rows only
+    return top.select(
+        F.row_number().over(wk).cast("bigint").alias("rnk"), "word", "score"
+    ).orderBy("rnk")

@@ -687,3 +687,170 @@ def test_hist_quantiles_degenerate_constant_column(spark, tmp_path_factory):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     err = compare_one(spark, con, REGISTRY["sketch_histogram_shard_quantiles"], d)
     assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- Huber IRLS
+
+
+def test_huber_downweights_planted_outlier(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    rows = [(i, 1, 1, i, 1.0, 10.0 + (i % 5) * 0.01, 0.0, 0.0, "N", "O",
+             pd.Timestamp("2024-02-01")) for i in range(1, 40)]
+    rows.append((40, 1, 1, 40, 1.0, 5000.0, 0.0, 0.0, "N", "O",
+                 pd.Timestamp("2024-02-01")))  # gross outlier
+    d = str(tmp_path_factory.mktemp("huber"))
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), coerce_timestamps="us")
+    got = REGISTRY["stats_huber_mean_irls"].fn(spark, d).collect()
+    final = got[-1]
+    assert abs(final.huber_mean - 10.02) < 0.05          # outlier neutralized
+    assert final.plain_mean > 130.0                      # plain mean wrecked
+    assert final.sum_w < 40.0                            # outlier weight << 1
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+    err = compare_one(spark, con, REGISTRY["stats_huber_mean_irls"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_huber_zero_mad_collapses_to_plain_mean(spark, tmp_path_factory):
+    """Degenerate scale: >50% of mass at one value -> MAD = 0 -> all
+    weights 1 -> huber_mean == plain mean on both rounds, no crash."""
+    import duckdb
+
+    from parity import compare_one
+
+    rows = [(i, 1, 1, i, 1.0, 100.0, 0.0, 0.0, "N", "O",
+             pd.Timestamp("2024-02-01")) for i in range(1, 10)]
+    rows += [(20 + i, 1, 1, 20 + i, 1.0, 200.0 + i, 0.0, 0.0, "N", "O",
+              pd.Timestamp("2024-02-01")) for i in range(3)]
+    d = str(tmp_path_factory.mktemp("huber0"))
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), coerce_timestamps="us")
+    got = REGISTRY["stats_huber_mean_irls"].fn(spark, d).collect()
+    for row in got:
+        assert row.mad_scale == 0.0
+        assert abs(row.huber_mean - row.plain_mean) < 1e-6
+        assert abs(row.sum_w - 12.0) < 1e-6
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+    err = compare_one(spark, con, REGISTRY["stats_huber_mean_irls"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_huber_matches_direct_irls_on_real_data(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    vals = [v for (v,) in con.execute(
+        f"SELECT l_extendedprice FROM '{SF0001}/lineitem.parquet'"
+    ).fetchall()]
+    m = _hr(con.execute(
+        f"SELECT quantile_cont(l_extendedprice, 0.5) FROM '{SF0001}/lineitem.parquet'"
+    ).fetchone()[0], 9)
+    s = _hr(1.4826 * con.execute(
+        f"""SELECT quantile_cont(abs(l_extendedprice - {m!r}), 0.5)
+            FROM '{SF0001}/lineitem.parquet'"""
+    ).fetchone()[0], 9)
+    k = 1.345
+    traj = []
+    for _ in range(2):
+        num = den = 0.0
+        for v in vals:
+            dev = abs(v - m)
+            w = 1.0 if (dev <= k * s or s == 0) else k * s / dev
+            num += w * v
+            den += w
+        m = _hr(num / den, 9)
+        traj.append((_hr(m, 6), _hr(den, 4)))
+    got = REGISTRY["stats_huber_mean_irls"].fn(spark, SF0001).collect()
+    for row, (hm, sw) in zip(got, traj):
+        assert abs(row.huber_mean - hm) < 1e-5, (row, hm)
+        assert abs(row.sum_w - sw) < 0.05
+
+
+# --------------------------------------------------- randomized response
+
+
+def test_randomized_response_matches_direct_hash_replay(spark):
+    import duckdb
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_id, event_type FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    n = len(rows)
+    nb = nrep = 0
+    for eid, et in rows:
+        b = 1 if et == "purchase" else 0
+        u = int(hashlib.md5(f"rr{eid}".encode()).hexdigest()[:6], 16) / 16777216.0
+        coin = int(hashlib.md5(f"rb{eid}".encode()).hexdigest()[:6], 16) % 2
+        nb += b
+        nrep += b if u < 0.75 else coin
+    true_rate = nb / n
+    rep_rate = nrep / n
+    est = (rep_rate - 0.125) / 0.75
+    r = REGISTRY["privacy_randomized_response"].fn(spark, SF0001).collect()[0]
+    assert r.n == n
+    assert abs(r.true_rate - true_rate) < 1e-6
+    assert abs(r.reported_rate - rep_rate) < 1e-6
+    assert abs(r.estimated_rate - est) < 1e-6
+    assert abs(r.abs_err - abs(est - true_rate)) < 2e-6
+    assert abs(r.epsilon - math.log(7.0)) < 1e-3
+    # the mechanism must actually be noisy AND debiasing must help:
+    assert r.reported_rate != r.true_rate
+    assert r.abs_err < abs(r.reported_rate - r.true_rate)
+
+
+# --------------------------------------------------- TextRank
+
+
+def test_textrank_matches_direct_power_iteration(spark):
+    import duckdb
+    import re
+
+    docs = duckdb.connect().execute(
+        f"SELECT text FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    freq: dict[str, int] = {}
+    seqs = []
+    for (text,) in docs:
+        toks = re.findall(r"\S+", text)
+        seqs.append(toks)
+        for t in toks:
+            freq[t] = freq.get(t, 0) + 1
+    keep = {t for t, c in freq.items() if c >= 5}
+    und: dict[tuple[str, str], float] = {}
+    for toks in seqs:
+        for x, y in zip(toks, toks[1:]):
+            if x != y and x in keep and y in keep:
+                e = (min(x, y), max(x, y))
+                und[e] = und.get(e, 0.0) + 1.0
+    wdeg: dict[str, float] = {}
+    for (x, y), w in und.items():
+        wdeg[x] = wdeg.get(x, 0.0) + w
+        wdeg[y] = wdeg.get(y, 0.0) + w
+    r = {t: 1.0 for t in wdeg}
+    for _ in range(3):
+        nxt = {t: 0.0 for t in wdeg}
+        for (x, y), w in und.items():
+            nxt[y] += r[x] * w / wdeg[x]
+            nxt[x] += r[y] * w / wdeg[y]
+        r = {t: _hr(0.15 + 0.85 * v, 9) for t, v in nxt.items()}
+    expect = sorted(((-_hr(s, 6), t) for t, s in r.items()))[:15]
+    got = REGISTRY["text_textrank_keywords"].fn(spark, SF0001).collect()
+    assert [(i + 1, w) for i, (_, w) in enumerate(expect)] == [
+        (row.rnk, row.word) for row in got
+    ]
+    for (negs, _), row in zip(expect, got):
+        assert abs(-negs - row.score) < 2e-6

@@ -185,3 +185,97 @@ def sqltext_parameterized_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": "BUILDING", "n": 10},
     )
+
+
+@query(
+    "sqltext_lateral_topn_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT n.n_name, c.c_custkey, c.c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, c_custkey, {dround('c_acctbal', 2)} AS acctbal
+    FROM ranked WHERE rn <= 2
+    ORDER BY n_name, acctbal DESC, c_custkey
+    """,
+)
+def sqltext_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY ... LIMIT
+    (Spark 4 supports lateral correlation into a sorted-limited
+    subquery): top-2 customers by account balance per nation, written
+    the way an OLTP-habituated user writes it. The oracle computes the
+    same result through ROW_NUMBER — deliberately a DIFFERENT mechanism,
+    so the hash certifies Spark's lateral decorrelation against the
+    window formulation rather than re-running one engine's plan twice.
+
+    Catalyst decorrelates the lateral into exactly that window/rank
+    plan (no per-outer-row re-execution — `.explain` shows a single
+    partitioned rank, not a nested loop), which is why the pattern is
+    safe at 100 TB: the lateral is syntax, the window is the plan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.c_custkey, {_sround('t.c_acctbal', 2)} AS acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_custkey, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2
+             ) t
+        ORDER BY n.n_name, acctbal DESC, t.c_custkey
+        """
+    )
+
+
+@query(
+    "sqltext_session_variables",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT {dround('AVG(o_totalprice)', 4)} AS v FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           {dround('MAX(o_totalprice)', 2)} AS max_price,
+           (SELECT v FROM cutoff) AS cutoff_used
+    FROM orders, cutoff
+    WHERE o_totalprice > cutoff.v
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sqltext_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (both Spark 4): a
+    cutoff is DECLAREd, SET from a scalar subquery, and then consumed
+    by a dynamically-executed statement — the scripting workflow of
+    warehouse SQL consoles. The oracle inlines the same cutoff as a
+    CTE, so the hash certifies that variable binding + dynamic SQL
+    changes nothing semantically.
+
+    DECLARE OR REPLACE keeps the entry idempotent across repeated runs
+    in one session (driver, parity sweeps). The variable is rounded at
+    binding time (1e-4 lockstep) because it crosses into result rows as
+    `cutoff_used`.
+    """
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE bde_price_cutoff DOUBLE")
+    spark.sql(
+        f"SET VAR bde_price_cutoff = (SELECT {_sround('AVG(o_totalprice)', 4)} FROM orders)"
+    )
+    return spark.sql(
+        f"""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                COUNT(*) AS n_above,
+                {_sround("MAX(o_totalprice)", 2).replace("'", "''")} AS max_price,
+                bde_price_cutoff AS cutoff_used
+         FROM orders
+         WHERE o_totalprice > bde_price_cutoff
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority'
+        """
+    )

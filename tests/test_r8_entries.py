@@ -854,3 +854,41 @@ def test_textrank_matches_direct_power_iteration(spark):
     ]
     for (negs, _), row in zip(expect, got):
         assert abs(-negs - row.score) < 2e-6
+
+
+# --------------------------------------------------- SQL surface
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    import contextlib
+    import io
+
+    df = REGISTRY["sqltext_lateral_topn_per_group"].fn(spark, SF0001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the lateral must be decorrelated, never a per-outer-row loop
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    rows = df.collect()
+    # exactly <=2 per nation, sorted within group
+    from collections import Counter
+
+    per = Counter(r.n_name for r in rows)
+    assert per and max(per.values()) <= 2
+
+
+def test_session_variables_idempotent_and_consistent(spark):
+    a = REGISTRY["sqltext_session_variables"].fn(spark, SF0001).collect()
+    b = REGISTRY["sqltext_session_variables"].fn(spark, SF0001).collect()
+    assert a == b and len(a) > 0
+    # the bound cutoff must equal the recomputed average on every row
+    import duckdb
+
+    avg = duckdb.connect().execute(
+        f"SELECT floor(AVG(o_totalprice) * 10000.0 + 0.5) / 10000.0"
+        f" FROM '{SF0001}/orders.parquet'"
+    ).fetchone()[0]
+    for r in a:
+        assert r.cutoff_used == avg

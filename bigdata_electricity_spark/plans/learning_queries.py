@@ -23,6 +23,8 @@ portable to DuckDB — ROUND_NOTES r4).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.rounding import dround, hround
@@ -706,3 +708,282 @@ def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
     )
     return auth.unionByName(hubs).orderBy("kind", "rnk")
+
+
+GMM_ROUNDS = 2
+_GMM_VAR_FLOOR = "0.000001"
+
+
+def _gmm_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    dens = (
+        "(1.0 / sqrt(2.0 * pi() * {v})) * exp(-((x - {m}) * (x - {m})) / (2.0 * {v}))"
+    )
+    d1 = dens.format(m="mu1", v="var1")
+    d2 = dens.format(m="mu2", v="var2")
+    sql = f"""
+    WITH x AS MATERIALIZED (
+        SELECT value AS x FROM events
+    ), init AS MATERIALIZED (
+        SELECT {r9('quantile_cont(x, CAST(0.25 AS DOUBLE))')} AS mu1,
+               {r9('quantile_cont(x, CAST(0.75 AS DOUBLE))')} AS mu2,
+               {r9(f'GREATEST(var_samp(x), {_GMM_VAR_FLOOR})')} AS var1,
+               {r9(f'GREATEST(var_samp(x), {_GMM_VAR_FLOOR})')} AS var2,
+               CAST(0.5 AS DOUBLE) AS pi1
+        FROM x
+    ), p0 AS (SELECT mu1, mu2, var1, var2, pi1 FROM init)"""
+    var1_e = (
+        "GREATEST(SUM(r1 * x * x) / SUM(r1)"
+        " - (SUM(r1 * x) / SUM(r1)) * (SUM(r1 * x) / SUM(r1)),"
+        f" {_GMM_VAR_FLOOR})"
+    )
+    var2_e = (
+        "GREATEST(SUM((1.0 - r1) * x * x) / SUM(1.0 - r1)"
+        " - (SUM((1.0 - r1) * x) / SUM(1.0 - r1))"
+        " * (SUM((1.0 - r1) * x) / SUM(1.0 - r1)),"
+        f" {_GMM_VAR_FLOOR})"
+    )
+    for r in range(1, GMM_ROUNDS + 1):
+        p = r - 1
+        sql += f""", resp{r} AS (
+        SELECT x,
+               (pi1 * {d1}) / (pi1 * {d1} + (1.0 - pi1) * {d2}) AS r1
+        FROM x, p{p}
+    ), p{r} AS MATERIALIZED (
+        SELECT {r9('SUM(r1 * x) / SUM(r1)')} AS mu1,
+               {r9('SUM((1.0 - r1) * x) / SUM(1.0 - r1)')} AS mu2,
+               {r9(var1_e)} AS var1,
+               {r9(var2_e)} AS var2,
+               {r9('AVG(r1)')} AS pi1
+        FROM resp{r}
+    ), ll{r} AS (
+        SELECT {dround(f'AVG(ln(pi1 * {d1} + (1.0 - pi1) * {d2}))', 6)} AS avg_loglik
+        FROM x, p{r}
+    )"""
+    selects = [
+        f"SELECT {r} AS em_round, {dround('pi1', 6)} AS pi1,"
+        f" {dround('mu1', 6)} AS mu1, {dround('var1', 4)} AS var1,"
+        f" {dround('mu2', 6)} AS mu2, {dround('var2', 4)} AS var2,"
+        f" avg_loglik FROM p{r}, ll{r}"
+        for r in range(1, GMM_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY em_round"
+
+
+@query("ml_gmm_em_rounds", oracle=_gmm_oracle())
+def ml_gmm_em_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit to events.value by
+    expectation-maximization, 2 unrolled rounds — the SOFT-assignment
+    member of the iterative family (`kmeans_dataframe_lloyd` is the
+    hard-EM limit; this carries full responsibilities). Init at the
+    quartiles with the pooled variance, E-step responsibilities as a
+    pure row expression against the 1-row broadcast parameter state,
+    M-step as ONE full-scan aggregate computing all five sufficient
+    statistics together (Σr, Σrx, Σrx² and complements — map-side
+    combinable; var via the E[x²]−mu² identity so mu needs no second
+    pass). Variance floored at 1e-6 on both engines — the EM collapse
+    guard, same class as the zero-variance cell fix (r9 edge sweep #7).
+
+    Parameters are 1e-9 lockstep-rounded per round; the reported
+    average log-likelihood must be non-decreasing (EM's monotonicity —
+    asserted against a direct Python EM in tests). exp/ln cross-engine
+    agreement at this rounding is already load-bearing for the
+    periodogram and perplexity entries.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = events.select(F.col("value").alias("x")).localCheckpoint(eager=False)
+    floor_ = F.lit(float(_GMM_VAR_FLOOR))
+    init = x.agg(
+        hround(F.percentile("x", F.lit(0.25)), 9).alias("mu1"),
+        hround(F.percentile("x", F.lit(0.75)), 9).alias("mu2"),
+        hround(F.greatest(F.var_samp("x"), floor_), 9).alias("var1"),
+        hround(F.greatest(F.var_samp("x"), floor_), 9).alias("var2"),
+        F.lit(0.5).alias("pi1"),
+    )
+
+    def dens(m: str, v: str):
+        return (
+            F.lit(1.0)
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi) * F.col(v))
+        ) * F.exp(
+            -((F.col("x") - F.col(m)) * (F.col("x") - F.col(m)))
+            / (F.lit(2.0) * F.col(v))
+        )
+
+    state = init
+    out_rows: list[DataFrame] = []
+    for r in range(1, GMM_ROUNDS + 1):
+        d1, d2 = dens("mu1", "var1"), dens("mu2", "var2")
+        r1 = (F.col("pi1") * d1) / (
+            F.col("pi1") * d1 + (F.lit(1.0) - F.col("pi1")) * d2
+        )
+        resp = x.crossJoin(F.broadcast(state)).select("x", r1.alias("r1"))
+        sr = F.sum("r1")
+        sc = F.sum(F.lit(1.0) - F.col("r1"))
+        srx = F.sum(F.col("r1") * F.col("x"))
+        scx = F.sum((F.lit(1.0) - F.col("r1")) * F.col("x"))
+        srx2 = F.sum(F.col("r1") * F.col("x") * F.col("x"))
+        scx2 = F.sum((F.lit(1.0) - F.col("r1")) * F.col("x") * F.col("x"))
+        state = resp.agg(
+            hround(srx / sr, 9).alias("mu1"),
+            hround(scx / sc, 9).alias("mu2"),
+            hround(
+                F.greatest(srx2 / sr - (srx / sr) * (srx / sr), floor_), 9
+            ).alias("var1"),
+            hround(
+                F.greatest(scx2 / sc - (scx / sc) * (scx / sc), floor_), 9
+            ).alias("var2"),
+            hround(F.avg("r1"), 9).alias("pi1"),
+        ).localCheckpoint(eager=False)  # feeds loglik + next round
+        d1n, d2n = dens("mu1", "var1"), dens("mu2", "var2")
+        ll = (
+            x.crossJoin(F.broadcast(state))
+            .agg(
+                hround(
+                    F.avg(
+                        F.log(
+                            F.col("pi1") * d1n
+                            + (F.lit(1.0) - F.col("pi1")) * d2n
+                        )
+                    ),
+                    6,
+                ).alias("avg_loglik")
+            )
+        )
+        out_rows.append(
+            state.crossJoin(F.broadcast(ll)).select(
+                F.lit(r).alias("em_round"),
+                hround("pi1", 6).alias("pi1"),
+                hround("mu1", 6).alias("mu1"),
+                hround("var1", 4).alias("var1"),
+                hround("mu2", 6).alias("mu2"),
+                hround("var2", 4).alias("var2"),
+                "avg_loglik",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("em_round")
+
+
+CONF_ALPHA = "0.9"
+
+
+def _conformal_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    beta_e = (
+        "CASE WHEN var_pop(x) = 0 THEN 0.0"
+        " ELSE covar_pop(x, y) / var_pop(x) END"
+    )
+    cov_e = (
+        "AVG(CASE WHEN abs(c.y - (f.alpha + f.beta * c.x)) <= q.q90"
+        " THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id % 2 AS half,
+               CAST(n_chars AS DOUBLE) AS x,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS y
+        FROM documents
+    ), fit AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               {r9(beta_e)} AS beta
+        FROM feats WHERE half = 0
+    ), fit2 AS MATERIALIZED (
+        SELECT f.n_cal, f.beta,
+               {r9('AVG(c.y) - f.beta * AVG(c.x)')} AS alpha
+        FROM feats c, fit f WHERE c.half = 0
+        GROUP BY f.n_cal, f.beta
+    ), q AS MATERIALIZED (
+        SELECT {r9(f'quantile_cont(abs(c.y - (f.alpha + f.beta * c.x)), CAST({CONF_ALPHA} AS DOUBLE))')}
+                 AS q90
+        FROM feats c, fit2 f WHERE c.half = 0
+    ), cov AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               {dround(cov_e, 6)} AS coverage
+        FROM feats c, fit2 f, q WHERE c.half = 1
+    )
+    SELECT f.n_cal, c.n_test,
+           {dround('f.beta', 6)} AS beta, {dround('f.alpha', 6)} AS alpha,
+           {dround('q.q90', 6)} AS q90, c.coverage
+    FROM fit2 f, q, cov c
+    """
+
+
+@query("ml_conformal_interval", oracle=_conformal_oracle())
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the one-feature OLS
+    model tokens ~ n_chars (the corpus's one genuinely learnable
+    relation): fit on the even-doc_id half, take the 0.9 quantile of
+    absolute residuals on the SAME half as the interval radius, then
+    report empirical coverage on the held-out odd half — the
+    distribution-free uncertainty layer missing from the point-
+    prediction ML entries (`ml_gd_linreg_rounds` et al).
+
+    Everything is closed-form single-pass aggregates: beta from
+    covar_pop/var_pop (zero-variance calibration feature -> beta 0,
+    intercept-only — the degenerate-input class), the radius from one
+    interpolated percentile (F.percentile ≡ quantile_cont), coverage
+    from one counting aggregate against the 3 broadcast scalars. The
+    textbook finite-sample ceil((n+1)α)/n adjustment is deliberately
+    omitted (documented): at corpus scale it shifts the quantile by
+    <1e-3 and it would force a data-dependent percentile fraction,
+    which neither engine accepts as an aggregate argument; coverage is
+    therefore ≈α rather than the ≥α guarantee.
+
+    The deterministic doc_id%2 split is the registry's standard
+    (split_hash_deterministic); at 100 TB swap in the salted-hash
+    split for robustness to id patterns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)  # scanned by fit, quantile, coverage
+    cal = feats.filter(F.col("half") == 0)
+    fit = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        hround(
+            F.when(F.var_pop("x") == 0, F.lit(0.0)).otherwise(
+                F.covar_pop("x", "y") / F.var_pop("x")
+            ),
+            9,
+        ).alias("beta"),
+    )
+    fit2 = (
+        cal.crossJoin(F.broadcast(fit))
+        .groupBy("n_cal", "beta")
+        .agg(hround(F.avg("y") - F.col("beta") * F.avg("x"), 9).alias("alpha"))
+    )
+    resid = F.abs(F.col("y") - (F.col("alpha") + F.col("beta") * F.col("x")))
+    q = (
+        cal.crossJoin(F.broadcast(fit2))
+        .agg(hround(F.percentile(resid, F.lit(float(CONF_ALPHA))), 9).alias("q90"))
+    )
+    cov = (
+        feats.filter(F.col("half") == 1)
+        .crossJoin(F.broadcast(fit2))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            hround(
+                F.avg(F.when(resid <= F.col("q90"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+    )
+    return (
+        fit2.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            "n_test",
+            hround("beta", 6).alias("beta"),
+            hround("alpha", 6).alias("alpha"),
+            hround("q90", 6).alias("q90"),
+            "coverage",
+        )
+    )

@@ -1467,3 +1467,89 @@ def observe_export_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround("max_price", 2).alias("max_price"),
         "n_scanned",
     )
+
+
+@query(
+    "scan_path_glob_filter",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)) AS BIGINT)) AS content_fp
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_path_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-selection options on the parquet source: write the English
+    slice of `documents` under nested `lang=en/part*.parquet` dirs,
+    PLANT decoys next to the real files (a `.csv`, a `.parquet.bak`,
+    and a `_manifest.json` — exactly what real lake directories
+    accumulate), then read back with `recursiveFileLookup` +
+    `pathGlobFilter='*.parquet'` and certify BY CONTENT that precisely
+    the planted parquet rows — no decoy, nothing missed — were read:
+    the oracle computes the same per-source counts and an
+    order-insensitive md5-slice XOR fingerprint straight from the
+    original table (the audit_table_digest idiom — DuckDB's hash()
+    is not xxhash64).
+
+    recursiveFileLookup disables partition discovery (dir names carry
+    no columns — the slice keeps its own `source`/`lang` columns), and
+    pathGlobFilter filters on file NAME, the standard way to skim a
+    mixed-content landing zone without a manifest. If either option
+    regressed (decoy read -> parse error or extra rows; subdir skipped
+    -> missing rows) the fingerprint breaks. At 100 TB file listing
+    itself is the scan bottleneck — glob filtering happens in the
+    driver-side listing, before any executor opens a file; the planted
+    decoys cost O(#files), not O(bytes).
+    """
+    import os
+
+    from ..sources.sinks import run_dir
+
+    out_dir = run_dir("glob_docs", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    (
+        docs.repartition(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lang=en"))
+    )
+    # decoys a glob-filtered recursive scan must skip
+    with open(os.path.join(out_dir, "lang=en", "_manifest.json"), "w") as f:
+        f.write('{"note": "not data"}')
+    with open(os.path.join(out_dir, "lang=en", "decoy.csv"), "w") as f:
+        f.write("doc_id,text\n999999,decoy\n")
+    with open(os.path.join(out_dir, "stale.parquet.bak"), "w") as f:
+        f.write("junk bytes")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out_dir)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.md5("text"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("content_fp"),
+        )
+        .orderBy("source")
+    )

@@ -892,3 +892,135 @@ def test_session_variables_idempotent_and_consistent(spark):
     ).fetchone()[0]
     for r in a:
         assert r.cutoff_used == avg
+
+
+# --------------------------------------------------- GMM EM
+
+
+def test_gmm_matches_direct_em_and_loglik_monotone(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    vals = [v for (v,) in con.execute(
+        f"SELECT value FROM '{SF0001}/events.parquet'"
+    ).fetchall()]
+    mu1 = _hr(con.execute(
+        f"SELECT quantile_cont(value, 0.25) FROM '{SF0001}/events.parquet'"
+    ).fetchone()[0], 9)
+    mu2 = _hr(con.execute(
+        f"SELECT quantile_cont(value, 0.75) FROM '{SF0001}/events.parquet'"
+    ).fetchone()[0], 9)
+    n = len(vals)
+    mean = sum(vals) / n
+    var = _hr(max(sum((v - mean) ** 2 for v in vals) / (n - 1), 1e-6), 9)
+    v1 = v2 = var
+    pi1 = 0.5
+
+    def dens(x, m, vv):
+        return (1.0 / math.sqrt(2.0 * math.pi * vv)) * math.exp(
+            -((x - m) ** 2) / (2.0 * vv)
+        )
+
+    traj = []
+    for _ in range(2):
+        rs = [
+            pi1 * dens(x, mu1, v1)
+            / (pi1 * dens(x, mu1, v1) + (1 - pi1) * dens(x, mu2, v2))
+            for x in vals
+        ]
+        sr = sum(rs)
+        sc = n - sr
+        mu1 = _hr(sum(r * x for r, x in zip(rs, vals)) / sr, 9)
+        mu2 = _hr(sum((1 - r) * x for r, x in zip(rs, vals)) / sc, 9)
+        v1 = _hr(max(sum(r * x * x for r, x in zip(rs, vals)) / sr - mu1 * mu1, 1e-6), 9)
+        v2 = _hr(max(sum((1 - r) * x * x for r, x in zip(rs, vals)) / sc - mu2 * mu2, 1e-6), 9)
+        pi1 = _hr(sr / n, 9)
+        ll = sum(
+            math.log(pi1 * dens(x, mu1, v1) + (1 - pi1) * dens(x, mu2, v2))
+            for x in vals
+        ) / n
+        traj.append((pi1, mu1, v1, mu2, v2, ll))
+    got = REGISTRY["ml_gmm_em_rounds"].fn(spark, SF0001).collect()
+    assert [r.em_round for r in got] == [1, 2]
+    for row, (p1, m1, vv1, m2, vv2, ll) in zip(got, traj):
+        assert abs(row.pi1 - p1) < 1e-4, (row, p1)
+        assert abs(row.mu1 - m1) < 1e-3 and abs(row.mu2 - m2) < 1e-3
+        assert abs(row.var1 - vv1) < 0.5 and abs(row.var2 - vv2) < 0.5
+        assert abs(row.avg_loglik - ll) < 1e-4
+    assert got[1].avg_loglik >= got[0].avg_loglik - 1e-9  # EM monotonicity
+
+
+def test_gmm_recovers_planted_bimodal_modes(spark, tmp_path_factory):
+    import datetime as dt
+    import duckdb
+
+    from parity import compare_one
+
+    B = dt.datetime(2024, 4, 1)
+    rows = []
+    for i in range(200):
+        # two tight clusters at 10 and 50
+        v = 10.0 + (i % 7) * 0.1 if i % 2 == 0 else 50.0 + (i % 5) * 0.1
+        rows.append((i, B + dt.timedelta(minutes=i), 1, "view", v, "{}"))
+    d = str(tmp_path_factory.mktemp("gmm_fix"))
+    _write_events(d, rows)
+    got = REGISTRY["ml_gmm_em_rounds"].fn(spark, d).collect()
+    first, final = got[0], got[-1]
+    # 2 rounds from the wide pooled-variance init: partial but
+    # directionally-correct convergence toward the planted modes
+    assert 9.0 < final.mu1 < 16.0 and 44.0 < final.mu2 < 51.0
+    assert abs(final.mu1 - 10.3) < abs(first.mu1 - 10.3) + 1e-9
+    assert abs(final.mu2 - 50.2) < abs(first.mu2 - 50.2) + 1e-9
+    assert 0.4 < final.pi1 < 0.6
+    assert final.avg_loglik >= first.avg_loglik - 1e-9
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    err = compare_one(spark, con, REGISTRY["ml_gmm_em_rounds"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- conformal
+
+
+def test_conformal_coverage_near_nominal_on_real_data(spark):
+    r = REGISTRY["ml_conformal_interval"].fn(spark, SF0001).collect()[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert 0.85 <= r.coverage <= 0.95, r
+    assert r.beta > 0  # tokens grow with chars
+
+
+def test_conformal_zero_variance_feature_degrades_gracefully(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    rows = [(i, " ".join(["w"] * (3 + i % 4)), "en", "web", 50)
+            for i in range(20)]  # constant n_chars
+    d = str(tmp_path_factory.mktemp("conf_degen"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    r = REGISTRY["ml_conformal_interval"].fn(spark, d).collect()[0]
+    assert r.beta == 0.0  # intercept-only fallback, no crash
+    assert r.coverage is not None
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    err = compare_one(spark, con, REGISTRY["ml_conformal_interval"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- glob filter
+
+
+def test_glob_filter_decoys_are_load_bearing(spark):
+    """Negative control: the planted decoys must actually poison an
+    unfiltered recursive read — otherwise the entry certifies nothing."""
+    import glob as pyglob
+
+    import pytest
+
+    REGISTRY["scan_path_glob_filter"].fn(spark, SF0001).collect()
+    out_dir = pyglob.glob("/root/repo/spark-warehouse/glob_docs_sf0.001_pid*")[0]
+    with pytest.raises(Exception):
+        # decoy.csv has no parquet footer -> the unfiltered read fails
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir).collect()

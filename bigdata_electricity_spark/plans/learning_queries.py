@@ -987,3 +987,154 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+GLM_ROUNDS = 2
+
+
+def _poisson_oracle() -> str:
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    dev_e = (
+        "2.0 * SUM(CASE WHEN y > 0 THEN y * ln(y / mu) - (y - mu)"
+        " ELSE mu END)"
+    )
+    b_e = (
+        "(SUM(w) * SUM(w * x * z) - SUM(w * x) * SUM(w * z))"
+        " / (SUM(w) * SUM(w * x * x) - SUM(w * x) * SUM(w * x))"
+    )
+    a_e = "(SUM(w * z) - bnew * SUM(w * x)) / SUM(w)"
+    sql = f"""
+    WITH counts AS MATERIALIZED (
+        SELECT CAST(hour(h) AS DOUBLE) AS x, y FROM (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        )
+    ), p0 AS MATERIALIZED (
+        SELECT {r9('ln(AVG(y))')} AS a, CAST(0.0 AS DOUBLE) AS b FROM counts
+    )"""
+    for r in range(1, GLM_ROUNDS + 1):
+        p = r - 1
+        sql += f""", work{r} AS (
+        SELECT x, y,
+               exp(a + b * x) AS mu,
+               (a + b * x) + (y - exp(a + b * x)) / exp(a + b * x) AS z,
+               exp(a + b * x) AS w
+        FROM counts, p{p}
+    ), bstep{r} AS MATERIALIZED (
+        SELECT {r9(b_e)} AS bnew FROM work{r}
+    ), p{r} AS MATERIALIZED (
+        SELECT {r9(a_e)} AS a, bnew AS b
+        FROM work{r}, bstep{r} GROUP BY bnew
+    ), dev{r} AS (
+        SELECT {dround(dev_e, 4)} AS deviance
+        FROM (
+            SELECT c.y, exp(p.a + p.b * c.x) AS mu FROM counts c, p{r} p
+        )
+    )"""
+    selects = [
+        f"SELECT {r} AS irls_round, {dround('a', 6)} AS intercept,"
+        f" {dround('b', 6)} AS slope, deviance FROM p{r}, dev{r}"
+        for r in range(1, GLM_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY irls_round"
+
+
+@query("ml_poisson_glm_irls", oracle=_poisson_oracle())
+def ml_poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression with log link by IRLS — hourly event counts
+    against hour-of-day, 2 unrolled Fisher-scoring rounds. The GLM
+    member of the iterative family: unlike `ml_gd_linreg_rounds`
+    (identity link, constant variance) each round reweights by the
+    current mean (w = mu) and regresses the working response
+    z = eta + (y − mu)/mu, and the single-feature normal equations
+    solve in closed form (the 2x2 determinant — no matrix inverse
+    operator needed, which is what keeps a GLM hash-checkable on both
+    engines).
+
+    The aggregation pipeline is the 100 TB shape: raw events collapse
+    to the |hours| working table in ONE shuffle (745 rows for a month —
+    bounded by the calendar, not the data), and each IRLS round is one
+    pass over that table computing all five weighted sums together.
+    Deviance 2Σ[y ln(y/mu) − (y − mu)] (y = 0 rows contribute mu)
+    reported per round; mu = exp(eta) > 0 always, so no division
+    guard is needed — the canonical-link advantage. The linear-in-hour
+    model is deliberately misspecified for a 24h cycle (the honest
+    periodogram verdict, ROUND_NOTES r7); the entry certifies the
+    ALGORITHM, and the planted-exponential test certifies recovery.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("y"),
+            F.first(F.hour("ts")).cast("double").alias("x"),
+        )
+        .select("x", "y")
+        .localCheckpoint(eager=False)  # scanned per round + deviance
+    )
+    state = counts.agg(
+        hround(F.log(F.avg("y")), 9).alias("a"), F.lit(0.0).alias("b")
+    )
+    out_rows: list[DataFrame] = []
+    for r in range(1, GLM_ROUNDS + 1):
+        eta = F.col("a") + F.col("b") * F.col("x")
+        mu = F.exp(eta)
+        work = counts.crossJoin(F.broadcast(state)).select(
+            "x",
+            "y",
+            mu.alias("mu"),
+            (eta + (F.col("y") - mu) / mu).alias("z"),
+            mu.alias("w"),
+        )
+        sw = F.sum("w")
+        swx = F.sum(F.col("w") * F.col("x"))
+        swz = F.sum(F.col("w") * F.col("z"))
+        swxz = F.sum(F.col("w") * F.col("x") * F.col("z"))
+        swxx = F.sum(F.col("w") * F.col("x") * F.col("x"))
+        bstep = work.agg(
+            hround(
+                (sw * swxz - swx * swz) / (sw * swxx - swx * swx), 9
+            ).alias("bnew"),
+        )
+        state = (
+            work.crossJoin(F.broadcast(bstep))
+            .groupBy("bnew")
+            .agg(
+                hround(
+                    (F.sum(F.col("w") * F.col("z")) - F.col("bnew") * F.sum(F.col("w") * F.col("x")))
+                    / F.sum("w"),
+                    9,
+                ).alias("a")
+            )
+            .select("a", F.col("bnew").alias("b"))
+        )
+        mu2 = F.exp(F.col("a") + F.col("b") * F.col("x"))
+        dev = (
+            counts.crossJoin(F.broadcast(state))
+            .agg(
+                hround(
+                    F.lit(2.0)
+                    * F.sum(
+                        F.when(
+                            F.col("y") > 0,
+                            F.col("y") * F.log(F.col("y") / mu2)
+                            - (F.col("y") - mu2),
+                        ).otherwise(mu2)
+                    ),
+                    4,
+                ).alias("deviance")
+            )
+        )
+        out_rows.append(
+            state.crossJoin(F.broadcast(dev)).select(
+                F.lit(r).alias("irls_round"),
+                hround("a", 6).alias("intercept"),
+                hround("b", 6).alias("slope"),
+                "deviance",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("irls_round")

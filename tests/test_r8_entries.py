@@ -1024,3 +1024,72 @@ def test_glob_filter_decoys_are_load_bearing(spark):
     with pytest.raises(Exception):
         # decoy.csv has no parquet footer -> the unfiltered read fails
         spark.read.option("recursiveFileLookup", "true").parquet(out_dir).collect()
+
+
+# --------------------------------------------------- Poisson GLM
+
+
+def test_poisson_glm_recovers_planted_exponential_rates(spark, tmp_path_factory):
+    """Plant counts y ~ round(exp(2 + 0.1x)) per hour-of-day: IRLS must
+    recover (a, b) near (2, 0.1) after 2 rounds, deviance near 0, and
+    the engine must match a direct Python IRLS on the same table."""
+    import datetime as dt
+    import duckdb
+
+    from parity import compare_one
+
+    B = dt.datetime(2024, 4, 1)
+    rows = []
+    eid = 0
+    for day in range(2):
+        for hod in range(24):
+            lam = math.exp(2.0 + 0.1 * hod)
+            n = int(round(lam))
+            for j in range(n):
+                eid += 1
+                rows.append(
+                    (eid, B + dt.timedelta(days=day, hours=hod,
+                                           seconds=j % 3600),
+                     1 + j % 5, "view", 1.0, "{}")
+                )
+    d = str(tmp_path_factory.mktemp("poisson"))
+    _write_events(d, rows)
+    got = REGISTRY["ml_poisson_glm_irls"].fn(spark, d).collect()
+    final = got[-1]
+    assert abs(final.intercept - 2.0) < 0.05, final
+    assert abs(final.slope - 0.1) < 0.005, final
+    assert got[-1].deviance <= got[0].deviance + 1e-9
+
+    # direct python IRLS on the same (x, y) table
+    xy = duckdb.connect().execute(
+        f"""SELECT CAST(hour(h) AS DOUBLE), y FROM (
+              SELECT date_trunc('hour', ts) h, CAST(COUNT(*) AS DOUBLE) y
+              FROM '{d}/events.parquet' GROUP BY 1)"""
+    ).fetchall()
+    a = _hr(math.log(sum(y for _, y in xy) / len(xy)), 9)
+    b = 0.0
+    for _ in range(2):
+        sw = swx = swz = swxz = swxx = 0.0
+        for x, y in xy:
+            mu = math.exp(a + b * x)
+            z = (a + b * x) + (y - mu) / mu
+            sw += mu
+            swx += mu * x
+            swz += mu * z
+            swxz += mu * x * z
+            swxx += mu * x * x
+        b = _hr((sw * swxz - swx * swz) / (sw * swxx - swx * swx), 9)
+        a = _hr((swz - b * swx) / sw, 9)
+    assert abs(final.intercept - _hr(a, 6)) < 1e-4
+    assert abs(final.slope - _hr(b, 6)) < 1e-4
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    err = compare_one(spark, con, REGISTRY["ml_poisson_glm_irls"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_poisson_glm_runs_and_deviance_decreases_on_real_data(spark):
+    got = REGISTRY["ml_poisson_glm_irls"].fn(spark, SF0001).collect()
+    assert [r.irls_round for r in got] == [1, 2]
+    assert got[1].deviance <= got[0].deviance + 1e-6

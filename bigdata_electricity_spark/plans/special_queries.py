@@ -1301,3 +1301,91 @@ def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             )
         )
     return frames[0].unionByName(frames[1]).orderBy("stat")
+
+
+AMS_DRAWS = 8
+
+
+def _ams_oracle() -> str:
+    # sign draw d for user u: +1/-1 from bit d of the md5 of the user id
+    # (salt 'ams') — 2-universal enough for the estimator's mean to be
+    # F2, deterministic on both engines.
+    sign = (
+        "CASE WHEN (CAST(('0x' || substr(md5('ams' || CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) >> {d}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    draws = ",\n               ".join(
+        f"SUM({sign.format(d=d)}) AS s{d}" for d in range(AMS_DRAWS)
+    )
+    sq = " + ".join(f"s{d} * s{d}" for d in range(AMS_DRAWS))
+    return f"""
+    WITH sketch AS (
+        SELECT {draws}
+        FROM events
+    ), exact AS (
+        SELECT SUM(c * c) AS f2, CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY user_id)
+    )
+    SELECT e.n_keys,
+           CAST(e.f2 AS BIGINT) AS exact_f2,
+           CAST(floor(({sq}) / {AMS_DRAWS}.0) AS BIGINT) AS est_f2,
+           {dround(f'abs(({sq}) / {AMS_DRAWS}.0 - e.f2) / e.f2', 6)} AS rel_error
+    FROM sketch, exact e
+    """
+
+
+@query("sketch_ams_second_moment", oracle=_ams_oracle())
+def sketch_ams_second_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) second frequency moment estimator:
+    F2 = Σ_u c_u² of the per-user event counts, estimated WITHOUT
+    grouping by user — each of 8 sign draws keeps one running sum
+    Σ s(u) per event (s(u) = ±1 from an md5 bit of the user id), and
+    E[(Σ s(u))²] = F2. The whole sketch is ONE ungrouped aggregate of 8
+    map-combinable sums over the raw stream: the self-join size / skew
+    statistic (`diagnose_key_skew` computes it exactly via groupBy)
+    measured with O(1) state per partition — the estimator that
+    motivated the streaming-sketch literature, completing the ladder
+    next to HLL (F0), Count-Min (point counts), and KLL (quantiles).
+
+    All draws are deterministic md5 bits (salt 'ams'), so est and
+    rel_error are hash-checkable; the exact F2 is computed alongside
+    and the honest relative error reported (AMS has no per-instance
+    bound — the guarantee is on the variance across draws; averaging
+    8 draws keeps the typical error under ~1/sqrt(8) ≈ 35%). At 100 TB
+    the exact side costs a |users| shuffle while the sketch costs
+    none — that asymmetry is the entry's point.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ams"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = [
+        F.sum(
+            F.when(F.shiftright(h32, d) % 2 == 0, 1.0).otherwise(-1.0)
+        ).alias(f"s{d}")
+        for d in range(AMS_DRAWS)
+    ]
+    sketch = events.agg(*draws)
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("f2"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    sq = None
+    for d in range(AMS_DRAWS):
+        term = F.col(f"s{d}") * F.col(f"s{d}")
+        sq = term if sq is None else sq + term
+    est = sq / F.lit(float(AMS_DRAWS))
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "n_keys",
+        F.col("f2").cast("bigint").alias("exact_f2"),
+        F.floor(est).cast("bigint").alias("est_f2"),  # floor, not CAST-round (r4 trap)
+        hround(F.abs(est - F.col("f2")) / F.col("f2"), 6).alias("rel_error"),
+    )

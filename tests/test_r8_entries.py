@@ -1093,3 +1093,32 @@ def test_poisson_glm_runs_and_deviance_decreases_on_real_data(spark):
     got = REGISTRY["ml_poisson_glm_irls"].fn(spark, SF0001).collect()
     assert [r.irls_round for r in got] == [1, 2]
     assert got[1].deviance <= got[0].deviance + 1e-6
+
+
+# --------------------------------------------------- AMS F2
+
+
+def test_ams_matches_direct_sign_sums_and_estimates_sanely(spark):
+    import duckdb
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    sums = [0.0] * 8
+    counts: dict[int, int] = {}
+    for (uid,) in rows:
+        h = int(hashlib.md5(f"ams{uid}".encode()).hexdigest()[:8], 16)
+        for d in range(8):
+            sums[d] += 1.0 if (h >> d) % 2 == 0 else -1.0
+        counts[uid] = counts.get(uid, 0) + 1
+    f2 = float(sum(c * c for c in counts.values()))
+    est = sum(s * s for s in sums) / 8.0
+    r = REGISTRY["sketch_ams_second_moment"].fn(spark, SF0001).collect()[0]
+    assert r.n_keys == len(counts)
+    assert r.exact_f2 == int(f2)
+    assert r.est_f2 == int(math.floor(est))
+    assert abs(r.rel_error - abs(est - f2) / f2) < 1e-6
+    # 8 averaged draws: typical error well under 1 — catches a broken
+    # sign hash (which would inflate the estimate toward n^2)
+    assert r.rel_error < 0.75

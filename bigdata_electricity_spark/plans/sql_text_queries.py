@@ -214,16 +214,29 @@ def sqltext_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     plan (no per-outer-row re-execution — `.explain` shows a single
     partitioned rank, not a nested loop), which is why the pattern is
     safe at 100 TB: the lateral is syntax, the window is the plan.
+
+    ENGINE TRAP (found by the mini-warehouse edge net): if the
+    correlated equality needs an implicit widening cast (BIGINT
+    c_nationkey vs INT n_nationkey — exactly what a pandas-concat
+    rewrite of one table produces), Spark 4.1.2's decorrelation
+    SILENTLY drops the correlation and compiles the LIMIT as a GLOBAL
+    limit — 2 rows instead of 2-per-nation, no error. Both sides of
+    the correlation are therefore CAST to BIGINT explicitly inside the
+    query, which keeps the equality coercion-free for any input width.
+    Regression-pinned on a width-widened fixture in
+    tests/test_r8_entries.py.
     """
     register_views(spark, sf_dir)
     return spark.sql(
         f"""
         SELECT n.n_name, t.c_custkey, {_sround('t.c_acctbal', 2)} AS acctbal
-        FROM nation n,
+        FROM (SELECT n_name, CAST(n_nationkey AS BIGINT) AS nk FROM nation) n,
              LATERAL (
                  SELECT c_custkey, c_acctbal
-                 FROM customer c
-                 WHERE c.c_nationkey = n.n_nationkey
+                 FROM (SELECT c_custkey, c_acctbal,
+                              CAST(c_nationkey AS BIGINT) AS nk
+                       FROM customer) c
+                 WHERE c.nk = n.nk
                  ORDER BY c_acctbal DESC, c_custkey
                  LIMIT 2
              ) t

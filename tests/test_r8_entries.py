@@ -1122,3 +1122,44 @@ def test_ams_matches_direct_sign_sums_and_estimates_sanely(spark):
     # 8 averaged draws: typical error well under 1 — catches a broken
     # sign hash (which would inflate the estimate toward n^2)
     assert r.rel_error < 0.75
+
+
+def test_lateral_limit_decorrelation_trap_pinned(spark, tmp_path_factory):
+    """ENGINE TRAP regression (found by the warehouse edge net): with a
+    width-widened customer.c_nationkey (BIGINT vs nation's INT), the
+    NAIVE lateral-with-LIMIT query silently compiles the limit as
+    GLOBAL (2 rows total); the entry's both-sides-CAST form must stay
+    per-group correct on the same fixture."""
+    import duckdb
+
+    from parity import compare_one
+
+    src = SF0001
+    d = str(tmp_path_factory.mktemp("lat_widen"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        base = pd.read_parquet(f"{src}/{t}.parquet")
+        if t == "customer":
+            base = base.assign(c_nationkey=base["c_nationkey"].astype("int64"))
+        base.to_parquet(os.path.join(d, f"{t}.parquet"), coerce_timestamps="us")
+    # the naive form goes global on this image — if this ever FAILS,
+    # the upstream bug was fixed and the entry's casts can be dropped
+    spark.read.parquet(f"{d}/nation.parquet").createOrReplaceTempView("nation")
+    spark.read.parquet(f"{d}/customer.parquet").createOrReplaceTempView("customer")
+    naive = spark.sql(
+        """SELECT n.n_name, t.c_custkey
+           FROM nation n,
+                LATERAL (SELECT c_custkey FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+    ).count()
+    assert naive == 2, f"upstream lateral bug fixed? naive={naive}"
+    # the shipped entry is immune
+    got = REGISTRY["sqltext_lateral_topn_per_group"].fn(spark, d).count()
+    assert got == 50, got
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    err = compare_one(spark, con, REGISTRY["sqltext_lateral_topn_per_group"], d)
+    assert err is None or err.startswith("ok:"), err

@@ -1163,3 +1163,45 @@ def test_lateral_limit_decorrelation_trap_pinned(spark, tmp_path_factory):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     err = compare_one(spark, con, REGISTRY["sqltext_lateral_topn_per_group"], d)
     assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- KMV overlap
+
+
+def test_kmv_matches_direct_sketch_replay(spark):
+    import duckdb
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        f"SELECT DISTINCT event_type, user_id FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set[int]] = {}
+    for et, uid in rows:
+        sets.setdefault(et, set()).add(uid)
+    hv = {
+        uid: int(hashlib.md5(f"kmv{uid}".encode()).hexdigest()[:12], 16)
+        / 281474976710656.0
+        for uid in {u for s in sets.values() for u in s}
+    }
+    sk = {
+        et: set(sorted(s, key=lambda u: (hv[u], u))[:64]) for et, s in sets.items()
+    }
+    got = {(r.type_a, r.type_b): r for r in
+           REGISTRY["sketch_kmv_audience_overlap"].fn(spark, SF0001).collect()}
+    types = sorted(sets)
+    n_pairs = len(types) * (len(types) - 1) // 2
+    assert len(got) == n_pairs
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            union_sk = sorted(sk[ta] | sk[tb], key=lambda u: (hv[u], u))[:64]
+            k = min(len(union_sk), 64)
+            both = sum(1 for u in union_sk if u in sk[ta] and u in sk[tb])
+            j_est = both / k
+            inter = len(sets[ta] & sets[tb])
+            j_true = inter / len(sets[ta] | sets[tb])
+            r = got[(ta, tb)]
+            assert abs(r.jaccard_est - j_est) < 1e-6, (ta, tb, r, j_est)
+            assert abs(r.jaccard_true - j_true) < 1e-6
+            # the sketch must be informative: error bounded well below
+            # the trivial all-or-nothing guess
+            assert r.abs_err < 0.35

@@ -1290,3 +1290,116 @@ def intervals_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_overlap_us"), "user_a", "user_b")
         .limit(COPRESENCE_TOP_K)
     )
+
+
+@query(
+    "intervals_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts
+        FROM flagged
+    ), intervals AS (
+        SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        FROM sess GROUP BY user_id, session_id
+    ), instants AS (
+        SELECT t_us,
+               SUM(n_starts) AS n_starts, SUM(n_ends) AS n_ends
+        FROM (
+            SELECT s_us AS t_us, 1 AS n_starts, 0 AS n_ends FROM intervals
+            UNION ALL
+            SELECT e_us AS t_us, 0 AS n_starts, 1 AS n_ends FROM intervals
+        )
+        GROUP BY t_us
+    ), swept AS (
+        SELECT t_us,
+               SUM(n_starts) OVER (ORDER BY t_us) AS s_incl,
+               SUM(n_ends) OVER (ORDER BY t_us) - n_ends AS e_excl
+        FROM instants
+    ), conc AS (
+        SELECT t_us, CAST(s_incl - e_excl AS BIGINT) AS c FROM swept
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM intervals) AS n_sessions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM instants) AS n_instants,
+           MAX(c) AS peak_concurrency,
+           MIN(CASE WHEN c = (SELECT MAX(c) FROM conc) THEN t_us END) AS peak_ts_us
+    FROM conc
+    """,
+)
+def intervals_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via the endpoint sweep — the classic
+    interval-analytics question ("what was our max simultaneous
+    load?"), answered WITHOUT a global-order window: session endpoints
+    collapse to per-instant (n_starts, n_ends) counts, and the running
+    sweep runs through `exclusive_prefix_sums` (operators/packing.py)
+    — range partition + in-partition windows + an O(#partitions)
+    driver fold — so no single task ever sorts all endpoints (the same
+    two-phase backbone as the Mann-Whitney ranks). Concurrency at
+    instant t is starts<=t minus ends<t (CLOSED intervals: a session
+    ending exactly when another starts still overlaps it — the
+    opposite convention from `intervals_copresence_pairs`' strict
+    overlap seconds, deliberately, and pinned by the edge net's
+    same-instant fixtures). Peak ties resolve to the earliest instant.
+
+    The oracle sweeps with ordinary running-sum windows — a different
+    mechanism certifying the distributed prefix sums.
+    """
+    from ..operators.packing import exclusive_prefix_sums
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("e_us"),
+    ).localCheckpoint(eager=False)  # endpoints + n_sessions
+    points = intervals.select(
+        F.col("s_us").alias("t_us"), F.lit(1).alias("n_starts"), F.lit(0).alias("n_ends")
+    ).unionByName(
+        intervals.select(
+            F.col("e_us").alias("t_us"), F.lit(0).alias("n_starts"), F.lit(1).alias("n_ends")
+        )
+    )
+    instants = points.groupBy("t_us").agg(
+        F.sum("n_starts").alias("n_starts"), F.sum("n_ends").alias("n_ends")
+    )
+    swept = exclusive_prefix_sums(instants, "t_us", ["n_starts", "n_ends"])
+    conc = swept.select(
+        "t_us",
+        (
+            (F.col("n_starts_excl") + F.col("n_starts")) - F.col("n_ends_excl")
+        ).cast("bigint").alias("c"),
+    )
+    peak = conc.agg(F.max("c").alias("peak_concurrency"))
+    peak_ts = (
+        conc.join(F.broadcast(peak), conc.c == F.col("peak_concurrency"))
+        .agg(F.min("t_us").alias("peak_ts_us"))
+    )
+    n_sessions = intervals.agg(F.count(F.lit(1)).alias("n_sessions"))
+    n_instants = instants.agg(F.count(F.lit(1)).alias("n_instants"))
+    return (
+        n_sessions.crossJoin(F.broadcast(n_instants))
+        .crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_ts))
+        .select("n_sessions", "n_instants", "peak_concurrency", "peak_ts_us")
+    )

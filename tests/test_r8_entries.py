@@ -1205,3 +1205,68 @@ def test_kmv_matches_direct_sketch_replay(spark):
             # the sketch must be informative: error bounded well below
             # the trivial all-or-nothing guess
             assert r.abs_err < 0.35
+
+
+# --------------------------------------------------- max concurrency
+
+
+def test_max_concurrency_planted_closed_interval_convention(spark, tmp_path_factory):
+    import datetime as dt
+
+    B = dt.datetime(2024, 5, 1, 10, 0, 0)
+    mins = lambda m: B + dt.timedelta(minutes=m)  # noqa: E731
+    rows = []
+    # three sessions: u1 [0,20], u2 [20,40] (touches u1's end exactly),
+    # u3 [10,15] — closed-interval convention: at t=20 u1 and u2 BOTH
+    # count (peak 2 also at t in [10,15] where u1+u3 overlap) -> the
+    # earliest peak instant is 10:10
+    rows += [(1, mins(0), 1, "view", 1.0, "{}"), (2, mins(20), 1, "view", 1.0, "{}")]
+    rows += [(3, mins(20), 2, "view", 1.0, "{}"), (4, mins(40), 2, "view", 1.0, "{}")]
+    rows += [(5, mins(10), 3, "view", 1.0, "{}"), (6, mins(15), 3, "view", 1.0, "{}")]
+    d = str(tmp_path_factory.mktemp("conc"))
+    _write_events(d, rows)
+    r = REGISTRY["intervals_max_concurrency"].fn(spark, d).collect()[0]
+    assert r.n_sessions == 3
+    assert r.peak_concurrency == 2
+    assert r.peak_ts_us == int(mins(10).timestamp() * 1_000_000)
+
+
+def test_max_concurrency_matches_direct_sweep_on_real_data(spark):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_id, ts, user_id, event_type FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, _et in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    ivs = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if int((nxt[0] - prev[0]).total_seconds()) > 1800:
+                ivs.append(cur)
+                cur = []
+            cur.append(nxt)
+        ivs.append(cur)
+    pts: dict[int, list[int]] = {}
+    for evs in ivs:
+        s = int(min(t for t, _ in evs).timestamp() * 1_000_000)
+        e = int(max(t for t, _ in evs).timestamp() * 1_000_000)
+        pts.setdefault(s, [0, 0])[0] += 1
+        pts.setdefault(e, [0, 0])[1] += 1
+    s_run = e_run = 0
+    best, best_ts = -1, None
+    for t in sorted(pts):
+        ns, ne = pts[t]
+        c = (s_run + ns) - e_run
+        s_run += ns
+        e_run += ne
+        if c > best:
+            best, best_ts = c, t
+    r = REGISTRY["intervals_max_concurrency"].fn(spark, SF0001).collect()[0]
+    assert r.n_sessions == len(ivs)
+    assert r.n_instants == len(pts)
+    assert r.peak_concurrency == best
+    assert r.peak_ts_us == best_ts

@@ -2484,3 +2484,115 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CROSTON_TAIL = 16
+
+
+@query(
+    "forecast_croston_intermittent",
+    oracle=f"""
+    WITH dd AS MATERIALIZED (
+        SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(l_quantity) AS DOUBLE) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), seq AS (
+        SELECT l_partkey, d, q,
+               date_diff('day', LAG(d) OVER (PARTITION BY l_partkey ORDER BY d), d)
+                 AS gap_days,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY d DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS nd
+        FROM dd
+    ), z AS (
+        SELECT l_partkey, CAST(MAX(nd) AS BIGINT) AS n_demand_days,
+               {dround('SUM(q * POWER(0.8, rn - 1)) / SUM(POWER(0.8, rn - 1))', 6)} AS z_demand
+        FROM seq WHERE rn <= {CROSTON_TAIL}
+        GROUP BY l_partkey
+        HAVING MAX(nd) >= 3
+    ), iv AS (
+        SELECT l_partkey,
+               {dround('SUM(CAST(gap_days AS DOUBLE) * POWER(0.8, irn - 1)) / SUM(POWER(0.8, irn - 1))', 6)}
+                 AS p_interval
+        FROM (
+            SELECT l_partkey, gap_days,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY d DESC) AS irn
+            FROM seq WHERE gap_days IS NOT NULL
+        ) WHERE irn <= {CROSTON_TAIL}
+        GROUP BY l_partkey
+    )
+    SELECT z.l_partkey AS part_key, z.n_demand_days, z.z_demand, iv.p_interval,
+           {dround('z.z_demand / iv.p_interval', 6)} AS croston_rate
+    FROM z JOIN iv ON z.l_partkey = iv.l_partkey
+    ORDER BY part_key
+    """,
+)
+def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston-style intermittent-demand forecast per part: daily
+    demand here is SPARSE (~30 demand days per part across 7 years of
+    shipdates — measured), where ordinary smoothing of the calendar
+    series collapses toward zero. Croston instead smooths TWO series
+    defined only at demand points — demand size z and inter-demand
+    interval p — and forecasts the per-day rate z/p.
+
+    Both smoothers use the registry's truncated-kernel EWMA idiom
+    (`events_ewma_by_user`): the 16 newest demand days / intervals per
+    part, weight 0.8^(rn−1), normalized by realized weight mass —
+    the exact expressible form of the recursion (tail mass 0.8^16 ≈
+    2.8%), documented in place of the textbook update-at-each-point
+    recursion. Shape: one (part, day) aggregate, user-partitioned
+    windows with WindowGroupLimit-pushed rank filters, two grouped
+    kernel sums — one shuffle key end to end, no calendar spine ever
+    materialized (the point of Croston at scale: state is per DEMAND
+    POINT, not per day).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = (
+        li.groupBy(
+            F.col("l_partkey"), F.to_date("l_shipdate").alias("d")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("q"))
+        .localCheckpoint(eager=False)  # feeds both smoothers
+    )
+    wasc = Window.partitionBy("l_partkey").orderBy("d")
+    wdesc = Window.partitionBy("l_partkey").orderBy(F.desc("d"))
+    wall = Window.partitionBy("l_partkey")
+    seq = dd.select(
+        "l_partkey",
+        "d",
+        "q",
+        F.datediff(F.col("d"), F.lag("d").over(wasc)).alias("gap_days"),
+        F.row_number().over(wdesc).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    decay = F.pow(F.lit(0.8), F.col("rn") - 1)
+    z = (
+        seq.filter(F.col("rn") <= CROSTON_TAIL)
+        .groupBy("l_partkey")
+        .agg(
+            F.max("nd").cast("bigint").alias("n_demand_days"),
+            hround(F.sum(F.col("q") * decay) / F.sum(decay), 6).alias("z_demand"),
+        )
+        .filter(F.col("n_demand_days") >= 3)
+    )
+    ivs = (
+        seq.filter(F.col("gap_days").isNotNull())
+        .withColumn("irn", F.row_number().over(wdesc))
+        .filter(F.col("irn") <= CROSTON_TAIL)
+    )
+    idecay = F.pow(F.lit(0.8), F.col("irn") - 1)
+    iv = ivs.groupBy("l_partkey").agg(
+        hround(
+            F.sum(F.col("gap_days").cast("double") * idecay) / F.sum(idecay), 6
+        ).alias("p_interval")
+    )
+    return (
+        z.join(iv, "l_partkey")
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "n_demand_days",
+            "z_demand",
+            "p_interval",
+            hround(F.col("z_demand") / F.col("p_interval"), 6).alias("croston_rate"),
+        )
+        .orderBy("part_key")
+    )

@@ -1270,3 +1270,59 @@ def test_max_concurrency_matches_direct_sweep_on_real_data(spark):
     assert r.n_instants == len(pts)
     assert r.peak_concurrency == best
     assert r.peak_ts_us == best_ts
+
+
+# --------------------------------------------------- Croston
+
+
+def test_croston_matches_direct_kernel_on_real_data(spark):
+    import duckdb
+
+    dd = duckdb.connect().execute(
+        f"""SELECT l_partkey, CAST(l_shipdate AS DATE), SUM(l_quantity)
+            FROM '{SF0001}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    by_part: dict[int, list] = {}
+    for pk, d, q in dd:
+        by_part.setdefault(pk, []).append((d, float(q)))
+    got = {r.part_key: r for r in
+           REGISTRY["forecast_croston_intermittent"].fn(spark, SF0001).collect()}
+    n_checked = 0
+    for pk, days in by_part.items():
+        if len(days) < 3:
+            assert pk not in got
+            continue
+        tail = days[-16:][::-1]  # newest first
+        wz = [(q, 0.8 ** k) for k, (_, q) in enumerate(tail)]
+        z = sum(q * w for q, w in wz) / sum(w for _, w in wz)
+        gaps = [(d2 - d1).days for (d1, _), (d2, _) in zip(days, days[1:])]
+        gtail = gaps[-16:][::-1]
+        wp = [(g, 0.8 ** k) for k, g in enumerate(gtail)]
+        p = sum(g * w for g, w in wp) / sum(w for _, w in wp)
+        r = got[pk]
+        assert r.n_demand_days == len(days)
+        assert abs(r.z_demand - z) < 1e-5, (pk, r.z_demand, z)
+        assert abs(r.p_interval - p) < 1e-5
+        assert abs(r.croston_rate - _hr(z, 6) / _hr(p, 6)) < 1e-5
+        n_checked += 1
+    assert n_checked > 50  # non-vacuous
+
+
+def test_croston_rate_is_demand_per_day_on_planted_pattern(spark, tmp_path_factory):
+    """Constant demand 6 every 3 days -> z = 6, p = 3, rate = 2/day."""
+    rows = []
+    for k in range(12):
+        rows.append((k + 1, 7, 1, k + 1, 6.0, 10.0, 0.0, 0.0, "N", "O",
+                     pd.Timestamp("2024-01-01") + pd.Timedelta(days=3 * k)))
+    d = str(tmp_path_factory.mktemp("croston"))
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), coerce_timestamps="us")
+    r = REGISTRY["forecast_croston_intermittent"].fn(spark, d).collect()[0]
+    assert (r.part_key, r.n_demand_days) == (7, 12)
+    assert abs(r.z_demand - 6.0) < 1e-9
+    assert abs(r.p_interval - 3.0) < 1e-9
+    assert abs(r.croston_rate - 2.0) < 1e-9

@@ -1589,3 +1589,89 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((p + (F.lit(1.0) - p) / 2) / ((F.lit(1.0) - p) / 2)), 4
         ).alias("epsilon"),
     )
+
+
+_GEN_LEVELS = [
+    ("L0_lang_source_b100", "lang", "source", "CAST(n_chars // 100 AS BIGINT)"),
+    ("L1_lang_source_b1000", "lang", "source", "CAST(n_chars // 1000 AS BIGINT)"),
+    ("L2_lang_source", "lang", "source", "CAST(0 AS BIGINT)"),
+    ("L3_lang", "lang", "'*'", "CAST(0 AS BIGINT)"),
+    ("L4_all", "'*'", "'*'", "CAST(0 AS BIGINT)"),
+]
+
+
+def _gen_oracle() -> str:
+    per_level = [
+        f"""
+        SELECT '{name}' AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(k) AS BIGINT) AS k_min
+        FROM (
+            SELECT COUNT(*) AS k FROM documents GROUP BY {la}, {so}, {bu}
+        )"""
+        for name, la, so, bu in _GEN_LEVELS
+    ]
+    return f"""
+    WITH levels AS ({" UNION ALL ".join(per_level)}),
+    chosen AS (
+        SELECT MIN(level) AS pick FROM levels WHERE k_min >= 5
+    )
+    SELECT l.level, l.n_groups, l.k_min,
+           l.k_min >= 5 AS meets_k,
+           l.level = c.pick AS chosen
+    FROM levels l CROSS JOIN chosen c
+    ORDER BY l.level
+    """
+
+
+@query("privacy_generalize_to_k", oracle=_gen_oracle())
+def privacy_generalize_to_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-to-k: the REPAIR step on top of the
+    `privacy_k_anonymity` audit. A fixed 5-level generalization ladder
+    over the (lang, source, size-bucket) quasi-identifier — coarsen the
+    size bucket 100→1000→drop, then suppress source, then suppress
+    everything — is evaluated in full (min class size and group count
+    per level), and the least-general level whose SMALLEST class
+    reaches k=5 is marked chosen (lexicographic level names make the
+    argmin a plain MIN — the portable-argmin idiom). On a corpus too
+    small for any level to reach k, no level is chosen — the honest
+    small-release verdict rather than a forced pick.
+
+    Each ladder rung is one partial-aggregatable groupBy (bounded
+    output: |QI domain| rows) plus a 2-value rollup; the whole ladder
+    is 5 cheap scans that production anonymizers fuse into one
+    GROUPING SETS pass when the levels share keys (here the bucket
+    VALUES differ per level, so the scans stay separate — documented
+    trade-off, and at 100 TB the 5 scans are still each one
+    map-combinable shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frames: list[DataFrame] = []
+    for name, la, so, bu in _GEN_LEVELS:
+        keys = [
+            F.expr(la).alias("qa"),
+            F.expr(so).alias("qb"),
+            F.expr(bu.replace("//", "div")).alias("qc"),
+        ]
+        g = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("k"))
+        frames.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("k").alias("k_min"),
+            ).select(F.lit(name).alias("level"), "n_groups", "k_min")
+        )
+    levels = frames[0]
+    for fr in frames[1:]:
+        levels = levels.unionByName(fr)
+    chosen = levels.filter(F.col("k_min") >= 5).agg(F.min("level").alias("pick"))
+    return (
+        levels.crossJoin(F.broadcast(chosen))
+        .select(
+            "level",
+            "n_groups",
+            "k_min",
+            (F.col("k_min") >= 5).alias("meets_k"),
+            (F.col("level") == F.col("pick")).alias("chosen"),
+        )
+        .orderBy("level")
+    )

@@ -1326,3 +1326,57 @@ def test_croston_rate_is_demand_per_day_on_planted_pattern(spark, tmp_path_facto
     assert abs(r.z_demand - 6.0) < 1e-9
     assert abs(r.p_interval - 3.0) < 1e-9
     assert abs(r.croston_rate - 2.0) < 1e-9
+
+
+# --------------------------------------------------- generalize-to-k
+
+
+def test_generalize_to_k_picks_least_general_sufficient_level(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    # 3 langs x 2 sources, 6 docs per (lang, source) cell, n_chars spread
+    # over two 100-buckets of 3 each -> L0 k_min=3 (<5), L1/L2 k_min=6
+    # (>=5) -> chosen = L1 (least general that meets k)
+    rows = []
+    i = 0
+    for lang in ["en", "fr", "de"]:
+        for source in ["web", "books"]:
+            for j in range(6):
+                rows.append((i, f"t{i}", lang, source, 50 + (j % 2) * 100))
+                i += 1
+    d = str(tmp_path_factory.mktemp("genk"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    got = {r.level: r for r in
+           REGISTRY["privacy_generalize_to_k"].fn(spark, d).collect()}
+    assert not got["L0_lang_source_b100"].meets_k
+    assert got["L0_lang_source_b100"].k_min == 3
+    assert got["L1_lang_source_b1000"].meets_k and got["L1_lang_source_b1000"].chosen
+    assert got["L2_lang_source"].meets_k and not got["L2_lang_source"].chosen
+    assert got["L4_all"].k_min == 36
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    err = compare_one(spark, con, REGISTRY["privacy_generalize_to_k"], d)
+    assert err is None or err.startswith("ok:"), err
+
+
+def test_generalize_to_k_no_level_sufficient_chooses_none(spark, tmp_path_factory):
+    import duckdb
+
+    from parity import compare_one
+
+    rows = [(i, f"t{i}", "en", "web", 50) for i in range(3)]  # 3 docs total
+    d = str(tmp_path_factory.mktemp("genk0"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    got = REGISTRY["privacy_generalize_to_k"].fn(spark, d).collect()
+    assert all(not r.meets_k for r in got)
+    assert all(r.chosen is None for r in got)  # NULL pick propagates
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    err = compare_one(spark, con, REGISTRY["privacy_generalize_to_k"], d)
+    assert err is None or err.startswith("ok:"), err

@@ -292,3 +292,38 @@ def sqltext_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
          ORDER BY o_orderpriority'
         """
     )
+
+
+_GBA_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           COUNT(*) AS n_lines,
+           {rnd} AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "sqltext_group_by_all",
+    oracle=_GBA_SQL.format(rnd=dround("SUM(l_quantity)", 2)),
+)
+def sqltext_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` — the exploratory-SQL shorthand
+    (every non-aggregate select item becomes a grouping key; order by
+    the whole projection left-to-right). The IDENTICAL SQL text runs on
+    both engines (DuckDB originated the syntax; Spark adopted it), so
+    the hash certifies that both resolve ALL to the same key set
+    (l_returnflag, l_linestatus, ship_year) and the same total order —
+    including the derived-expression key, the case that trips naive
+    ALL implementations.
+
+    Same physical plan as writing the keys out: one map-combinable
+    grouped aggregate; ALL is resolution sugar, not a plan change.
+    """
+    register_views(spark, sf_dir)
+    # Spark's year() returns INT, DuckDB's BIGINT — align width in the
+    # projection the same way on both (dround already matched sum_qty).
+    return spark.sql(_GBA_SQL.format(rnd=_sround("SUM(l_quantity)", 2)))

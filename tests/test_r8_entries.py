@@ -1380,3 +1380,72 @@ def test_generalize_to_k_no_level_sufficient_chooses_none(spark, tmp_path_factor
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     err = compare_one(spark, con, REGISTRY["privacy_generalize_to_k"], d)
     assert err is None or err.startswith("ok:"), err
+
+
+# --------------------------------------------------- Kendall tau-b
+
+
+def test_kendall_matches_direct_pair_count_on_real_data(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    cuts = con.execute(
+        f"""SELECT quantile_cont(value,
+               [{', '.join(str(b/10.0) for b in range(1, 10))}])
+            FROM '{SF0001}/events.parquet'"""
+    ).fetchone()[0]
+    cuts = [_hr(c, 9) for c in cuts]
+    rows = con.execute(
+        f"SELECT hour(ts), value FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    cells: dict[tuple[int, int], int] = {}
+    for h, v in rows:
+        d = 1 + sum(1 for c in cuts if v > c)
+        cells[(h, d)] = cells.get((h, d), 0) + 1
+    conc = disc = 0
+    items = list(cells.items())
+    for (ha, da), ca in items:
+        for (hb, db), cb in items:
+            if hb > ha:
+                if db > da:
+                    conc += ca * cb
+                elif db < da:
+                    disc += ca * cb
+    n = len(rows)
+    tx = sum(r * (r - 1) / 2.0 for r in
+             {h: sum(c for (hh, _), c in cells.items() if hh == h)
+              for h in {h for h, _ in cells}}.values())
+    ty = sum(s * (s - 1) / 2.0 for s in
+             {d: sum(c for (_, dd), c in cells.items() if dd == d)
+              for d in {d for _, d in cells}}.values())
+    n0 = n * (n - 1) / 2.0
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    r = REGISTRY["stats_kendall_tau_b"].fn(spark, SF0001).collect()[0]
+    assert r.n_events == n
+    assert r.n_concordant == conc and r.n_discordant == disc
+    assert abs(r.tau_b - tau) < 1e-6
+    assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_kendall_perfect_monotone_is_one(spark, tmp_path_factory):
+    import datetime as dt
+    import duckdb
+
+    from parity import compare_one
+
+    # 10 hours x 10 distinct values on the diagonal -> each hour its
+    # own decile -> every cross-hour pair concordant, zero y-ties
+    # across hours -> tau_b exactly 1
+    B = dt.datetime(2024, 4, 1)
+    rows = [(h * 10 + j, B + dt.timedelta(hours=h, minutes=j), 1, "view",
+             float(h), "{}")
+            for h in range(10) for j in range(5)]
+    d = str(tmp_path_factory.mktemp("tau"))
+    _write_events(d, rows)
+    r = REGISTRY["stats_kendall_tau_b"].fn(spark, d).collect()[0]
+    assert r.tau_b == 1.0
+    assert r.n_discordant == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    err = compare_one(spark, con, REGISTRY["stats_kendall_tau_b"], d)
+    assert err is None or err.startswith("ok:"), err

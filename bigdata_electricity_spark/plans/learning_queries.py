@@ -1002,6 +1002,10 @@ def _poisson_oracle() -> str:
         "(SUM(w) * SUM(w * x * z) - SUM(w * x) * SUM(w * z))"
         " / (SUM(w) * SUM(w * x * x) - SUM(w * x) * SUM(w * x))"
     )
+    # Zero weighted x-variance (all events in one distinct hour-of-day)
+    # must yield NULL on both engines, not ANSI divide-by-zero; NULLs
+    # then propagate through a/mu/deviance identically.
+    b_guard = "SUM(w) * SUM(w * x * x) - SUM(w * x) * SUM(w * x) > 0"
     a_e = "(SUM(w * z) - bnew * SUM(w * x)) / SUM(w)"
     sql = f"""
     WITH counts AS MATERIALIZED (
@@ -1022,7 +1026,8 @@ def _poisson_oracle() -> str:
                exp(a + b * x) AS w
         FROM counts, p{p}
     ), bstep{r} AS MATERIALIZED (
-        SELECT {r9(b_e)} AS bnew FROM work{r}
+        SELECT CASE WHEN {b_guard} THEN {r9(b_e)} END AS bnew
+        FROM work{r}
     ), p{r} AS MATERIALIZED (
         SELECT {r9(a_e)} AS a, bnew AS b
         FROM work{r}, bstep{r} GROUP BY bnew
@@ -1092,9 +1097,12 @@ def ml_poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         swz = F.sum(F.col("w") * F.col("z"))
         swxz = F.sum(F.col("w") * F.col("x") * F.col("z"))
         swxx = F.sum(F.col("w") * F.col("x") * F.col("x"))
+        # Zero weighted x-variance (degenerate single-hour input) →
+        # NULL slope on both engines, never ANSI divide-by-zero.
         bstep = work.agg(
-            hround(
-                (sw * swxz - swx * swz) / (sw * swxx - swx * swx), 9
+            F.when(
+                sw * swxx - swx * swx > 0,
+                hround((sw * swxz - swx * swz) / (sw * swxx - swx * swx), 9),
             ).alias("bnew"),
         )
         state = (
@@ -1149,6 +1157,12 @@ def _kendall_oracle() -> str:
         " / sqrt((m.n * (m.n - 1) / 2.0 - m.tx)"
         " * (m.n * (m.n - 1) / 2.0 - m.ty))"
     )
+    # Fully-tied margin (single hour or single decile) makes the
+    # denominator 0: NULL on both engines, never divide-by-zero.
+    tau_guard = (
+        "(m.n * (m.n - 1) / 2.0 - m.tx)"
+        " * (m.n * (m.n - 1) / 2.0 - m.ty) > 0"
+    )
     probs = ", ".join(
         f"CAST({b}.0/{TAU_BINS} AS DOUBLE)" for b in range(1, TAU_BINS)
     )
@@ -1177,7 +1191,7 @@ def _kendall_oracle() -> str:
     SELECT CAST(m.n AS BIGINT) AS n_events,
            CAST(cd.conc AS BIGINT) AS n_concordant,
            CAST(cd.disc AS BIGINT) AS n_discordant,
-           {dround(tau_e, 6)} AS tau_b
+           CASE WHEN {tau_guard} THEN {dround(tau_e, 6)} END AS tau_b
     FROM cd, margins m
     """
 
@@ -1244,6 +1258,9 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2.0).alias("ty"))
     )
     n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+    # Tie-correction product is 0 when a margin is fully tied (all
+    # events in one hour, or one decile): NULL tau, not ANSI div/0.
+    tie_prod = (n0 - F.col("tx")) * (n0 - F.col("ty"))
     return (
         cd.crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(tx))
@@ -1252,10 +1269,11 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_events"),
             F.col("conc").cast("bigint").alias("n_concordant"),
             F.col("disc").cast("bigint").alias("n_discordant"),
-            hround(
-                (F.col("conc") - F.col("disc"))
-                / F.sqrt((n0 - F.col("tx")) * (n0 - F.col("ty"))),
-                6,
+            F.when(
+                tie_prod > 0,
+                hround(
+                    (F.col("conc") - F.col("disc")) / F.sqrt(tie_prod), 6
+                ),
             ).alias("tau_b"),
         )
     )

@@ -1174,10 +1174,15 @@ def _hist_quantile_oracle() -> str:
         SELECT CASE WHEN width = 0 THEN 0
                     ELSE LEAST(CAST(floor((value - lo) / width) AS BIGINT),
                                {HIST_BINS - 1}) END AS bin,
-               CAST(hash(CAST(event_id AS VARCHAR)) % {HIST_SHARDS} AS BIGINT) AS shard
+               CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % {HIST_SHARDS} AS BIGINT) AS shard
         FROM events, bounds
     ), shard_hists AS MATERIALIZED (
         SELECT shard, bin, COUNT(*) AS c FROM binned GROUP BY shard, bin
+    ), shard_sig AS MATERIALIZED (
+        SELECT CAST(SUM((shard * {HIST_BINS} + bin + 1) * c) AS BIGINT)
+               AS shard_checksum
+        FROM shard_hists
     ), merged AS MATERIALIZED (
         SELECT bin, CAST(SUM(c) AS DOUBLE) AS c FROM shard_hists GROUP BY bin
     ), cum AS MATERIALIZED (
@@ -1206,8 +1211,9 @@ def _hist_quantile_oracle() -> str:
            {dround("CASE WHEN e.stat = 'p50' THEN x.x50 ELSE x.x90 END", 6)} AS exact,
            {dround('e.width', 6)} AS bin_width,
            abs(e.est - CASE WHEN e.stat = 'p50' THEN x.x50 ELSE x.x90 END)
-             <= e.width + 1e-9 AS within_bound
-    FROM ests e CROSS JOIN exact x
+             <= e.width + 1e-9 AS within_bound,
+           s.shard_checksum
+    FROM ests e CROSS JOIN exact x CROSS JOIN shard_sig s
     ORDER BY e.stat
     """
 
@@ -1215,12 +1221,16 @@ def _hist_quantile_oracle() -> str:
 @query("sketch_histogram_shard_quantiles", oracle=_hist_quantile_oracle())
 def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantiles with an explicit
-    shard-merge step: each of 8 hash shards builds its own 64-bin
-    histogram of events.value, the shard histograms are merged by plain
-    per-bin addition (histograms are mergeable BY CONSTRUCTION — the
-    property `sketch_shard_merge` certifies for HLL and this entry
-    certifies for quantiles), and p50/p90 are read off the merged
-    cumulative histogram by within-bin linear interpolation.
+    shard-merge step: each of 8 salted-md5 hash shards (the SAME
+    deterministic shard function on both engines — r7 ADVICE) builds
+    its own 64-bin histogram of events.value, the shard histograms are
+    merged by plain per-bin addition (histograms are mergeable BY
+    CONSTRUCTION — the property `sketch_shard_merge` certifies for HLL
+    and this entry certifies for quantiles), and p50/p90 are read off
+    the merged cumulative histogram by within-bin linear interpolation.
+    The `shard_checksum` column (position-weighted sum over the
+    (shard, bin, count) cells) makes the shard SPLIT itself
+    hash-checked cross-engine, not only the shard-invariant merge.
 
     The certification column is the point: |est − exact| ≤ bin_width is
     a GUARANTEE of the equi-width construction (the true quantile lies
@@ -1254,9 +1264,24 @@ def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             )
         )
         .alias("bin"),
-        (F.col("event_id") % HIST_SHARDS).alias("shard"),
+        # Salted-md5 shard (the registry idiom): the SAME deterministic
+        # shard function on both engines, so the shard split itself is
+        # cross-checked — not just the shard-invariant merged histogram.
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % HIST_SHARDS
+        ).alias("shard"),
     )
     shard_hists = binned.groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # Cross-engine witness of the shard SPLIT itself: a position-weighted
+    # checksum over the (shard, bin, c) cells. Two different splits with
+    # the same merged histogram produce different checksums.
+    shard_sig = shard_hists.agg(
+        F.sum((F.col("shard") * HIST_BINS + F.col("bin") + 1) * F.col("c"))
+        .cast("bigint")
+        .alias("shard_checksum")
+    )
     merged = shard_hists.groupBy("bin").agg(F.sum("c").cast("double").alias("c"))
     cum = merged.select(
         "bin",
@@ -1284,6 +1309,7 @@ def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             cum.join(F.broadcast(pick), "bin")
             .crossJoin(F.broadcast(bounds))
             .crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(shard_sig))
             .select(
                 F.lit(stat).alias("stat"),
                 hround(est_expr, 6).alias("est"),
@@ -1298,6 +1324,7 @@ def sketch_histogram_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
                     )
                     <= F.col("width") + F.lit(1e-9)
                 ).alias("within_bound"),
+                F.col("shard_checksum"),
             )
         )
     return frames[0].unionByName(frames[1]).orderBy("stat")

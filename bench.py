@@ -1,8 +1,13 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The driver runs this per-round and
-records BENCH_r{N}.json; target is ≤2× the driver BASELINE (BASELINE.md).
+"queries": {name: sec}, "steady_value": sec, "queries_steady": {...},
+"sf": ...}. The driver runs this per-round and records BENCH_r{N}.json;
+target is ≤2× the driver BASELINE (BASELINE.md). "value"/"queries" are
+the COLD pass (per-query Catalyst compile included — the historically
+comparable number); "steady_value"/"queries_steady" are the best of the
+follow-up in-process passes, which strip compile + first-touch cost and
+are the number to compare across rounds on a noisy shared VM.
 
 Headline set spans the engine's plan shapes: full-table agg, star join,
 window rank, event-time windows, sessionization, text analysis, exact
@@ -42,15 +47,22 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # --repeat N: report best-of-N per query (steady-state timing; the
-    # default single pass includes Catalyst+codegen compile, which is
-    # what the driver's cold run sees).
-    repeat = 1
+    # --repeat N: total suite passes. Pass 1 is COLD (includes each
+    # query's Catalyst+codegen compile — what the driver's run sees and
+    # what BASELINE.md was measured as); passes 2..N are STEADY and the
+    # best one is reported alongside. Default 2 so every bench artifact
+    # carries both numbers: round-over-round comparisons on this
+    # shared/noisy VM need the steady number to tell a plan regression
+    # from a slow box (r7 VERDICT task 1). --repeat 1 = cold only.
+    repeat = 2
     if "--repeat" in sys.argv:
         idx = sys.argv.index("--repeat")
         if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
-            sys.exit("usage: bench.py [--repeat N]")
+            sys.exit("usage: bench.py [--repeat N] [--record]")
         repeat = int(sys.argv[idx + 1])
+        if repeat < 1:
+            sys.exit("usage: bench.py [--repeat N] [--record] (N >= 1)")
+    record = "--record" in sys.argv
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
@@ -82,24 +94,31 @@ def main() -> None:
         one.select(F.col("id").alias("jid")), F.col("id") == F.col("jid")
     ).groupBy(F.window("ts", "10 minutes")).count().count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}          # pass 1: cold
+    steady: dict[str, float] = {}           # best of passes 2..N
     errors: list[str] = []
-    for name in HEADLINE:
-        # One broken query must not cost the whole bench artifact: record
-        # the failure, keep timing the rest, still emit the JSON line.
-        try:
-            best, n = None, 0
-            for _ in range(repeat):
+    for p in range(1, repeat + 1):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            # One broken query must not cost the whole bench artifact:
+            # record the failure, keep timing the rest, still emit JSON.
+            try:
                 t0 = time.perf_counter()
                 df = REGISTRY[name].fn(spark, sf_dir)
                 n = df.count()
-                el = time.perf_counter() - t0
-                best = el if best is None or el < best else best
-            timings[name] = round(best, 3)
-            print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            errors.append(name)
-            print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
+                el = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(name)
+                print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
+                continue
+            if p == 1:
+                timings[name] = el
+                print(f"# {name}: {n} rows in {el:.3f}s", file=sys.stderr)
+            elif name not in steady or el < steady[name]:
+                steady[name] = el
+        if p > 1:
+            print(f"# steady pass {p - 1}/{repeat - 1} done", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -109,9 +128,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if steady:
+        out["steady_value"] = round(sum(steady.values()), 3)
+        out["queries_steady"] = steady
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    if record:
+        # Same-VM trend artifact (r7 VERDICT task 1): cold + steady per
+        # session, appended so round-over-round VM variance is provable.
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "BENCH_HEADLINE.jsonl"), "a") as fh:
+            fh.write(json.dumps(out) + "\n")
     spark.stop()
     sys.exit(1 if errors else 0)
 

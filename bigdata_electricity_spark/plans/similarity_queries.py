@@ -722,8 +722,11 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = edges.select(
         "src", "dst", (F.col("rev") / F.sum("rev").over(Window.partitionBy("src"))).alias("w")
     )
-    nodes = nation.select(F.col("n_name").alias("node")).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy()).cast("double")
+    # |V| via a broadcast 1-row aggregate, not a global window — keeps
+    # the plan free of unaggregated single-partition exchanges (the
+    # r8 plan-scale sweep asserts none exist outside SCALE_TWINS).
+    nodes = nation.select(F.col("n_name").alias("node")).crossJoin(
+        F.broadcast(nation.agg(F.count(F.lit(1)).cast("double").alias("n")))
     )
     ranks = nodes.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(3):

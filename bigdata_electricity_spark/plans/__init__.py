@@ -25,6 +25,7 @@ from . import warehouse_queries  # noqa: E402,F401
 from . import insight_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 from . import learning_queries  # noqa: E402,F401
+from . import household_queries  # noqa: E402,F401
 
 # Exact-variant → scale-safe twin. Some entries deliberately keep the
 # reference's (or the textbook's) EXACT small-data semantics even though

@@ -5,11 +5,15 @@ larger SF (default sf0.1, 10× the driver's correctness SF) and flags
 queries whose runtime scales pathologically — the local proxy for "would
 this survive the next 10×". No DuckDB, no value compare.
 
-    python tools/time_all.py [sf_dir] [--flag-sec N]
+    python tools/time_all.py [sf_dir] [--flag-sec N] [--json out.json]
+
+--json writes {"sf_dir": ..., "timings": {name: sec}, "errors": [...]}
+for cross-SF ratio analysis (tools/scaling_report.py).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -22,13 +26,19 @@ from bigdata_electricity_spark.session import get_spark  # noqa: E402
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     flag_sec = 10.0
+    json_out = None
     if "--flag-sec" in args:
         i = args.index("--flag-sec")
         flag_sec = float(args[i + 1])
         del args[i : i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("time-all")
     timings: list[tuple[float, str]] = []
+    errors: list[str] = []
     failures = 0
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
@@ -36,6 +46,7 @@ def main() -> int:
             n = spec.fn(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
+            errors.append(name)
             failures += 1
             continue
         dt = time.perf_counter() - t0
@@ -48,6 +59,17 @@ def main() -> int:
         print(f"{dt:7.2f}s  {name}{mark}")
     flagged = [n for dt, n in timings if dt > flag_sec]
     print(f"-- {len(timings)} ran, {failures} errors, {len(flagged)} over {flag_sec:.0f}s: {flagged}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "timings": {n: round(dt, 3) for dt, n in sorted(timings, key=lambda t: t[1])},
+                    "errors": errors,
+                },
+                fh,
+                indent=1,
+            )
     spark.stop()
     return 1 if failures else 0
 

@@ -372,3 +372,213 @@ def containment_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered candidate generation (the r8 scale fix)
+# ---------------------------------------------------------------------------
+#
+# The r8 sf1 audit (docs/SCALING_SF1.md) showed the fixed-cardinality
+# blocking above (source / label) going quadratic: block populations grow
+# with the corpus while the number of blocks does not, so per-block pairs
+# grow as n². PPJoin-style prefix filtering replaces the block key with a
+# CONTENT-derived bound: order each doc's tokens by ascending global
+# document frequency; a pair can reach the threshold only if it shares a
+# token inside both docs' short "prefix" of globally-rarest tokens, so
+# candidates concentrate on rare tokens and total candidate mass tracks
+# the TRUE-pair mass, not block². (r6 measured prefix filtering as a net
+# loss at sf0.1 where source blocking was within 1.4x of the true-pair
+# floor — both measurements stand; the crossover is the regime change
+# the audit exposed. Xiao et al., "Efficient Similarity Joins for Near
+# Duplicate Detection", WWW'08 — public algorithm.)
+#
+# Correctness of the filter (recall = 1, any global token order): if
+# |A∩B| ≥ ⌈t·|A|⌉, fewer than |A| − ⌈t·|A|⌉ + 1 of A's tokens are outside
+# B, so at least one of A's first |A| − ⌈t·|A|⌉ + 1 tokens (in ANY fixed
+# order) is shared. Verification is exact, so each engine may use its own
+# token order (Spark ranks xxhash64 longs, the DuckDB oracle ranks
+# strings) and still produce the identical final pair set.
+
+
+def _token_base(df: DataFrame, text_col: str, id_col: str,
+                block_cols: list[str] | None = None) -> DataFrame:
+    tokens = F.transform(
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),
+        lambda t: F.xxhash64(t),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in (block_cols or [])],
+            tokens.alias("toks"),
+        )
+        .withColumn("__n", F.size("toks"))
+        .localCheckpoint(eager=False)  # reused: postings + both verify sides
+    )
+
+
+def _df_ranked_postings(base: DataFrame,
+                        block_cols: list[str] | None = None) -> DataFrame:
+    """(id, __n, [blocks], tok, rk): tokens of each doc ranked by
+    ascending global document frequency (ties by token hash — any total
+    order works)."""
+    posting = base.select(
+        "id", "__n", *(block_cols or []), F.explode("toks").alias("tok")
+    )
+    tok_df = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return posting.join(tok_df, "tok").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "tok")),
+    )
+
+
+def _pair_cond(left: str, right: str, block_cols: list[str] | None):
+    cond = F.lit(True)
+    for c in block_cols or []:
+        cond = cond & (F.col(f"{left}.{c}") == F.col(f"{right}.{c}"))
+    return cond
+
+
+def prefix_filtered_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  block_cols: list[str] | None = None,
+                                  threshold: float = 0.6) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ threshold, candidates bounded by
+    prefix filtering instead of block².
+
+    With ``block_cols`` the output is IDENTICAL to
+    :func:`ngram_jaccard_pairs` on the same blocks (prefix filtering has
+    recall 1, verification is exact) — only the candidate plan changes,
+    so the same oracle certifies both. Without block_cols the pair
+    relation is global; on a corpus as dense as the testdata (57% of all
+    pairs ≥ 0.6) that OUTPUT is itself Θ(n²) — measured r8, which is why
+    the shipped twin keeps the same-source semantics.
+
+    Plan: one posting aggregate (global token df), one per-doc rank
+    window, prefix×prefix join keyed on rare tokens with the Jaccard
+    size-ratio prune, candidate-pair distinct, then the same exact
+    hashed-array verification as :func:`ngram_jaccard_pairs`. Every
+    shuffle keys on ids or 8-byte token hashes — document bodies never
+    move after the first projection.
+    """
+    base = _token_base(df, text_col, id_col, block_cols)
+    ranked = _df_ranked_postings(base, block_cols)
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # Pair-dependent tightening (classical prefix-filter theorem: if
+    # |A∩B| ≥ α, the SMALLEST common token lies within BOTH prefixes of
+    # length |·|−α+1): at join time both sizes are known, so α can be
+    # the pairwise ⌈t·max(|A|,|B|)⌉ instead of each side's static
+    # ⌈t·n⌉ — strictly fewer candidates, recall still 1.
+    alpha = F.ceil(
+        F.lit(threshold) * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            & _pair_cond("pa", "pb", block_cols)
+            # size-ratio prune: J ≤ min/max, so lopsided pairs can't qualify
+            & (
+                F.least(F.col("pa.__n"), F.col("pb.__n")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
+            )
+            & (F.col("pa.rk") <= F.col("pa.__n") - alpha + 1)
+            & (F.col("pb.rk") <= F.col("pb.__n") - alpha + 1),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("__n").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("__n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jaccard = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filtered_containment_pairs(df: DataFrame, text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      block_cols: list[str] | None = None,
+                                      threshold: float = 0.8) -> DataFrame:
+    """Exact containment pairs C(A→B) = |A∩B|/|A| ≥ threshold, with the
+    containee's rare-token prefix probing FULL postings.
+
+    With ``block_cols`` the output is IDENTICAL to
+    :func:`containment_pairs` on the same blocks — prefix filtering has
+    recall 1 (pigeonhole on the ⌈t·|A|⌉ required overlap), verification
+    is exact, so the baseline's oracle certifies this plan too.
+
+    The asymmetric relation has no size-ratio prune and no bound on the
+    container's prefix (a tiny set can sit inside any huge one), so the
+    candidate join is containee-prefix × full-postings — still bounded:
+    prefixes prefer the globally rarest tokens, so the per-token join
+    fan-out is df(rare), not df(hot). Containee orientation matches
+    :func:`containment_pairs`: the smaller token set, ties to the lower
+    id.
+    """
+    base = _token_base(df, text_col, id_col, block_cols)
+    ranked = _df_ranked_postings(base, block_cols)
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    pa, pb = prefix.alias("pa"), ranked.alias("pb")
+    # Pair-dependent container prefix (both-prefixes theorem): with
+    # α = ⌈t·|A|⌉ known at join time, the smallest common token must
+    # also sit within the container's first |B|−α+1 tokens — prunes the
+    # hot tail of the full postings the asymmetric probe would
+    # otherwise sweep. Recall stays 1.
+    alpha = F.ceil(F.lit(threshold) * F.col("pa.__n"))
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & _pair_cond("pa", "pb", block_cols)
+            & (F.col("pb.rk") <= F.col("pb.__n") - alpha + 1)
+            # containee = smaller set, ties to the lower id — dedups the
+            # pair AND pins the orientation before verification.
+            & (
+                (F.col("pa.__n") < F.col("pb.__n"))
+                | (
+                    (F.col("pa.__n") == F.col("pb.__n"))
+                    & (F.col("pa.id") < F.col("pb.id"))
+                )
+            ),
+        )
+        .select(
+            F.col("pa.id").alias("containee_id"),
+            F.col("pb.id").alias("container_id"),
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("containee_id"),
+        F.col("toks").alias("ta"),
+        F.col("__n").alias("na"),
+    )
+    vb = base.select(
+        F.col("id").alias("container_id"), F.col("toks").alias("tb")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    return (
+        cand.join(va, "containee_id")
+        .join(vb, "container_id")
+        .select(
+            "containee_id",
+            "container_id",
+            (inter.cast("double") / F.col("na").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -48,6 +48,22 @@ SCALE_TWINS: dict[str, str] = {
     # exact brute-force cosine top-k (full-corpus scan per query) ↔
     # learned IVF coarse quantizer probing a fraction of the corpus
     "sim_topk_bruteforce": "sim_ivf_probe_topk",
+    # r8 sf1-audit pairings (docs/SCALING_SF1.md): fixed-cardinality
+    # block keys (source / label) make per-block pairs quadratic in the
+    # corpus. Text side: prefix-filtered twins produce the IDENTICAL
+    # result (same oracle) with candidate mass bounded by content —
+    # measured 430s→55s / 301s→57s at sf1.
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard_prefix",
+    "dedup_containment_best": "dedup_containment_best_prefix",
+    # Embedding side: the production variants already existed and the
+    # same audit measured them linear (2.6× / 6.1× / 17.7× for 10×
+    # rows) — label-bucket all-pairs ↔ learned IVF probe; label-blocked
+    # near-dup pairs ↔ banded hyperplane LSH; pair-graph closure
+    # clusters ↔ centroid clustering / banded candidates + CC.
+    "sim_bucketed_nn": "sim_ivf_probe_topk",
+    "sim_near_dup_pairs": "sim_lsh_hyperplane",
+    "sim_semantic_clusters": "kmeans_dataframe_lloyd",
+    "dedup_cc_clusters": "dedup_minhash_lsh",
 }
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

@@ -13,6 +13,8 @@ from ..operators.dedup import (
     exact_dup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    prefix_filtered_containment_pairs,
+    prefix_filtered_jaccard_pairs,
     simhash_near_dups,
 )
 from ..sources.loaders import load_table
@@ -83,11 +85,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking bounds the self-join to same-source pairs — the all-pairs
     O(n²) never materializes (SURVEY north-star: candidate generation must
     be blocked/bucketed at scale).
+
+    exact, small-data: the block key has FIXED cardinality, so block
+    populations — and the per-block pair count, quadratically — grow
+    with the corpus (r8 sf1 audit, docs/SCALING_SF1.md: 55× for 10×
+    rows). Scale twin: `dedup_ngram_jaccard_prefix` (prefix-filtered
+    global candidates, same exact verification).
     """
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, block_cols=["source"], threshold=0.6).orderBy(
         "id_a", "id_b"
     ).select("id_a", "id_b", hround("jaccard", 4).alias("jaccard"))
+
+
+# Same oracle as dedup_ngram_jaccard — the prefix twin produces the
+# IDENTICAL pair set (prefix filtering has recall 1, verification is
+# exact), so the baseline's SQL certifies both plans.
+_JACCARD_SRC_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split({_DUCK_NORM}, ' ')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.t, b.t)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_ngram_jaccard_prefix", oracle=_JACCARD_SRC_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs with PPJoin-style prefix filtering —
+    the scale twin of `dedup_ngram_jaccard` (r8 sf1 audit), producing
+    the IDENTICAL same-source pair set under a plan whose candidate
+    mass tracks true pairs instead of block².
+
+    Candidate rule: tokens ranked by ascending GLOBAL document frequency
+    (ties by hash); a pair is considered only if it shares a token in
+    both docs' rarest-⌈(1−t)·n⌉+1 prefix AND the same block. Recall is
+    provably 1 for ANY global token order (pigeonhole on the required
+    overlap ⌈t·n⌉), verification is exact — so the twin shares the
+    baseline's oracle verbatim, and the oracle may rank string tokens
+    while Spark ranks xxhash64 longs.
+
+    Why not drop the block and go global: measured r8 — this corpus is
+    57% near-duplicate at t=0.6 (7.1M of 12.5M pairs at sf0.1), so the
+    GLOBAL pair listing is itself Θ(n²) regardless of candidate scheme;
+    on dense corpora the scalable global semantics are clusters
+    (`dedup_cc_clusters` + `dedup_minhash_lsh`), not pairs. And why the
+    baseline keeps its plan at bench SF: r6 measured source blocking
+    within 1.4× of the true-pair floor at sf0.1 — prefix filtering wins
+    only past the crossover the sf1 audit exposed (55× → the candidate
+    side, 250M doomed same-source candidates vs ~40M here).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        prefix_filtered_jaccard_pairs(docs, block_cols=["source"], threshold=0.6)
+        .select("id_a", "id_b", hround("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_CONTAINMENT_BEST_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split({_DUCK_NORM}, ' ')) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT CASE WHEN len(a.t) <= len(b.t) THEN a.doc_id ELSE b.doc_id END AS containee_id,
+               CASE WHEN len(a.t) <= len(b.t) THEN b.doc_id ELSE a.doc_id END AS container_id,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / least(len(a.t), len(b.t)) AS containment
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ), best AS (
+        SELECT containee_id, container_id, containment,
+               row_number() OVER (PARTITION BY containee_id
+                   ORDER BY containment DESC, container_id) AS rn
+        FROM pairs WHERE containment >= 0.8
+    )
+    SELECT containee_id, container_id,
+           {dround('containment', 6)} AS containment
+    FROM best WHERE rn = 1
+    ORDER BY containee_id
+    """
+
+
+@query("dedup_containment_best_prefix", oracle=_CONTAINMENT_BEST_ORACLE)
+def dedup_containment_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-container containment dedup with prefix-filtered candidates —
+    the scale twin of `dedup_containment_best` (r8 sf1 audit), producing
+    the IDENTICAL result (same oracle) under a candidate plan bounded by
+    content instead of block².
+
+    The containee's rarest-token prefix probes the container side's FULL
+    postings (the asymmetric relation bounds only the containee — a tiny
+    set can sit inside any huge one), restricted to the same source
+    block, then exact verification and the same best-container pick (max
+    containment, ties to the smallest container id). The per-token join
+    fan-out is df(rare-token), not df(hot): prefixes prefer the globally
+    rarest tokens by construction. Recall 1 by pigeonhole on the
+    ⌈t·|A|⌉ required overlap.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_containment_pairs(
+        docs, block_cols=["source"], threshold=0.8
+    )
+    w = Window.partitionBy("containee_id").orderBy(
+        F.desc("containment"), F.col("container_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "containee_id",
+            "container_id",
+            hround("containment", 6).alias("containment"),
+        )
+        .orderBy("containee_id")
+    )
 
 
 def _curation_oracle() -> str:

@@ -102,6 +102,13 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lsh.py). Recall against the exhaustive ground truth is
     unit-tested (tests/test_lsh.py); bucket boundaries depend on float
     sign at ~0 so the pair set is declared rows-only for the oracle.
+
+    Scaling note (r8 sf1 audit): 17.7× for 10× rows — the growth is the
+    OUTPUT pair mass (identical replicated vectors land in identical
+    buckets, pairs grow as replica²), which any correct near-dup pair
+    listing must emit; candidate banding itself stays linear. At higher
+    duplicate density raise k_bits/bands (bucket occupancy halves per
+    bit) and emit clusters, not pairs.
     """
     from ..operators.lsh import lsh_near_dup_pairs
 
@@ -600,6 +607,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the orientation (each node's out-degree, not total degree).
     Wedge count comes from the symmetrized degree table; every number
     is exact-integer, so the whole profile is hash-checked.
+
+    Scaling note (r8 sf1 audit): cost is Θ(oriented wedges) — the known
+    optimum for exact triangle counting — so runtime tracks the edge
+    DENSITY of the near-dup graph, which the 10× replica synthesis
+    inflated ~100×. The 60× measured growth is therefore workload
+    (sub-linear in wedge mass), not plan super-linearity; there is no
+    cheaper exact algorithm to twin to. On denser graphs sample wedges
+    (sketch the coefficient) before reaching for this exact profile.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = pairwise_near_dups(emb, threshold=0.3).select(

@@ -1,0 +1,131 @@
+"""Prefix-filtered candidate generation (operators/dedup.py, r8).
+
+The scale twins claim an exact property: same-block prefix-filtered
+pairs EQUAL the blocked baseline's pairs (recall 1 by the both-prefixes
+pigeonhole, verification exact). These tests pin that equality on the
+real testdata and on planted adversarial cases (near-threshold pairs,
+hot tokens, lopsided sizes) where a broken prefix bound would first
+lose a pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_electricity_spark.operators.dedup import (
+    containment_pairs,
+    ngram_jaccard_pairs,
+    prefix_filtered_containment_pairs,
+    prefix_filtered_jaccard_pairs,
+)
+from bigdata_electricity_spark.sources.loaders import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.6, 0.8])
+def test_jaccard_prefix_equals_blocked(spark, threshold):
+    docs = load_table(spark, SF_DIR, "documents")
+    base = ngram_jaccard_pairs(docs, block_cols=["source"], threshold=threshold)
+    pref = prefix_filtered_jaccard_pairs(
+        docs, block_cols=["source"], threshold=threshold
+    )
+    lhs = _pairs_set(base, ["id_a", "id_b"])
+    rhs = _pairs_set(pref, ["id_a", "id_b"])
+    assert lhs == rhs
+    assert len(lhs) > 0  # non-vacuous on the real corpus
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.8])
+def test_containment_prefix_equals_blocked(spark, threshold):
+    docs = load_table(spark, SF_DIR, "documents")
+    base = containment_pairs(docs, block_cols=["source"], threshold=threshold)
+    pref = prefix_filtered_containment_pairs(
+        docs, block_cols=["source"], threshold=threshold
+    )
+    cols = ["containee_id", "container_id"]
+    lhs = _pairs_set(base, cols)
+    rhs = _pairs_set(pref, cols)
+    assert lhs == rhs
+    assert len(lhs) > 0
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_jaccard_prefix_planted_edges(spark):
+    # Planted adversarial set: an exact-threshold pair (J = 3/5 = 0.6),
+    # a just-below pair, identical twins, a hot token shared by all, and
+    # a lopsided pair killed by the size-ratio prune alone.
+    texts = [
+        "hot a b c d",        # 0
+        "hot a b c e",        # 1: J(0,1) = 4/6 = 0.667 >= 0.6
+        "hot a b x y",        # 2: J(0,2) = 3/7 < 0.6
+        "hot a b c d",        # 3: identical to 0
+        "hot p q r s t u v w x y z a b c d e f g",  # 4: lopsided vs 0
+    ]
+    docs = _docs(spark, texts)
+    got = _pairs_set(
+        prefix_filtered_jaccard_pairs(docs, threshold=0.6), ["id_a", "id_b"]
+    )
+    # brute-force truth
+    toks = [set(t.split()) for t in texts]
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if len(toks[i] & toks[j]) / len(toks[i] | toks[j]) >= 0.6
+    }
+    assert got == want
+    assert (0, 3) in got and (0, 1) in got and (0, 2) not in got
+
+
+def test_containment_prefix_planted_edges(spark):
+    # A short doc fully inside a long one (containment 1.0, Jaccard
+    # tiny), an exact-threshold 4/5 containee, and a sub-threshold case.
+    texts = [
+        "a b c d",                    # 0
+        "a b c d e f g h i j k l m",  # 1: C(0->1) = 1.0
+        "a b c x y",                  # 2: C(2->1)=3/5 <0.8; C(0->2)=3/4<0.8
+        "a b c d x",                  # 3: C(3->1) = 4/5 = 0.8 exactly
+    ]
+    docs = _docs(spark, texts)
+    got = _pairs_set(
+        prefix_filtered_containment_pairs(docs, threshold=0.8),
+        ["containee_id", "container_id"],
+    )
+    toks = [set(t.split()) for t in texts]
+
+    def orient(i, j):
+        # containee = smaller set, ties to the lower id
+        if (len(toks[i]), i) <= (len(toks[j]), j):
+            return i, j
+        return j, i
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = orient(i, j)
+            if len(toks[a] & toks[b]) / len(toks[a]) >= 0.8:
+                want.add((a, b))
+    assert got == want
+    assert (0, 1) in got and (3, 1) in got and (2, 1) not in got
+
+
+def test_prefix_plans_have_no_cartesian(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        prefix_filtered_jaccard_pairs(docs, block_cols=["source"], threshold=0.6),
+        prefix_filtered_containment_pairs(docs, block_cols=["source"], threshold=0.8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

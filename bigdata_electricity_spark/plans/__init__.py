@@ -57,10 +57,11 @@ SCALE_TWINS: dict[str, str] = {
     "dedup_containment_best": "dedup_containment_best_prefix",
     # Embedding side: the production variants already existed and the
     # same audit measured them linear (2.6× / 6.1× / 17.7× for 10×
-    # rows) — label-bucket all-pairs ↔ learned IVF probe; label-blocked
-    # near-dup pairs ↔ banded hyperplane LSH; pair-graph closure
-    # clusters ↔ centroid clustering / banded candidates + CC.
-    "sim_bucketed_nn": "sim_ivf_probe_topk",
+    # rows) — label-bucket all-pairs ↔ IVF with nlist ∝ √n (bucket
+    # count scales with the corpus, serve cost O(√n)/query); label-
+    # blocked near-dup pairs ↔ banded hyperplane LSH; pair-graph
+    # closure clusters ↔ centroid clustering / banded candidates + CC.
+    "sim_bucketed_nn": "sim_ivf_scaled_nlist",
     "sim_near_dup_pairs": "sim_lsh_hyperplane",
     "sim_semantic_clusters": "kmeans_dataframe_lloyd",
     "dedup_cc_clusters": "dedup_minhash_lsh",

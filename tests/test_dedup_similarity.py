@@ -243,3 +243,36 @@ def test_pq_adc_rerank_recall(spark):
         assert dists == sorted(dists)
         hits += sum(r["exact_hit"] for r in rs)
     assert 0 < hits < 9
+
+
+def test_ivf_scaled_nlist_recall_and_structure(spark):
+    # The scaled-nlist IVF (nlist = ceil(sqrt(n)), nprobe=2) trades
+    # recall for sub-linear serve cost; the acceptance bar is
+    # structural + a recall floor: every hit is the exact top-3
+    # restricted to the probed lists, and enough of the global top-3
+    # survives to be useful (seeded centroids, no Lloyd round).
+    from bigdata_electricity_spark.operators.similarity import brute_force_topk
+    from bigdata_electricity_spark.plans import REGISTRY
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["sim_ivf_scaled_nlist"].fn(spark, sf).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == {5, 17, 42}
+    emb = load_table(spark, sf, "embeddings")
+    hits = total = 0
+    for qid, rows in got.items():
+        # ranks dense from 1, cosines non-increasing
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(rows) + 1))
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        exact = {r["vec_id"] for r in brute_force_topk(emb, query_vec_id=qid, k=3).collect()}
+        hits += len({r["cand_id"] for r in rows} & exact)
+        total += len(exact)
+    assert total == 9
+    # Non-vacuous floor: probing 2 of ~sqrt(n) unlearned lists must
+    # still recover a third of the exact top-3 on this corpus.
+    assert hits / total >= 1 / 3, f"scaled-nlist recall@3 too low: {hits}/{total}"

@@ -64,7 +64,7 @@ SCALE_TWINS: dict[str, str] = {
     "sim_bucketed_nn": "sim_ivf_scaled_nlist",
     "sim_near_dup_pairs": "sim_lsh_hyperplane",
     "sim_semantic_clusters": "kmeans_dataframe_lloyd",
-    "dedup_cc_clusters": "dedup_minhash_lsh",
+    "dedup_cc_clusters": "dedup_cc_clusters_prefix",
 }
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

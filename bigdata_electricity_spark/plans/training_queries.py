@@ -85,9 +85,9 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cc_clusters",
-    oracle=f"""
+# Shared by dedup_cc_clusters and its prefix-filtered scale twin —
+# identical edge sets mean one closure oracle certifies both plans.
+_CC_ORACLE = f"""
     WITH RECURSIVE toks AS (
         SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS t
         FROM documents
@@ -111,7 +111,12 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY component
     ORDER BY component
-    """,
+    """
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=_CC_ORACLE,
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster closure: connected components over the
@@ -125,6 +130,34 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, block_cols=["source"], threshold=0.6)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(nodes, edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+@query("dedup_cc_clusters_prefix", oracle=_CC_ORACLE)
+def dedup_cc_clusters_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure over PREFIX-FILTERED near-dup edges —
+    the scale twin of `dedup_cc_clusters` (r8 sf1 audit). The edge set
+    is IDENTICAL (same-source prefix filtering has recall 1 and exact
+    verification — operators/dedup.py), so the same recursive-CTE
+    oracle certifies both; only the candidate plan changes, replacing
+    the block² same-source self-join with the global-df prefix join
+    that made `dedup_ngram_jaccard_prefix` 7.9× faster at sf1. The CC
+    iterations themselves are linear in edges either way
+    (min-label propagation, operators/graph.py).
+    """
+    from ..operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs, block_cols=["source"], threshold=0.6
+    )
     nodes = docs.select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return (

@@ -34,6 +34,12 @@ HEAVY = [
     "dedup_minhash_lsh",              # rolling-hash shingles + banded LSH
     "sim_bucketed_nn",                # bucketed ANN pair verification
     "ml_linear_regression",           # assemble/scale/fit/eval pipeline
+    # r8 additions (suite TOTAL comparable only from r8 on; per-query
+    # trends remain comparable throughout): the prefix-filtered scale
+    # twins and the scaled-nlist IVF from the sf1 audit.
+    "dedup_ngram_jaccard_prefix",
+    "dedup_cc_clusters_prefix",
+    "sim_ivf_scaled_nlist",
 ]
 
 

@@ -484,6 +484,10 @@ def dedup_containment_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-ratio prune exists for the asymmetric relation — blocking is
     the candidate bound), then a containee-partitioned row_number to
     keep the best container. Both shuffles key on ids, never bodies.
+
+    exact, small-data (r8 sf1 audit, 58×): the fixed-cardinality block
+    goes quadratic; scale twin `dedup_containment_best_prefix` produces
+    the IDENTICAL result (same oracle) with prefix-filtered candidates.
     """
     from pyspark.sql import Window
 

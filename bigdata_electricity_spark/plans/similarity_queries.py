@@ -89,8 +89,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: nearest neighbour within the same coarse bucket
-    (label ≈ centroid assignment). Per-bucket self-join — the scale path
-    vs. brute force's all-pairs."""
+    (label ≈ centroid assignment). Per-bucket self-join — bounded vs.
+    brute force's all-pairs, but the bucket COUNT is fixed, so buckets
+    grow with the corpus (r8 sf1 audit: 60×). Scale twin:
+    `sim_ivf_scaled_nlist` (nlist = ⌈√n⌉ — bucket count scales)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return bucketed_nearest_neighbor(emb).orderBy("vec_id")
 
@@ -132,7 +134,12 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.3 — the synthetic embeddings are near-orthogonal, max within-bucket cosine ≈0.47, so the demo threshold sits in the observable range) within buckets — the
-    embedding-space dedup verifier."""
+    embedding-space dedup verifier.
+
+    exact, small-data (r8 sf1 audit, 63×): the label bucket has fixed
+    cardinality, so per-bucket pairs grow quadratically with the
+    corpus. Scale twin: `sim_lsh_hyperplane` (banded signatures —
+    bucket occupancy halves per signature bit)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_near_dups(emb, threshold=0.3)
 
@@ -410,6 +417,12 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the min reachable vec_id: deterministic, so the closure is
     oracle-checked by a recursive CTE over the identical unit-dot
     edges (bit-identical pre-normalized math on both engines).
+
+    exact, small-data (r8 sf1 audit, 42× — the label-blocked edge
+    generation is the quadratic term). Scale twin:
+    `kmeans_dataframe_lloyd` (centroid clustering assigns every vector
+    in one linear pass; at scale semantic dedup clusters via
+    centroids or banded LSH edges, not exact pair graphs).
     """
     from ..operators.graph import connected_components
 

@@ -127,6 +127,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min-reachable-id labeling is deterministic, so unlike the
     hash-seeded LSH variants this transitive dedup IS oracle-checkable
     (DuckDB recursive CTE computes the same closure).
+
+    exact, small-data (r8 sf1 audit, 56× — the blocked pair generation
+    is the quadratic term; the CC iterations are linear in edges).
+    Scale twin: `dedup_cc_clusters_prefix` — identical clusters, same
+    oracle, prefix-filtered edge generation.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, block_cols=["source"], threshold=0.6)

@@ -65,6 +65,9 @@ SCALE_TWINS: dict[str, str] = {
     "sim_near_dup_pairs": "sim_lsh_hyperplane",
     "sim_semantic_clusters": "kmeans_dataframe_lloyd",
     "dedup_cc_clusters": "dedup_cc_clusters_prefix",
+    # same exact triangle algorithm over the ⌈√n⌉-bucket near-dup
+    # graph — the baseline's cost was its label-blocked edge generation
+    "graph_triangle_stats": "graph_triangle_stats_scaled",
 }
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

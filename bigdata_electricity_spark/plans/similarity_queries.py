@@ -754,18 +754,26 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wedge count comes from the symmetrized degree table; every number
     is exact-integer, so the whole profile is hash-checked.
 
-    Scaling note (r8 sf1 audit): cost is Θ(oriented wedges) — the known
-    optimum for exact triangle counting — so runtime tracks the edge
-    DENSITY of the near-dup graph, which the 10× replica synthesis
-    inflated ~100×. The 60× measured growth is therefore workload
-    (sub-linear in wedge mass), not plan super-linearity; there is no
-    cheaper exact algorithm to twin to. On denser graphs sample wedges
-    (sketch the coefficient) before reaching for this exact profile.
+    Scaling note (r8 sf1 audit, corrected): the 60× growth is the
+    label-blocked EDGE GENERATION (sim_near_dup_pairs alone measured
+    328 s of this entry's 330 s at sf1 — fixed-cardinality buckets,
+    class 1 of docs/SCALING_SF1.md), not the wedge join; the triangle
+    algorithm itself is the oriented-wedge optimum. Scale twin:
+    `graph_triangle_stats_scaled` — the same exact profile over the
+    ⌈√n⌉-bucket near-dup graph.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = pairwise_near_dups(emb, threshold=0.3).select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
-    ).localCheckpoint(eager=False)
+    )
+    return _triangle_profile(spark, e)
+
+
+def _triangle_profile(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Exact (nodes, edges, triangles, wedges, clustering coeff) of an
+    oriented (s < d) edge DataFrame — the MapReduce triangle-counting
+    classic shared by `graph_triangle_stats` and its scaled twin."""
+    e = e.localCheckpoint(eager=False)
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
@@ -780,7 +788,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_edges = e.count()
     n_wedges = stats["n_wedges"] or 0
-    gcc = 0.0 if n_wedges == 0 else __import__("math").floor(
+    gcc = 0.0 if n_wedges == 0 else math.floor(
         3.0 * tri / n_wedges * 1e6 + 0.5
     ) / 1e6
     return spark.createDataFrame(
@@ -788,6 +796,96 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes bigint, n_edges bigint, n_triangles bigint, "
         "n_wedges bigint, clustering_coeff double",
     )
+
+
+@query(
+    "graph_triangle_stats_scaled",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, v AS c FROM pts
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+                <= (SELECT ceil(sqrt(COUNT(*))) FROM pts)
+    ),
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(p.v, c.c),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), c.cid) AS rn
+            FROM pts p CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    u0 AS ({_DUCK_UNITS}),
+    u AS (
+        SELECT u0.vec_id, l.cid, u0.unit
+        FROM u0 JOIN lists l ON l.vec_id = u0.vec_id
+    ),
+    e AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM u a
+        JOIN u b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_DUCK_UDOT} >= 0.3
+    ),
+    sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+    deg AS (SELECT s AS id, COUNT(*) AS dg FROM sym GROUP BY s),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM e e1
+                JOIN e e2 ON e2.s = e1.d
+                JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d) AS n_triangles,
+               (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering_coeff
+    FROM agg
+    """,
+)
+def graph_triangle_stats_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle profile of the near-dup graph built over SCALED buckets —
+    the scale twin of `graph_triangle_stats` (r8 sf1 audit): the
+    baseline's cost is its label-blocked edge generation (fixed bucket
+    count → per-bucket pairs quadratic); here edges come from pairs
+    within the ⌈√n⌉-seeded-centroid assignment of
+    `sim_ivf_scaled_nlist`, so bucket occupancy — and with it the edge
+    join AND the wedge fan-out — scales as √n instead of n/|labels|.
+    Same exact triangle algorithm (`_triangle_profile`), fully
+    deterministic, hash-checked end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = embd.count()  # scalar: sizes the index (nlist = ceil(sqrt(n)))
+    nlist = int(math.ceil(math.sqrt(n)))
+    cent = (
+        embd.orderBy("vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        embd.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    pairs = pairwise_near_dups(assigned, threshold=0.3, bucket_col="cid")
+    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    return _triangle_profile(spark, e)
 
 
 @query(

@@ -73,18 +73,17 @@ def main() -> int:
         f"**{len(rows)} entries compared, {len(flagged)} flagged "
         f"super-linear, {len(errors)} errors.**",
         "",
-        "A FLAG is a measurement, not necessarily a defect. Three"
+        "A FLAG is a measurement, not necessarily a defect. Two"
         " classes (r8 analysis, ROUND_NOTES r11): (1) fixed-cardinality"
         " block keys → per-block pairs quadratic — fixed via the"
-        " prefix-filtered / scaled-nlist twins named in the verdict"
+        " prefix-filtered / scaled-bucket twins named in the verdict"
         " column, which produce the same (or production-grade) result"
         " under a content-bounded candidate plan; (2) OUTPUT-mass"
         " growth — the ×10 replica synthesis multiplies true near-dup"
         " pairs ×100, and any exact pair listing is linear in its"
-        " output (`sim_lsh_hyperplane`); (3) wedge-mass growth on a"
-        " denser graph with the algorithmically-optimal plan"
-        " (`graph_triangle_stats`). Entries whose verdict names a scale"
-        " twin are exact baselines to keep; use the twin at scale.",
+        " output (`sim_lsh_hyperplane`, itself the banded scale path)."
+        " Entries whose verdict names a scale twin are exact baselines"
+        " to keep; use the twin at scale.",
         "",
     ]
     if errors:

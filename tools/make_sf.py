@@ -22,6 +22,30 @@ groups grow 10x (a realistic dedup workload).
 pyarrow end-to-end so the parquet physical types match the originals
 exactly — in particular events.ts stays TIMESTAMP(NANOS), which the
 loaders' nanosAsLong path expects.
+
+--fresh-content (r8 VERDICT task 1): plain replication grows TRUE
+near-duplicate pairs by mult² (every copy of doc X is a J=1.0 neighbor
+of every other copy), so a sweep over replicated data conflates
+candidate-plan growth with output-mass growth — the ambiguity that made
+sim_lsh_hyperplane's 17.7× flag need hand analysis. With this flag,
+replica i>0 gets density-controlled content:
+
+* documents.text — every whitespace token gets a per-replica suffix
+  ``~i``. A per-token bijection preserves token-set sizes and
+  intersections EXACTLY, so within-replica Jaccard/containment/shingle
+  structure (and therefore per-replica duplicate density) is unchanged,
+  while cross-replica token sets are disjoint (Jaccard 0: no
+  cross-replica near-dups exist). n_chars is recomputed to match.
+* embeddings.embedding — a per-replica random coordinate permutation ×
+  sign flips (a signed permutation matrix: orthogonal). Within-replica
+  cosines are preserved exactly; a cross-replica pair's cosine becomes
+  cos(x, Qy) for a random signed permutation Q, concentrated near 0 at
+  these dims — no cross-replica near-neighbors above any real
+  threshold. Deterministic (seeded by replica index).
+
+Result: true-pair output mass scales ×mult (linear), so any remaining
+super-linear runtime is the CANDIDATE plan's fault — exactly what the
+scale audit needs to attribute.
 """
 
 from __future__ import annotations
@@ -30,6 +54,7 @@ import os
 import shutil
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -64,7 +89,60 @@ DOMAIN_SOURCE = {
 COPY_AS_IS = ("region", "nation")
 
 
-def build(src: str, dst: str, mult: int) -> None:
+def _fresh_documents(t: pa.Table, i: int) -> pa.Table:
+    """Per-replica token bijection: tok -> tok~i; recompute n_chars."""
+    texts = t.column("text").to_pylist()
+    sfx = f"~{i}"
+    new_texts = [
+        " ".join(tok + sfx for tok in s.split(" ")) if s is not None else None
+        for s in texts
+    ]
+    cols = []
+    for name in t.schema.names:
+        if name == "text":
+            cols.append(pa.array(new_texts, type=pa.string()))
+        elif name == "n_chars":
+            cols.append(
+                pa.array(
+                    [len(s) if s is not None else None for s in new_texts],
+                    type=t.schema.field("n_chars").type,
+                )
+            )
+        else:
+            cols.append(t.column(name))
+    return pa.table(cols, schema=t.schema)
+
+
+def _fresh_embeddings(t: pa.Table, i: int) -> pa.Table:
+    """Per-replica signed coordinate permutation (orthogonal transform)."""
+    arr = t.column("embedding").combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # single-chunk after combine
+        arr = arr.chunk(0)
+    offsets = arr.offsets.to_numpy()
+    widths = np.diff(offsets)
+    d = int(widths[0])
+    if not (widths == d).all():  # ragged: skip transform, keep as-is
+        raise ValueError("embeddings are ragged; fresh-content needs fixed dim")
+    flat = arr.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+    rng = np.random.default_rng(20260815 + i)
+    perm = rng.permutation(d)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=d)
+    fresh = (flat[:, perm] * signs).astype(np.float32)
+    new_col = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(fresh.reshape(-1), type=pa.float32()),
+    ).cast(t.schema.field("embedding").type)
+    cols = [
+        new_col if name == "embedding" else t.column(name)
+        for name in t.schema.names
+    ]
+    return pa.table(cols, schema=t.schema)
+
+
+FRESHEN = {"documents": _fresh_documents, "embeddings": _fresh_embeddings}
+
+
+def build(src: str, dst: str, mult: int, fresh: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     strides: dict[str, int] = {}
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
@@ -86,7 +164,10 @@ def build(src: str, dst: str, mult: int) -> None:
                     )
                     col = pc.add_checked(col, off)
                 cols.append(col)
-            replicas.append(pa.table(cols, schema=t.schema))
+            rep = pa.table(cols, schema=t.schema)
+            if fresh and tbl in FRESHEN:
+                rep = FRESHEN[tbl](rep, i)
+            replicas.append(rep)
         out = pa.concat_tables(replicas)
         pq.write_table(out, f"{dst}/{tbl}.parquet", compression="snappy")
         print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
@@ -95,13 +176,17 @@ def build(src: str, dst: str, mult: int) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     mult = 10
+    fresh = False
     if "--mult" in args:
         i = args.index("--mult")
         mult = int(args[i + 1])
         del args[i : i + 2]
+    if "--fresh-content" in args:
+        fresh = True
+        args.remove("--fresh-content")
     src = args[0] if args else "/root/testdata/sf0.1"
     dst = args[1] if len(args) > 1 else "/root/repo/.localdata/sf1"
-    build(src, dst, mult)
+    build(src, dst, mult, fresh=fresh)
     return 0
 
 

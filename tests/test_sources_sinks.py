@@ -27,6 +27,65 @@ def test_events_ts_is_timestamp(spark):
     assert dict(df.dtypes)["ts"].startswith("timestamp")
 
 
+def test_events_ts_unit_contract_both_units(spark, tmp_path):
+    """Loader pins the ts unit: nanos converts exactly; a micros drop that
+    still arrives as bigint (plain INT64) must FAIL LOUDLY, never shift
+    event times 1000× (r8 VERDICT task 4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 epoch-micros
+
+    # Stage 1: TIMESTAMP(NANOS) — the shipped contract. Must load and
+    # land on the exact micro-truncated timestamps.
+    ns_dir = tmp_path / "ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([base_us * 1000 + 1500, base_us * 1000 + 2500],
+                           type=pa.timestamp("ns")),
+        }),
+        str(ns_dir / "events.parquet"),
+        store_schema=False,  # plain parquet logical types, like testdata
+    )
+    df = load_table(spark, str(ns_dir), "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    got = sorted(r["ts"].isoformat() for r in df.select("ts").collect())
+    assert got == ["2023-11-14T22:13:20.000001", "2023-11-14T22:13:20.000002"]
+
+    # Stage 2: plain INT64 epoch-MICROS — same bigint dtype in Spark,
+    # wrong unit. The loader must refuse, not divide by 1000.
+    us_dir = tmp_path / "us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([base_us], type=pa.int64()),
+        }),
+        str(us_dir / "events.parquet"),
+        store_schema=False,
+    )
+    with pytest.raises(ValueError, match="timestamp\\[ns\\]"):
+        load_table(spark, str(us_dir), "events")
+
+    # Stage 3: TIMESTAMP(MICROS) — arrives as a real timestamp (the
+    # nanosAsLong flag only affects NANOS), no conversion path at all.
+    us2_dir = tmp_path / "us2"
+    us2_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([base_us], type=pa.timestamp("us")),
+        }),
+        str(us2_dir / "events.parquet"),
+        store_schema=False,
+    )
+    df3 = load_table(spark, str(us2_dir), "events")
+    assert dict(df3.dtypes)["ts"].startswith("timestamp")
+
+
 def test_register_views_sql(spark):
     register_views(spark, SF_DIR)
     n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]

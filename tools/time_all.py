@@ -6,6 +6,11 @@ queries whose runtime scales pathologically — the local proxy for "would
 this survive the next 10×". No DuckDB, no value compare.
 
     python tools/time_all.py [sf_dir] [--flag-sec N] [--json out.json]
+                             [--only name1,name2,...]
+
+--only restricts the sweep to a comma-separated subset of registry
+entries (the heavy tier for large synthesized SFs, where a full-registry
+sweep would burn hours on entries already proven linear).
 
 --json writes {"sf_dir": ..., "timings": {name: sec}, "errors": [...]}
 for cross-SF ratio analysis (tools/scaling_report.py).
@@ -35,12 +40,23 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = {n.strip() for n in args[i + 1].split(",") if n.strip()}
+        del args[i : i + 2]
+        unknown = only - set(REGISTRY)
+        if unknown:
+            print(f"unknown --only entries: {sorted(unknown)}")
+            return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("time-all")
     timings: list[tuple[float, str]] = []
     errors: list[str] = []
     failures = 0
     for name, spec in REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             n = spec.fn(spark, sf_dir).count()

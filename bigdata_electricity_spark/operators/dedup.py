@@ -582,3 +582,68 @@ def prefix_filtered_containment_pairs(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.6,
+                       num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """The production GLOBAL dedup path, composed end-to-end: MinHash
+    bands → exact-Jaccard verify → star-contraction closure → cluster
+    ids (r8 VERDICT task 2).
+
+    Every piece already shipped separately — this is the composition a
+    100 TB user actually runs when the docs say "use clusters/LSH for
+    global semantics" instead of a Θ(n²·density) global pair listing:
+
+    1. candidates: :func:`minhash_lsh_candidates` with ``shingle_n=1``
+       so the signature estimates TOKEN-SET Jaccard — the same relation
+       the exact operators (:func:`ngram_jaccard_pairs`) compute. Banded
+       buckets bound candidate mass by content, never block².
+    2. verify: exact hashed-token-set Jaccard on candidates only
+       (precision 1 — no false edge ever enters the graph). Reuses
+       :func:`_token_base`, so bodies leave the scan once.
+    3. closure: star-contraction connected components
+       (operators/graph.py, O(log n) shuffle rounds) → every doc labeled
+       with its cluster's min doc id, keepers flagged.
+
+    Recall is the banded S-curve 1−(1−J^r)^b (r = num_hashes/bands): at
+    the default 8 bands × 4 rows, ≥0.98 for J ≥ 0.8, ~0.67 AT the 0.6
+    threshold boundary — the standard LSH trade: borderline pairs may be
+    missed, strong duplicates essentially never. Cluster-set equality to
+    the exact closure is pytest-proven on a planted fixture whose true
+    pairs sit above the reliable region (tests/test_graph_cc.py).
+
+    Returns (doc_id, cluster_id, is_keeper): cluster_id = min doc_id of
+    the component, is_keeper marks the one row per cluster a dedup job
+    keeps. Output is per-doc (n rows), never per-pair — the whole point
+    at scale.
+    """
+    from .graph import connected_components
+
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=1
+    )
+    base = _token_base(df, text_col, id_col)
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("__n").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("__n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jaccard = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    edges = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(jaccard >= F.lit(threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nodes = df.select(F.col(id_col).alias("id"))
+    return (
+        connected_components(nodes, edges)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import (
     exact_dup_groups,
+    lsh_dedup_clusters,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     prefix_filtered_containment_pairs,
@@ -299,6 +300,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+@query("dedup_lsh_clusters")  # rows-only: banded edges are xxhash64-seeded
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL duplicate clusters, production path: MinHash bands →
+    exact-Jaccard verify → star-contraction closure → per-doc cluster id
+    + keeper flag.
+
+    The composition the docs point 100 TB users at instead of a global
+    pair listing (`dedup_ngram_jaccard*` outputs are Θ(n²·density)
+    unblocked — measured 57% pair density on this corpus): candidate
+    mass is band-bounded, edges are exactly verified (precision 1), the
+    closure is O(log n) shuffle rounds, and the OUTPUT is one row per
+    document. Rows-only (edges depend on xxhash64 band seeds); cluster-
+    set equality to the exact recursive-CTE closure is pytest-proven on
+    a planted fixture (tests/test_graph_cc.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_dedup_clusters(docs, threshold=0.6).orderBy("doc_id")
 
 
 @query("dedup_simhash")  # rows-only: bit-level fingerprint, engine-specific

@@ -308,6 +308,51 @@ def join_skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "join_skew_aqe_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {dround("SUM(o.o_totalprice)", 2)} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_skew_aqe_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE skew path beside `join_skew_salted_segment_revenue`:
+    the same fact⋈dim rollup, unsalted, merge-hinted so the join plans
+    as the SortMergeJoin shape AQE's skew rule can split at runtime
+    (broadcast would bypass it — and at 100 TB the dimension may not
+    broadcast anyway).
+
+    Same oracle as the salted entry, so the driver hash-matches the two
+    mitigation paths against each other through DuckDB. That Spark's
+    `spark.sql.adaptive.skewJoin` actually FIRES on planted skew (final
+    plan shows `SortMergeJoin(skew=true)` + skewed AQEShuffleRead) is
+    certified in tests/test_physical_plans.py — detection reads
+    compressed shuffle-block sizes, so thresholds are scaled there; at
+    production SFs the session defaults (session.py: AQE + skewJoin on)
+    apply unchanged. Use the salted twin only for skew AQE can't see
+    (e.g. a hot key inside a broadcast join).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        orders.join(customer.hint("merge"), "custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
     "join_bucketed_colocated_priority",
     oracle=f"""
     SELECT o.o_orderpriority AS priority,

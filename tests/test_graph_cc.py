@@ -87,3 +87,72 @@ def test_cc_matches_union_find_property(spark):
         assert got == want
 
     prop()
+
+
+def test_lsh_dedup_clusters_equals_exact_closure(spark):
+    """r8 VERDICT task 2: the composed production path (MinHash bands →
+    exact verify → star-contraction closure) must produce the SAME
+    cluster partition as the exact recursive-CTE closure on a planted
+    fixture whose true pairs sit in the banding's reliable region
+    (J ≥ 0.8 per pair ⇒ per-pair catch ≥ 0.99; deterministic here —
+    fixed xxhash64 seeds).
+
+    The fixture plants transitivity the exact path must also honor:
+    docs 1..4 chain at J≈0.82 per hop while J(1,4)=28/52≈0.54 < 0.6 —
+    one cluster with NO direct 1-4 edge on either side.
+    """
+    import duckdb
+
+    from bigdata_electricity_spark.operators.dedup import lsh_dedup_clusters
+
+    t = [f"t{i}" for i in range(40)]
+    x = [f"x{i}" for i in range(12)]
+    docs = [
+        (1, " ".join(t)),
+        (2, " ".join(t[:36] + x[0:4])),
+        (3, " ".join(t[:32] + x[0:8])),
+        (4, " ".join(t[:28] + x[0:12])),
+        (10, " ".join(f"u{i}" for i in range(20))),
+        (11, " ".join(f"u{i}" for i in range(20))),  # exact duplicate
+        (20, " ".join(f"v{i}" for i in range(22))),
+        (21, " ".join([f"v{i}" for i in range(18)] + ["q1", "q2", "q3", "q4"])),
+        (30, " ".join(f"w{i}" for i in range(20))),
+        (31, " ".join([f"w{i}" for i in range(6)] + [f"z{i}" for i in range(14)])),
+        (40, "lonely single document vocabulary entirely its own here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = lsh_dedup_clusters(df, threshold=0.6).collect()
+
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    keepers = {r["doc_id"] for r in out if r["is_keeper"]}
+    assert keepers == {min(ids for ids, c in got.items() if c == comp)
+                       for comp in set(got.values())}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle = dict(con.execute("""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents
+        ), edges AS (
+            SELECT a.doc_id AS s, b.doc_id AS d
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+        ), sym AS (
+            SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS comp FROM documents
+            UNION
+            SELECT sym.d AS id, reach.comp
+            FROM reach JOIN sym ON sym.s = reach.id
+            WHERE reach.comp < sym.d
+        )
+        SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """).fetchall())
+
+    assert got == oracle  # same min-id labeling => same partition
+    assert oracle[4] == 1 and oracle[11] == 10 and oracle[21] == 20
+    assert oracle[30] == 30 and oracle[31] == 31 and oracle[40] == 40

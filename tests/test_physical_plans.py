@@ -800,3 +800,68 @@ def test_benford_prunes_to_price_column(spark):
     read = plan.split("ReadSchema")[1][:200]
     assert "o_totalprice" in read
     assert "o_custkey" not in read and "o_orderdate" not in read
+
+
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """r8 VERDICT task 3: certify Spark's NATIVE skew handling next to
+    the manual salt. Plant a hot key (one key ≈ 6× the rest of the fact
+    table), lower the AQE skew thresholds to local-test scale, and
+    assert (a) the final adaptive plan carries the skew-split markers
+    and (b) the result matches operators/skew.salted_join on the same
+    fixture — the two mitigation paths must agree bit-for-bit.
+
+    Payload is md5 (incompressible): skew detection reads COMPRESSED
+    shuffle-block sizes, and a repetitive planted payload compresses
+    below any realistic threshold — that, not the rule, is why a naive
+    fixture never fires (measured while building this test).
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.skew import salted_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    hot = spark.range(300000).select(
+        F.lit(1).cast("long").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("val"),
+    )
+    cold = spark.range(50000).select(
+        (F.pmod(F.col("id"), F.lit(49)) + 2).cast("long").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("val"),
+    )
+    fact = hot.unionAll(cold)
+    dim = spark.range(1, 51).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("label"), F.col("id").cast("string")).alias("lab"),
+    )
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            fact.join(dim.hint("merge"), "k")
+            .groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("val").alias("d"))
+        )
+        qe = j._jdf.queryExecution()
+        aqe_rows = sorted(map(tuple, j.collect()))
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]  # AQEShuffleRead ... skewed
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(fact, dim, on="k", salt_buckets=8)
+            .groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("val").alias("d"))
+            .collect(),
+        )
+    )
+    assert aqe_rows == salted

@@ -133,8 +133,12 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥0.3 — the synthetic embeddings are near-orthogonal, max within-bucket cosine ≈0.47, so the demo threshold sits in the observable range) within buckets — the
-    embedding-space dedup verifier.
+    """Embedding-cosine near-duplicate pairs within label buckets.
+
+    The embedding-space dedup verifier. Threshold 0.3 because the
+    synthetic embeddings are near-orthogonal (max within-bucket cosine
+    ≈0.47, measured) — a production 0.9 cut would return zero rows on
+    this corpus; 0.3 keeps the demo output in the observable range.
 
     exact, small-data (r8 sf1 audit, 63×): the label bucket has fixed
     cardinality, so per-bucket pairs grow quadratically with the

@@ -6,7 +6,16 @@ would distort that total, so they are tracked HERE instead. Prints one
 BENCH-style JSON line and, with --record, appends it to
 docs/BENCH_HEAVY.jsonl so the trend survives rounds:
 
-    python tools/bench_heavy.py [--repeat N] [--record]
+    python tools/bench_heavy.py [--repeat N] [--record] [--sf1]
+
+--sf1 (r8 VERDICT task 6) switches to the synthesized 10× dataset
+(.localdata/sf1, regenerate with tools/make_sf.py) and to the SF1 suite:
+the scale twins and banded/IVF production paths whose regressions only
+show above the bench SF. The Θ(block²) exact baselines are deliberately
+NOT in the sf1 suite — they are documented small-data semantics whose
+~400 s runtimes would drown the twins the trend exists to watch; their
+scaling story lives in docs/SCALING_SF1.md. Emits metric
+heavy_suite_sf1_sec so JSONL consumers never mix the two totals.
 
 Same harness discipline as bench.py: $SPARK_GRAFT_SF_DIR data dir,
 best-of-N with --repeat, per-query isolation so one failure doesn't cost
@@ -42,9 +51,35 @@ HEAVY = [
     "sim_ivf_scaled_nlist",
 ]
 
+# --sf1 suite: every scale twin + the banded/IVF production paths + the
+# composed global-dedup entry. Linear plans whose twin-regressions only
+# become visible above the bench SF.
+HEAVY_SF1 = [
+    "dedup_ngram_jaccard_prefix",
+    "dedup_containment_best_prefix",
+    "dedup_cc_clusters_prefix",
+    "dedup_lsh_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_lsh_hyperplane",
+    "sim_ivf_scaled_nlist",
+    "sim_ivf_probe_topk",
+    "graph_triangle_stats_scaled",
+    "sketch_shard_merge",
+    "binning_equal_frequency_approx",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    suite = HEAVY
+    metric = "heavy_suite_sec"
+    if "--sf1" in sys.argv:
+        sf_dir = "/root/repo/.localdata/sf1"
+        suite = HEAVY_SF1
+        metric = "heavy_suite_sf1_sec"
+        if not os.path.isdir(sf_dir):
+            sys.exit("--sf1 needs .localdata/sf1 — run: python tools/make_sf.py")
     repeat = 1
     if "--repeat" in sys.argv:
         idx = sys.argv.index("--repeat")
@@ -62,7 +97,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: list[str] = []
-    for name in HEAVY:
+    for name in suite:
         try:
             best, n = None, 0
             for _ in range(repeat):
@@ -78,7 +113,7 @@ def main() -> None:
             print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
     out = {
-        "metric": "heavy_suite_sec",
+        "metric": metric,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -58,7 +58,11 @@ HEAVY_SF1 = [
     "dedup_ngram_jaccard_prefix",
     "dedup_containment_best_prefix",
     "dedup_cc_clusters_prefix",
-    "dedup_lsh_clusters",
+    # dedup_lsh_clusters is deliberately absent: replicated sf1 makes
+    # every cross-replica copy a TRUE near-dup, so the global edge set
+    # is quadratic by construction — the artifact --fresh-content
+    # exists to remove. Its scaling lives in the sf1f/sf3f/sf10f fresh
+    # sweeps (docs/SCALING_SF10.md).
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_lsh_hyperplane",

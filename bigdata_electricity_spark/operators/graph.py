@@ -86,6 +86,17 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).first()
         fp = (fp_row["c"], fp_row["h"])
+        # The fingerprint action has materialized `small`'s checkpoint,
+        # so the PREVIOUS iteration's edge set and this iteration's
+        # intermediate `large` are dead blocks from here on. Release
+        # them eagerly: without this the loop retains every iteration's
+        # full edge set in the storage pool, and a 40M-edge near-dup
+        # graph OOMs an 8g local driver before converging (measured,
+        # r9 sf1f sweep — dedup_lsh_clusters). Same logic on a cluster:
+        # k retained copies of a 100 TB-tier edge set is k× wasted
+        # executor storage.
+        large.unpersist(blocking=True)
+        E.unpersist(blocking=True)
         E = small
         if fp == prev_fp:
             break

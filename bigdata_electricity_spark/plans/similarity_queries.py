@@ -120,6 +120,41 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(emb, dim=64, k_bits=16, bands=4, threshold=0.3)
 
 
+@query("sim_lsh_clusters")  # rows-only: banded edges are seed/float-sign sensitive
+def sim_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL semantic-dedup clusters, production path: hyperplane-LSH
+    bands → exact-cosine verify → star-contraction closure → per-vector
+    cluster id + keeper flag.
+
+    The embedding-space sibling of `dedup_lsh_clusters` (r9): where
+    `sim_semantic_clusters` closes over label-blocked exact pairs
+    (Θ(block²) candidates) and `sim_lsh_hyperplane` emits a PAIR listing
+    (output itself quadratic in duplicate density), this entry is the
+    composition a 100 TB user runs — band-bounded candidates, exact
+    verification (precision 1), O(log n) closure rounds, and ONE output
+    row per vector. Rows-only (bucket boundaries are seed/float-sign
+    sensitive); cluster-set equality to the exact recursive-CTE closure
+    is pytest-proven on a planted high-cosine fixture
+    (tests/test_lsh.py).
+    """
+    from ..operators.graph import connected_components
+    from ..operators.lsh import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(emb, dim=64, k_bits=16, bands=4, threshold=0.3)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(nodes, edges)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "sim_near_dup_pairs",
     oracle=f"""
@@ -712,6 +747,168 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "sim_ivf_recall_profile",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, v AS c FROM pts
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+                <= (SELECT ceil(sqrt(COUNT(*))) FROM pts)
+    ),
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(p.v, c.c),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), c.cid) AS rn
+            FROM pts p CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id IN (5, 17, 42)),
+    gt AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, p.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       {_DUCK_COS.format(a='p.v', b='q.qv')} DESC, p.vec_id) AS rk
+            FROM q JOIN pts p ON p.vec_id <> q.qid
+        ) WHERE rk <= 10
+    ),
+    probes AS (
+        SELECT np.nprobe, pr.qid, pr.cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       list_sum(list_transform(list_zip(q.qv, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN cent c
+        ) pr CROSS JOIN (VALUES (1), (2), (4)) AS np(nprobe)
+        WHERE pr.rn <= np.nprobe
+    ),
+    cand AS (
+        SELECT pr.nprobe, pr.qid, l.vec_id,
+               CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM probes pr
+        JOIN lists l ON l.cid = pr.cid
+        LEFT JOIN gt g ON g.qid = pr.qid AND g.vec_id = l.vec_id
+        WHERE l.vec_id <> pr.qid
+    ),
+    per_q AS (
+        SELECT nprobe, qid,
+               SUM(hit) / 10.0 AS recall,
+               COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM pts) AS frac
+        FROM cand GROUP BY nprobe, qid
+    )
+    SELECT nprobe,
+           floor(AVG(recall) * 1000000.0 + 0.5) / 1000000.0 AS avg_recall_at_10,
+           floor(AVG(frac) * 1000000.0 + 0.5) / 1000000.0 AS avg_frac_scanned
+    FROM per_q GROUP BY nprobe ORDER BY nprobe
+    """,
+)
+def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality/cost CURVE, measured in one job: recall@10 and
+    fraction-of-corpus-scanned for the ⌈√n⌉-centroid IVF at nprobe ∈
+    {1, 2, 4}, against the exact brute-force top-10 ground truth.
+
+    `sim_ivf_scaled_nlist` certifies the index's scaling mechanics;
+    this entry certifies what the index BUYS — the number a 100 TB
+    operator actually tunes nprobe with (recall rises toward 1, scanned
+    fraction stays ≈ nprobe/√n instead of 1.0 for brute force). Fully
+    deterministic (seeded centroids = the nlist smallest vec_ids, tie
+    order pinned), so unlike most ANN artifacts the whole curve is
+    DuckDB-oracled, not just row-counted.
+
+    Plan shape: centroid table broadcast twice (assignment + probe),
+    ground truth is 3 queries × n brute-force (bounded by the fixed
+    query set, NOT n² — queries are broadcast), one aggregate per
+    (nprobe, query). The nprobe fan-out multiplies probe rows (≤ 4 per
+    query), never corpus rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.count()  # scalar: sizes the index (nlist = ceil(sqrt(n)))
+    nlist = int(math.ceil(math.sqrt(n)))
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
+        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    pc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    lists = (
+        pc.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cid")
+    )
+    queries = emb.filter(F.col("vec_id").isin([5, 17, 42])).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    gt = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "cid", d2(F.col("qv"), F.col("c")).alias("d2")
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cid")
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= 4)
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(
+                        F.array(F.lit(1), F.lit(2), F.lit(4))
+                    ).alias("nprobe")
+                )
+            )
+        )
+        .filter(F.col("__rn") <= F.col("nprobe"))
+        .select("nprobe", "qid", "cid")
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(gt, ["qid", "vec_id"], "left")
+        .select("nprobe", "qid", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    per_q = cand.groupBy("nprobe", "qid").agg(
+        (F.sum("hit") / F.lit(10.0)).alias("recall"),
+        (F.count(F.lit(1)) / F.lit(float(n))).alias("frac"),
+    )
+    return (
+        per_q.groupBy("nprobe")
+        .agg(
+            (F.floor(F.avg("recall") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("avg_recall_at_10"),
+            (F.floor(F.avg("frac") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("avg_frac_scanned"),
+        )
+        .orderBy("nprobe")
     )
 
 

@@ -69,3 +69,76 @@ def test_lsh_verifies_with_exact_cosine(spark, planted):
     )
     bad = joined.filter(F.col("cosine") != F.col("exact")).count()
     assert bad == 0
+
+
+def test_sim_lsh_clusters_equals_exact_closure(spark):
+    """The composed embedding-dedup path (hyperplane bands → exact
+    cosine verify → star-contraction closure) must equal the exact
+    recursive-CTE closure on a planted fixture. Planted clusters sit at
+    cos ≥ 0.99 (per-pair banded catch ≥ 0.999 — deterministic here:
+    seeded planes), negatives at cos ≤ 0.5, threshold 0.7 far from
+    every planted cosine so a float ulp can't flip membership."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.graph import connected_components
+    from bigdata_electricity_spark.operators.lsh import lsh_near_dup_pairs
+
+    def v(**kw):
+        out = [0.0] * 8
+        for k, val in kw.items():
+            out[int(k[1:])] = val
+        return out
+
+    vecs = [
+        (1, v(p0=1.0, p1=0.05)),
+        (2, v(p0=1.0, p2=0.05)),
+        (3, v(p0=1.0, p1=0.04, p2=0.04)),
+        (10, v(p1=1.0, p2=0.1)),
+        (11, v(p1=2.0, p2=0.2)),          # same direction: cos = 1
+        (20, v(p3=1.0, p4=0.10)),
+        (21, v(p3=1.0, p4=0.12)),
+        (30, v(p5=1.0)),
+        (31, v(p5=1.0, p6=1.8)),          # cos ≈ 0.49 < 0.7: no edge
+        (40, v(p7=1.0)),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = lsh_near_dup_pairs(df, dim=8, k_bits=16, bands=4, threshold=0.7)
+    nodes = df.select(F.col("vec_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(nodes, edges)
+    got = {r["id"]: r["component"] for r in cc.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)",
+                    [(i, [float(x) for x in vec]) for i, vec in vecs])
+    oracle = dict(con.execute("""
+        WITH RECURSIVE edges AS (
+            SELECT a.vec_id AS s, b.vec_id AS d
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           z -> z[1] * z[2]))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> x*x)))
+                     * sqrt(list_sum(list_transform(b.embedding, x -> x*x))))
+                  >= 0.7
+        ), sym AS (
+            SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+        ), reach AS (
+            SELECT vec_id AS id, vec_id AS comp FROM embeddings
+            UNION
+            SELECT sym.d AS id, reach.comp
+            FROM reach JOIN sym ON sym.s = reach.id
+            WHERE reach.comp < sym.d
+        )
+        SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """).fetchall())
+
+    assert got == oracle
+    assert oracle[2] == 1 and oracle[3] == 1      # cluster A closed
+    assert oracle[11] == 10 and oracle[21] == 20  # scale-invariant + tight pair
+    assert oracle[30] == 30 and oracle[31] == 31 and oracle[40] == 40

@@ -40,7 +40,18 @@ Scale notes (100 TB tier):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
+
+# Checkpoint storage for the iterated edge sets: SERIALIZED + spillable.
+# The default deserialized level unrolls whole partitions as UnsafeRow
+# copies on-heap; with 32 concurrent tasks on a 100M-edge graph the
+# unroll blows the heap before the spill check fires (measured: 8g
+# driver OOM inside MemoryStore.putIteratorAsValues, r9 sf3f sweep).
+# Serialized blocks unroll incrementally into compact byte buffers and
+# overflow to disk cleanly; the ser/deser cost is noise next to the
+# per-iteration shuffles.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized (deserialized=False); _DESER is the default
 
 
 def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -48,7 +59,7 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
     E = (
         edges.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
     )
     prev_fp = None
     for _ in range(max_iter):
@@ -65,7 +76,7 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         )
         # small-star: orient every edge (bigger, smaller), then connect
         # all smaller neighbors AND the center to the neighborhood min.
@@ -80,7 +91,7 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         )
         fp_row = small.agg(
             F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")

@@ -68,6 +68,11 @@ SCALE_TWINS: dict[str, str] = {
     # same exact triangle algorithm over the ⌈√n⌉-bucket near-dup
     # graph — the baseline's cost was its label-blocked edge generation
     "graph_triangle_stats": "graph_triangle_stats_scaled",
+    # r9 density-controlled sweep: the 16-bit/4-band signature gives 16
+    # buckets per band FOREVER (occupancy ∝ n ⇒ candidates ∝ n²) — the
+    # r8 "output-mass inherent" diagnosis was wrong; bits must scale
+    # with the corpus (occupancy pinned, bucket count ∝ n).
+    "sim_lsh_hyperplane": "sim_lsh_hyperplane_scaled",
 }
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

@@ -120,6 +120,40 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(emb, dim=64, k_bits=16, bands=4, threshold=0.3)
 
 
+@query("sim_lsh_hyperplane_scaled")  # rows-only: seed/float-sign sensitive
+def sim_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH whose signature LENGTH scales with the corpus:
+    bits-per-band = max(4, ⌈log₂(n/64)⌉) (bucket occupancy pinned ≈64),
+    8 bands — the scale twin of `sim_lsh_hyperplane`.
+
+    The r9 density-controlled sweep re-diagnosed the baseline's 17.7×
+    flag: with cross-replica near-dups REMOVED the output grew only
+    ~10× but runtime stayed ~16× — so the growth was never output mass
+    (r8's attribution). The cause is the same fixed-cardinality disease
+    as label blocking: 16-bit signatures in 4-bit bands give 16 buckets
+    per band FOREVER, so occupancy grows ∝ n and candidate pairs ∝ n².
+    Scaling bits with n keeps bucket count ∝ n and candidates ∝ n·occ.
+
+    The recall trade is explicit: longer bands lower per-band collision
+    probability, partially offset here by doubling bands (8 vs 4).
+    For production near-dup thresholds (cos ≥ 0.9) banded recall stays
+    high (planted-fixture acceptance test, tests/test_lsh.py); at this
+    demo corpus' 0.3 threshold the pair lists are sampling-grade on any
+    banded scheme — near-orthogonal "neighbors" collide rarely no
+    matter the banding, which is a property of the threshold, not the
+    index.
+    """
+    from ..operators.lsh import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # scalar: sizes the signature (occupancy ≈ 64)
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64.0)))
+    bands = 8
+    return lsh_near_dup_pairs(
+        emb, dim=64, k_bits=bands * bits, bands=bands, threshold=0.3
+    )
+
+
 @query("sim_lsh_clusters")  # rows-only: banded edges are seed/float-sign sensitive
 def sim_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL semantic-dedup clusters, production path: hyperplane-LSH

@@ -142,3 +142,18 @@ def test_sim_lsh_clusters_equals_exact_closure(spark):
     assert oracle[2] == 1 and oracle[3] == 1      # cluster A closed
     assert oracle[11] == 10 and oracle[21] == 20  # scale-invariant + tight pair
     assert oracle[30] == 30 and oracle[31] == 31 and oracle[40] == 40
+
+
+def test_scaled_bits_recall_on_planted_pairs(planted):
+    """The n-scaled signature (sim_lsh_hyperplane_scaled's shape: 8
+    bands × ⌈log₂(n/64)⌉-floored bits) must still catch planted
+    near-identical pairs (cos ≈ 0.99): per-band collision shrinks with
+    bits, but 8 bands at this angle keep the any-band catch ≥ 0.99."""
+    n = planted.count()
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64.0)))
+    got = {(r["id_a"], r["id_b"])
+           for r in lsh_near_dup_pairs(planted, dim=DIM, k_bits=8 * bits,
+                                       bands=8, threshold=0.95).collect()}
+    planted_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert len(got & planted_pairs) >= 18
+    assert len(got - planted_pairs) <= 2

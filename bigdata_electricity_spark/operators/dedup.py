@@ -264,6 +264,67 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def simhash_group_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup relation at FINGERPRINT granularity — the scale
+    twin of :func:`simhash_near_dups` (r9 density-controlled sweep).
+
+    The baseline's hot bucket: documents with IDENTICAL fingerprints
+    (exact dups, near-empty texts) collide in all four quarter-blocks,
+    so a k-member fp group contributes 4·C(k,2) candidate rows —
+    quadratic in the biggest group (measured: 48s at 30× → killed at
+    >23min at 100× the bench SF; one task, two cores, everything else
+    idle). But identical fps need NO pairwise verification at all —
+    Hamming 0 by definition. So: collapse to DISTINCT fingerprints
+    first (one representative id + member count per fp), run the same
+    quarter-block join over distinct fps only, and emit the relation as
+    (fp_a, fp_b, hamming, n_a, n_b) group pairs plus the group sizes.
+    Per-bucket work is now bounded by DISTINCT-fp occupancy, which
+    fresh content grows sub-linearly; the full pair listing (if a
+    consumer really wants Θ(k²) rows) is a deliberate downstream
+    explode, not a hidden join cost.
+
+    Returns one row per near-dup fp-group pair: representative ids, the
+    Hamming distance, and both group sizes (n_pairs_expanded = n_a·n_b
+    tells the consumer what an expansion would cost).
+    """
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    blocked = groups.select(
+        "fp", "rep_id", "n_members",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned("fp", 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("block"),
+            )
+            for q in range(4)
+        ])).alias("qb"),
+    ).select("fp", "rep_id", "n_members", "qb.q", "qb.block")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
+            hamming.alias("hamming"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+        )
+        .dropDuplicates(["rep_a", "rep_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         block_cols: list[str] | None = None,
                         threshold: float = 0.5) -> DataFrame:

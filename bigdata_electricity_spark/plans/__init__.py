@@ -73,6 +73,11 @@ SCALE_TWINS: dict[str, str] = {
     # r8 "output-mass inherent" diagnosis was wrong; bits must scale
     # with the corpus (occupancy pinned, bucket count ∝ n).
     "sim_lsh_hyperplane": "sim_lsh_hyperplane_scaled",
+    # r9 density-controlled sweep: identical fingerprints collide in
+    # all four quarter-blocks (4·C(k,2) candidates for a k-member fp
+    # group — exact dups / near-empty docs). The twin joins DISTINCT
+    # fps (Hamming-0 groups collapse to a representative + count).
+    "dedup_simhash": "dedup_simhash_grouped",
 }
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

@@ -333,6 +333,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs).orderBy("id_a", "id_b")
 
 
+@query("dedup_simhash_grouped")  # rows-only: bit-level fingerprint, engine-specific
+def dedup_simhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup relation over DISTINCT fingerprints — the scale
+    twin of `dedup_simhash` (r9 density-controlled sweep). Identical
+    fingerprints collide in all four quarter-blocks, so one k-member fp
+    group costs the baseline 4·C(k,2) candidate rows (measured: one
+    hot-bucket task, >23 min at 100× the bench SF). Identical fps are
+    Hamming-0 by definition, so this entry collapses them to one
+    representative + count first and joins distinct fps only, emitting
+    (rep_a, rep_b, hamming, n_a, n_b) group pairs; expansion back to
+    id-level pairs is an explicit downstream explode whose Θ(n_a·n_b)
+    cost the output row itself quotes. Pair-set equality of the
+    expansion to the baseline is pytest-proven on a planted fixture.
+    """
+    from ..operators.dedup import simhash_group_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_group_pairs(docs).orderBy("rep_a", "rep_b")
+
+
 _DUCK_PREFIX_FP = (
     f"md5(array_to_string(list_slice(string_split({_DUCK_NORM}, ' '), 1, 8), ' '))"
 )

@@ -276,3 +276,49 @@ def test_ivf_scaled_nlist_recall_and_structure(spark):
     # Non-vacuous floor: probing 2 of ~sqrt(n) unlearned lists must
     # still recover a third of the exact top-3 on this corpus.
     assert hits / total >= 1 / 3, f"scaled-nlist recall@3 too low: {hits}/{total}"
+
+
+def test_simhash_grouped_expansion_equals_baseline(spark):
+    """r9 scale twin: simhash_group_pairs over distinct fps, expanded
+    back to id pairs (cross-group products + within-group C(k,2)), must
+    equal simhash_near_dups' pair set exactly — identical quarter-block
+    scheme over the same fp values, so the relation is the same; only
+    the candidate granularity changes."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, BASE, "web") for i in range(1, 7)]              # 6 exact copies
+    rows += [(10 + i, BASE.replace("tonight", "today"), "web")  # 3 copies of a near-dup
+             for i in range(3)]
+    rows += [
+        (20, BASE.replace("quick", "slow").replace("lazy", "busy"), "web"),
+        (21, "completely different text about electricity meters and spark", "web"),
+        (22, "unrelated short doc", "news"),
+        (23, "", "news"),                                       # degenerate empty
+        (24, "", "news"),                                       # identical empty fp
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    baseline = {(r["id_a"], r["id_b"])
+                for r in D.simhash_near_dups(docs, max_hamming=8).collect()}
+
+    fp_groups = (
+        docs.select(F.col("doc_id").alias("id"),
+                    D.simhash64_udf()(F.col("text")).alias("fp"))
+        .groupBy("fp").agg(F.collect_list("id").alias("ids"),
+                           F.min("id").alias("rep"))
+        .collect()
+    )
+    members = {r["rep"]: sorted(r["ids"]) for r in fp_groups}
+    expanded = set()
+    for rep, ids in members.items():                 # within-group pairs (Hamming 0)
+        expanded |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    for r in D.simhash_group_pairs(docs, max_hamming=8).collect():
+        for a in members[r["rep_a"]]:                # cross-group products
+            for b in members[r["rep_b"]]:
+                expanded.add((min(a, b), max(a, b)))
+        assert r["n_a"] == len(members[r["rep_a"]])
+        assert r["n_b"] == len(members[r["rep_b"]])
+
+    assert expanded == baseline
+    # the planted exact-dup groups must be present via within-group pairs
+    assert (1, 2) in expanded and (23, 24) in expanded

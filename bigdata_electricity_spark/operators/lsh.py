@@ -35,7 +35,12 @@ def hyperplanes(dim: int, k: int = 16, seed: int = 42) -> list[list[float]]:
 
 
 def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """k-bit LSH signature as a bigint: bit i = sign(vec · plane_i)."""
+    """k-bit LSH signature as a bigint: bit i = sign(vec · plane_i).
+
+    Packing caps k at 63 bits (1 << 63 overflows a signed long) — for
+    longer signatures use :func:`banded_signature_col`, which packs each
+    band independently and has no total-length cap."""
+    assert len(planes) <= 63, "single-long packing caps at 63 bits"
     bits = [
         F.when(dot_product(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
@@ -44,6 +49,31 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("bigint")
+
+
+def banded_signature_col(vec: Column, planes: list[list[float]], bands: int) -> Column:
+    """Per-band LSH buckets as array<bigint>: band b packs ITS OWN
+    bits-per-band sign bits, so total signature length is unbounded —
+    the n-scaled signatures (bits ∝ log n, r9) exceed the 63-bit
+    single-long cap as soon as n/occupancy passes 2^(63/bands)."""
+    k = len(planes)
+    assert k % bands == 0
+    bpb = k // bands
+    assert bpb <= 63
+    cols = []
+    for b in range(bands):
+        bits = [
+            F.when(
+                dot_product(vec, F.array(*[F.lit(x) for x in p])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, p in enumerate(planes[b * bpb:(b + 1) * bpb])
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        cols.append(out.cast("bigint"))
+    return F.array(*cols)
 
 
 def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
@@ -61,9 +91,7 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     largest bucket, not n².
     """
     assert k_bits % bands == 0
-    bits_per_band = k_bits // bands
     planes = hyperplanes(dim, k_bits, seed)
-    mask = (1 << bits_per_band) - 1
 
     # Normalize each vector ONCE per row: candidate verification then
     # needs a single dot product per pair instead of dot + two norms —
@@ -82,7 +110,7 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     base = with_norm.select(
         "id",
         F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
-        signature_col(F.col("vec"), planes).alias("sig"),
+        banded_signature_col(F.col("vec"), planes, bands).alias("sigs"),
     ).localCheckpoint(eager=False)
 
     # Candidate generation carries ONLY ids through the band fan-out and
@@ -91,16 +119,11 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     # the distinct shuffle move 16-byte id pairs, never 512-byte
     # vectors, and each unique pair is verified exactly once (multi-band
     # collisions would otherwise be verified per band).
+    # Per-band buckets (not one packed long) so the n-scaled signatures
+    # of sim_lsh_hyperplane_scaled can exceed 63 total bits.
     banded = base.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("sig", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        "id", F.posexplode("sigs").alias("band", "bucket")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

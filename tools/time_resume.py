@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 from bigdata_electricity_spark.plans import REGISTRY  # noqa: E402
 from bigdata_electricity_spark.session import get_spark  # noqa: E402
 
-LINE = re.compile(r"^\s*([0-9.]+)s\s+(\d+) rows\s+(\S+)\s*$")
+LINE = re.compile(r"([0-9.]+)s\s+(\d+) rows\s+(\S+)\s*$")
 
 
 def main() -> int:
@@ -36,7 +36,7 @@ def main() -> int:
     errors: list[str] = []
     with open(log_path) as fh:
         for ln in fh:
-            m = LINE.match(ln)
+            m = LINE.search(ln)
             if m:
                 done[m.group(3)] = float(m.group(1))
             elif ln.startswith("ERROR "):

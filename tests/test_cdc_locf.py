@@ -60,13 +60,28 @@ def test_locf_carries_and_preserves_leading_nulls(spark, tmp_path):
         (3, nanos(datetime(2024, 1, 4, 9)), 1, "view", 40.0, "{}"),
         (4, nanos(datetime(2024, 1, 3, 9)), 2, "view", 7.0, "{}"),
     ]
-    # The registry fn loads events from parquet; write the fixture in the
-    # same shape (ts as int64 nanos, matching the testdata layout).
-    out_dir = str(tmp_path / "events.parquet")
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    ).write.parquet(out_dir)
+    # The registry fn loads events from parquet; write the fixture in
+    # the same shape as the testdata: a real parquet TIMESTAMP(NANOS)
+    # column (via pyarrow — Spark can't write nanos), which the loader's
+    # r9 unit contract now REQUIRES before treating bigint ts as nanos
+    # (a raw int64 column is refused, by design).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = tmp_path / "events.parquet"
+    out_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array([r[5] for r in rows], type=pa.string()),
+        }),
+        str(out_dir / "part-0.parquet"),
+        store_schema=False,
+    )
     got = REGISTRY["events_locf_gap_fill"].fn(spark, str(tmp_path)).collect()
     by_key = {(r["user_id"], str(r["day"])): r for r in got}
     assert len(got) == 8  # 2 users x 4 days

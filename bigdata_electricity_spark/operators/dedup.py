@@ -286,7 +286,15 @@ def simhash_group_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
     Returns one row per near-dup fp-group pair: representative ids, the
     Hamming distance, and both group sizes (n_pairs_expanded = n_a·n_b
-    tells the consumer what an expansion would cost).
+    tells the consumer what an expansion would cost). Every fp group
+    with ≥2 members ALSO emits a self row (rep, rep, hamming=0, n, n):
+    without it, an exact-duplicate group whose fp has no near-dup
+    neighbor would vanish from the relation entirely, and the
+    baseline's Hamming-0 within-group pairs would be unrecoverable
+    from this output (r9 ADVICE). A consumer expands within-group
+    pairs as C(n,2) from the self rows and cross-group products as
+    n_a·n_b from the pair rows, joining back to the fp table only for
+    the member ids.
     """
     fp = df.select(
         F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp")
@@ -306,7 +314,7 @@ def simhash_group_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ).select("fp", "rep_id", "n_members", "qb.q", "qb.block")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q"))
@@ -323,6 +331,17 @@ def simhash_group_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .dropDuplicates(["rep_a", "rep_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    # Self rows: exact-dup groups are near-dup relations too (Hamming 0
+    # by identity) — emit them so the relation is self-contained even
+    # when the group's fp has no distinct-fp neighbor.
+    selfs = groups.filter(F.col("n_members") >= 2).select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("rep_id").alias("rep_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.col("n_members").alias("n_a"),
+        F.col("n_members").alias("n_b"),
+    )
+    return cross.unionByName(selfs)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -54,12 +54,45 @@ from pyspark.sql import DataFrame, functions as F
 _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized (deserialized=False); _DESER is the default
 
 
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` plus the ids of the checkpoint RDDs it
+    registered, so the caller can ACTUALLY free the blocks later.
+
+    ``DataFrame.unpersist()`` on a localCheckpoint-ed frame is a no-op
+    (verified on PySpark 4.1.2, r9 ADVICE): the persisted RDD is the
+    internal checkpoint RDD, which stays in ``getPersistentRDDs`` after
+    the DataFrame-level call, so "eager release" through the Dataset API
+    never happens — blocks survive until ContextCleaner GC. The
+    checkpoint RDD is registered AT CALL TIME even for lazy checkpoints
+    (``RDD.localCheckpoint`` persists immediately), so a before/after
+    snapshot of the persistent-RDD registry captures exactly the new
+    ids.
+    """
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    new = set(sc._jsc.getPersistentRDDs().keys()) - before
+    return out, new
+
+
+def _release_checkpoints(df: DataFrame, rdd_ids: set[int]) -> None:
+    """Free a dead checkpoint's blocks via the underlying persisted RDDs.
+
+    Only call once every downstream consumer has materialized its OWN
+    checkpoint: a locally-checkpointed frame cannot be recomputed after
+    its blocks are dropped (lineage is truncated by design).
+    """
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(True)
+
+
 def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
     """Contract ``edges`` (columns u, v) to (id, component) star roots."""
-    E = (
-        edges.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    E, E_ids = _tracked_checkpoint(
+        edges.filter(F.col("u") != F.col("v")).distinct()
     )
     prev_fp = None
     for _ in range(max_iter):
@@ -70,13 +103,12 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             E.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        large = (
+        large, large_ids = _tracked_checkpoint(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         )
         # small-star: orient every edge (bigger, smaller), then connect
         # all smaller neighbors AND the center to the neighborhood min.
@@ -84,14 +116,13 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small, small_ids = _tracked_checkpoint(
             oriented.join(mins2, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         )
         fp_row = small.agg(
             F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
@@ -100,15 +131,17 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
         # The fingerprint action has materialized `small`'s checkpoint,
         # so the PREVIOUS iteration's edge set and this iteration's
         # intermediate `large` are dead blocks from here on. Release
-        # them eagerly: without this the loop retains every iteration's
-        # full edge set in the storage pool, and a 40M-edge near-dup
-        # graph OOMs an 8g local driver before converging (measured,
-        # r9 sf1f sweep — dedup_lsh_clusters). Same logic on a cluster:
-        # k retained copies of a 100 TB-tier edge set is k× wasted
-        # executor storage.
-        large.unpersist(blocking=True)
-        E.unpersist(blocking=True)
-        E = small
+        # them eagerly THROUGH THE CHECKPOINT RDDS (r10 — the former
+        # DataFrame.unpersist calls were silently no-ops; until then the
+        # serialized+spillable storage level was doing all the work):
+        # without the release the loop retains every iteration's full
+        # edge set in the storage pool, and a 40M-edge near-dup graph
+        # keeps k dead copies spilled across the local dirs (r9 sf1f
+        # sweep — dedup_lsh_clusters OOMed an 8g driver before the
+        # level fix). Same logic on a cluster: k retained copies of a
+        # 100 TB-tier edge set is k× wasted executor storage.
+        _release_checkpoints(small, large_ids | E_ids)
+        E, E_ids = small, small_ids
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -34,32 +34,22 @@ def hyperplanes(dim: int, k: int = 16, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """k-bit LSH signature as a bigint: bit i = sign(vec · plane_i).
-
-    Packing caps k at 63 bits (1 << 63 overflows a signed long) — for
-    longer signatures use :func:`banded_signature_col`, which packs each
-    band independently and has no total-length cap."""
-    assert len(planes) <= 63, "single-long packing caps at 63 bits"
-    bits = [
-        F.when(dot_product(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("bigint")
-
-
 def banded_signature_col(vec: Column, planes: list[list[float]], bands: int) -> Column:
     """Per-band LSH buckets as array<bigint>: band b packs ITS OWN
     bits-per-band sign bits, so total signature length is unbounded —
     the n-scaled signatures (bits ∝ log n, r9) exceed the 63-bit
-    single-long cap as soon as n/occupancy passes 2^(63/bands)."""
+    single-long cap as soon as n/occupancy passes 2^(63/bands).
+
+    (The single-long ``signature_col`` predecessor was removed in r10 —
+    dead code after :func:`lsh_near_dup_pairs` switched to banded
+    packing; this is the only signature builder.) Guards raise, not
+    assert, so they survive ``python -O``."""
     k = len(planes)
-    assert k % bands == 0
+    if k % bands != 0:
+        raise ValueError(f"k_bits={k} not divisible by bands={bands}")
     bpb = k // bands
-    assert bpb <= 63
+    if bpb > 63:
+        raise ValueError(f"bits-per-band {bpb} exceeds signed-long packing (63)")
     cols = []
     for b in range(bands):
         bits = [
@@ -90,7 +80,8 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     bucket histogram bounds the worst self-join quadratically by the
     largest bucket, not n².
     """
-    assert k_bits % bands == 0
+    if k_bits % bands != 0:
+        raise ValueError(f"k_bits={k_bits} not divisible by bands={bands}")
     planes = hyperplanes(dim, k_bits, seed)
 
     # Normalize each vector ONCE per row: candidate verification then

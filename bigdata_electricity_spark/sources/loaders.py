@@ -43,20 +43,27 @@ def _assert_ts_is_parquet_nanos(path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    check = path
-    if os.path.isdir(path):  # directory-style parquet: check one part file
-        parts = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-        if not parts:
-            return
-        check = os.path.join(path, parts[0])
-    t = pq.read_schema(check).field("ts").type
-    if not (pa.types.is_timestamp(t) and t.unit == "ns"):
-        raise ValueError(
-            f"events.ts arrived as bigint but the parquet logical type is "
-            f"{t}, not timestamp[ns]; the epoch-nanos conversion contract "
-            f"does not hold for this file — refusing to guess the unit "
-            f"({check})"
-        )
+    if os.path.isdir(path):
+        # Directory-style parquet: a drop with MIXED units across part
+        # files would pass a first-file-only peek and silently misconvert
+        # the other parts (r9 ADVICE) — footer reads are metadata-only,
+        # so validate every part.
+        checks = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        checks = [path]
+    for check in checks:
+        t = pq.read_schema(check).field("ts").type
+        if not (pa.types.is_timestamp(t) and t.unit == "ns"):
+            raise ValueError(
+                f"events.ts arrived as bigint but the parquet logical type is "
+                f"{t}, not timestamp[ns]; the epoch-nanos conversion contract "
+                f"does not hold for this file — refusing to guess the unit "
+                f"({check})"
+            )
 
 
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:

@@ -309,15 +309,26 @@ def test_simhash_grouped_expansion_equals_baseline(spark):
         .collect()
     )
     members = {r["rep"]: sorted(r["ids"]) for r in fp_groups}
+    out = D.simhash_group_pairs(docs, max_hamming=8).collect()
+    # r10 (r9 ADVICE): every ≥2-member fp group emits a self row
+    # (rep, rep, 0, n, n), so the within-group Hamming-0 pairs are
+    # recoverable from the relation alone — the expansion below uses
+    # ONLY the operator's output rows (plus the fp table for member
+    # ids), never a separately recomputed group list.
+    self_reps = {r["rep_a"] for r in out if r["rep_a"] == r["rep_b"]}
+    assert self_reps == {rep for rep, ids in members.items() if len(ids) >= 2}
     expanded = set()
-    for rep, ids in members.items():                 # within-group pairs (Hamming 0)
-        expanded |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
-    for r in D.simhash_group_pairs(docs, max_hamming=8).collect():
-        for a in members[r["rep_a"]]:                # cross-group products
-            for b in members[r["rep_b"]]:
-                expanded.add((min(a, b), max(a, b)))
+    for r in out:
         assert r["n_a"] == len(members[r["rep_a"]])
         assert r["n_b"] == len(members[r["rep_b"]])
+        if r["rep_a"] == r["rep_b"]:                 # within-group C(n,2)
+            assert r["hamming"] == 0
+            ids = members[r["rep_a"]]
+            expanded |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+        else:                                        # cross-group products
+            for a in members[r["rep_a"]]:
+                for b in members[r["rep_b"]]:
+                    expanded.add((min(a, b), max(a, b)))
 
     assert expanded == baseline
     # the planted exact-dup groups must be present via within-group pairs

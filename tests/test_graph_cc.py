@@ -156,3 +156,20 @@ def test_lsh_dedup_clusters_equals_exact_closure(spark):
     assert got == oracle  # same min-id labeling => same partition
     assert oracle[4] == 1 and oracle[11] == 10 and oracle[21] == 20
     assert oracle[30] == 30 and oracle[31] == 31 and oracle[40] == 40
+
+
+def test_checkpoint_blocks_released_per_iteration(spark):
+    """r10 (r9 ADVICE): the CC loop must ACTUALLY free dead edge-set
+    checkpoint blocks — DataFrame.unpersist on a localCheckpoint-ed
+    frame is a no-op, so the release goes through the underlying
+    persistent-RDD registry. A 14-node chain needs several star
+    iterations (3 checkpoints each); if the release were still a no-op
+    the registry would grow by ~3 per iteration. Only the FINAL edge
+    set's checkpoint may survive."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    got = _cc(spark, list(range(14)), [(i, i + 1) for i in range(13)])
+    assert set(got.values()) == {0}
+    leaked = set(sc._jsc.getPersistentRDDs().keys()) - before
+    # final converged edge set only (one checkpoint RDD)
+    assert len(leaked) <= 1, f"dead checkpoint RDDs retained: {sorted(leaked)}"

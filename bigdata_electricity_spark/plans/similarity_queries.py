@@ -144,9 +144,14 @@ def sim_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     index.
     """
     from ..operators.lsh import lsh_near_dup_pairs
+    from ..sources.loaders import parquet_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # scalar: sizes the signature (occupancy ≈ 64)
+    # Signature sizing needs n BEFORE the plan runs; the parquet footers
+    # already store it, so read them metadata-only instead of paying a
+    # full count() scan per invocation (r9 VERDICT task 6 — the entry's
+    # query plan now contains no count job at all).
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     bits = max(4, math.ceil(math.log2(max(n, 128) / 64.0)))
     bands = 8
     return lsh_near_dup_pairs(

@@ -66,6 +66,29 @@ def _assert_ts_is_parquet_nanos(path: str) -> None:
             )
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact table row count from parquet FOOTERS only — no Spark job.
+
+    Index-build parameters (e.g. an LSH signature length sized to n)
+    need the corpus cardinality before the plan runs; `df.count()` pays
+    a full scan for a number every footer already stores. Metadata-only
+    reads, summed across part files for directory-style datasets —
+    the same access pattern as :func:`_assert_ts_is_parquet_nanos`
+    (r9 VERDICT task 6).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        parts = [path]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     """Convert the epoch-nanos ``ts`` long to a UTC-naive timestamp.
 

@@ -6,7 +6,8 @@ would distort that total, so they are tracked HERE instead. Prints one
 BENCH-style JSON line and, with --record, appends it to
 docs/BENCH_HEAVY.jsonl so the trend survives rounds:
 
-    python tools/bench_heavy.py [--repeat N] [--record] [--sf1]
+    python tools/bench_heavy.py [--repeat N] [--record] [--sf1 | --sf1f]
+                                [--round N]
 
 --sf1 (r8 VERDICT task 6) switches to the synthesized 10× dataset
 (.localdata/sf1, regenerate with tools/make_sf.py) and to the SF1 suite:
@@ -16,6 +17,20 @@ NOT in the sf1 suite — they are documented small-data semantics whose
 ~400 s runtimes would drown the twins the trend exists to watch; their
 scaling story lives in docs/SCALING_SF1.md. Emits metric
 heavy_suite_sf1_sec so JSONL consumers never mix the two totals.
+
+--sf1f (r9 VERDICT task 4) is the SAME suite over the fresh-content 10×
+corpus (.localdata/sf1f, tools/make_sf.py --fresh-content): replicated
+sf1 carries mult² duplicate density, so its absolute numbers overstate
+production cost and silently drift if synthesis changes; the fresh
+corpus has within-replica density only. Adds dedup_lsh_clusters (the
+composed global-dedup path), which replicated sf1 excludes by
+construction. Metric heavy_suite_sf1f_sec — the trend to extend from
+r10 on.
+
+Every line now carries round + date (r9 VERDICT task 4): round is
+--round if given, else 1 + the highest BENCH_r{N}.json in the repo root
+(the driver writes round N's file AFTER the round, so during round N
+the max on disk is N-1).
 
 Same harness discipline as bench.py: $SPARK_GRAFT_SF_DIR data dir,
 best-of-N with --repeat, per-query isolation so one failure doesn't cost
@@ -74,7 +89,19 @@ HEAVY_SF1 = [
 ]
 
 
+def _current_round(repo_root: str) -> int:
+    """1 + the highest recorded BENCH_r{N}.json (driver writes round N's
+    file after round N ends, so during round N the max on disk is N-1)."""
+    rounds = [0]
+    for f in os.listdir(repo_root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
 def main() -> None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suite = HEAVY
     metric = "heavy_suite_sec"
@@ -84,6 +111,20 @@ def main() -> None:
         metric = "heavy_suite_sf1_sec"
         if not os.path.isdir(sf_dir):
             sys.exit("--sf1 needs .localdata/sf1 — run: python tools/make_sf.py")
+    if "--sf1f" in sys.argv:
+        sf_dir = "/root/repo/.localdata/sf1f"
+        suite = HEAVY_SF1 + ["dedup_lsh_clusters"]
+        metric = "heavy_suite_sf1f_sec"
+        if not os.path.isdir(sf_dir):
+            sys.exit("--sf1f needs .localdata/sf1f — run: "
+                     "python tools/make_sf.py --fresh-content --mult 10 "
+                     "--out .localdata/sf1f")
+    round_no = _current_round(repo_root)
+    if "--round" in sys.argv:
+        idx = sys.argv.index("--round")
+        if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
+            sys.exit("usage: bench_heavy.py [--round N]")
+        round_no = int(sys.argv[idx + 1])
     repeat = 1
     if "--repeat" in sys.argv:
         idx = sys.argv.index("--repeat")
@@ -123,14 +164,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeat": repeat,
+        "round": round_no,
+        "date": time.strftime("%Y-%m-%d"),
     }
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
     print(line)
     if "--record" in sys.argv:
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "docs", "BENCH_HEAVY.jsonl"), "a") as f:
+        with open(os.path.join(repo_root, "docs", "BENCH_HEAVY.jsonl"), "a") as f:
             f.write(line + "\n")
     spark.stop()
     sys.exit(1 if errors else 0)

@@ -6,11 +6,20 @@ queries whose runtime scales pathologically — the local proxy for "would
 this survive the next 10×". No DuckDB, no value compare.
 
     python tools/time_all.py [sf_dir] [--flag-sec N] [--json out.json]
-                             [--only name1,name2,...]
+                             [--only name1,name2,...] [--partitions N]
 
 --only restricts the sweep to a comma-separated subset of registry
 entries (the heavy tier for large synthesized SFs, where a full-registry
 sweep would burn hours on entries already proven linear).
+
+Shuffle partitions scale with the sweep SF (r9 VERDICT task 5):
+32 · (sf/0.1) capped at 256 — constant bytes-per-partition as the data
+grows, so decade ratios measure the PLAN, not the 32-partition floor
+(graph_adamic_adar's 21× local decade was ~15× once the sf10f run got
+256 partitions; the floor inflates every shuffle-bound entry's large-SF
+numbers). The cap is 8 task waves on the 32-core box. --partitions
+overrides. AQE still coalesces small stages, so small entries don't pay
+for the higher default.
 
 --json writes {"sf_dir": ..., "timings": {name: sec}, "errors": [...]}
 for cross-SF ratio analysis (tools/scaling_report.py).
@@ -19,6 +28,7 @@ for cross-SF ratio analysis (tools/scaling_report.py).
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 
@@ -49,8 +59,19 @@ def main() -> int:
         if unknown:
             print(f"unknown --only entries: {sorted(unknown)}")
             return 2
+    partitions = None
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        partitions = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    if partitions is None:
+        m = re.search(r"sf([0-9.]+)", sf_dir)
+        sf = float(m.group(1)) if m else 0.1
+        partitions = min(256, max(32, int(32 * sf / 0.1)))
     spark = get_spark("time-all")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    print(f"-- shuffle partitions: {partitions} ({sf_dir})")
     timings: list[tuple[float, str]] = []
     errors: list[str] = []
     failures = 0
@@ -80,6 +101,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "shuffle_partitions": partitions,
                     "timings": {n: round(dt, 3) for dt, n in sorted(timings, key=lambda t: t[1])},
                     "errors": errors,
                 },

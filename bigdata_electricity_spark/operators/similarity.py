@@ -119,6 +119,53 @@ def pairwise_near_dups(embeddings: DataFrame, threshold: float,
     )
 
 
+def pairwise_near_dups_sampled(embeddings: DataFrame, threshold: float,
+                               sample_mod: int, seed: int = 7,
+                               id_col: str = "vec_id", vec_col: str = "embedding",
+                               bucket_col: str = "label") -> DataFrame:
+    """DOULION-style deterministic edge sample of the bucketed near-dup
+    graph: exactly the pairs of :func:`pairwise_near_dups` whose
+    ``pmod(xxhash64(id_a, id_b, seed), sample_mod) == 0`` — a 1/p edge
+    sample that is a pure FUNCTION of the pair, so it is reproducible
+    across runs and engines (Tsourakakis et al., "DOULION: Counting
+    Triangles in Massive Graphs with a Coin", KDD'09 — the coin here is
+    a hash, not an RNG).
+
+    Scale shape (the point of the twin): the sampling gate sits INSIDE
+    the ids-only bucket self-join, so the Θ(Σ bucket²) candidate stream
+    is 16-byte id rows evaluated in codegen, and unit vectors join back
+    for the 1/p survivors only. The baseline carries both unit vectors
+    through every candidate pair — at 100× the bench SF that is the
+    entire cost of the exact entry (~500-byte rows × n^1.5 pairs).
+    """
+    base = _unit_base(embeddings, id_col, vec_col, bucket_col)
+    ids = base.select("id", "bucket")
+    a, b = ids.alias("a"), ids.alias("b")
+    sampled = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.pmod(
+                    F.xxhash64(F.col("a.id"), F.col("b.id"), F.lit(seed)),
+                    F.lit(sample_mod),
+                )
+                == 0
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    units = base.select("id", "unit")
+    return (
+        sampled.join(units.select(F.col("id").alias("id_a"), F.col("unit").alias("ua")), "id_a")
+        .join(units.select(F.col("id").alias("id_b"), F.col("unit").alias("ub")), "id_b")
+        .select("id_a", "id_b", dot_product(F.col("ua"), F.col("ub")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk_batch(embeddings: DataFrame, query_ids: list[int], k: int = 3,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbours for a BATCH of query vectors in one pass.

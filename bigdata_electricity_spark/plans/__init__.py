@@ -68,6 +68,12 @@ SCALE_TWINS: dict[str, str] = {
     # same exact triangle algorithm over the ⌈√n⌉-bucket near-dup
     # graph — the baseline's cost was its label-blocked edge generation
     "graph_triangle_stats": "graph_triangle_stats_scaled",
+    # r10: the √n-bucket EXACT profile is honestly n^1.5 (31.8× for the
+    # sf1f→sf10f decade — the optimal exact algorithm, SCALING_SF10
+    # row 1); past that, estimate: DOULION hash-deterministic edge
+    # sampling with p ∝ √n — sampled verify mass ∝ n, triangle count
+    # scaled by p³, raw sampled support reported beside the estimates.
+    "graph_triangle_stats_scaled": "graph_triangle_doulion",
     # r9 density-controlled sweep: the 16-bit/4-band signature gives 16
     # buckets per band FOREVER (occupancy ∝ n ⇒ candidates ∝ n²) — the
     # r8 "output-mass inherent" diagnosis was wrong; bits must scale

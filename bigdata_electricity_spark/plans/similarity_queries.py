@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.rounding import dround, hround
 from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 from ..operators.dims import hint_dim
-from ..operators.similarity import brute_force_topk, bucketed_nearest_neighbor, pairwise_near_dups
+from ..operators.similarity import (
+    brute_force_topk,
+    bucketed_nearest_neighbor,
+    pairwise_near_dups,
+    pairwise_near_dups_sampled,
+)
 from ..sources.loaders import load_table
 from .registry import query
 
@@ -1098,13 +1103,27 @@ def graph_triangle_stats_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same exact triangle algorithm (`_triangle_profile`), fully
     deterministic, hash-checked end to end.
     """
+    assigned, _n = _sqrt_n_assignment(spark, sf_dir)
+    pairs = pairwise_near_dups(assigned, threshold=0.3, bucket_col="cid")
+    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    return _triangle_profile(spark, e)
+
+
+def _sqrt_n_assignment(spark: SparkSession, sf_dir: str):
+    """(vec_id, embedding, cid) ⌈√n⌉-seeded-centroid bucket assignment —
+    the coarse quantizer shared by `graph_triangle_stats_scaled` and
+    `graph_triangle_doulion` (and mirrored by both DuckDB oracles).
+    n comes from the parquet footers (metadata-only), not a count() job.
+    Returns (assigned_df, n)."""
+    from ..sources.loaders import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
     embd = emb.select(
         "vec_id",
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    n = embd.count()  # scalar: sizes the index (nlist = ceil(sqrt(n)))
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     nlist = int(math.ceil(math.sqrt(n)))
     cent = (
         embd.orderBy("vec_id")
@@ -1123,9 +1142,62 @@ def graph_triangle_stats_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
-    pairs = pairwise_near_dups(assigned, threshold=0.3, bucket_col="cid")
-    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-    return _triangle_profile(spark, e)
+    return assigned, n
+
+
+@query("graph_triangle_doulion")  # rows-only: hash-sampled estimator
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimate over the SAME √n-bucket near-dup graph
+    as `graph_triangle_stats_scaled` — the approximate twin the exact
+    entry needs at 100 TB (r9 VERDICT task 2).
+
+    The exact oriented-wedge count is the optimal exact algorithm but
+    honestly n^1.5 on this graph (31.8× ≈ 10√10 for the sf1f→sf10f
+    decade, docs/SCALING_SF10.md row 1) — the cost is carrying unit
+    vectors through every Θ(Σ bucket²) candidate pair plus the wedge
+    join over the full edge set. DOULION (Tsourakakis et al., KDD'09)
+    keeps each EDGE with probability 1/p and scales the sampled
+    triangle count by p³ (wedges by p²); here the coin is
+    pmod(xxhash64(id_a, id_b, seed), p) == 0 — deterministic, so the
+    estimate is reproducible run-to-run. The gate sits INSIDE the
+    ids-only candidate join (operators/similarity.py,
+    pairwise_near_dups_sampled): candidates stream through codegen as
+    16-byte rows, vectors attach for the 1/p survivors only, and the
+    wedge join runs over the sampled edges — every super-linear term is
+    divided by p (wedge terms by p²..p³).
+
+    p scales as max(2, ⌈√n/64⌉): sampled VERIFY mass n^1.5/√n ∝ n, so
+    the decade is ~linear where the exact twin is n^1.5. Estimator
+    quality: Var(T̂) ≈ T·p³ + wedge co-terms (paper §3) — the output
+    carries the raw sampled counts next to the scaled estimates so a
+    consumer can see the support (a sampled_triangles of 3 means the
+    estimate is noise; thousands means percent-level error).
+    Rows-only: the sampled edge subset is hash-seed-specific by design;
+    estimate-within-band vs the exact profile is pytest-proven
+    (tests/test_graph_triangles.py) on planted cliques and at p=1,
+    where the estimator degenerates to the exact profile.
+    """
+    assigned, n = _sqrt_n_assignment(spark, sf_dir)
+    p = max(2, int(math.ceil(math.sqrt(n) / 64.0)))
+    pairs = pairwise_near_dups_sampled(
+        assigned, threshold=0.3, sample_mod=p, bucket_col="cid"
+    )
+    es = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    prof = _triangle_profile(spark, es)
+    est_cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(3.0 * F.col("n_triangles") * p / F.col("n_wedges") * 1e6 + 0.5) / 1e6,
+    ).otherwise(F.lit(0.0))
+    return prof.select(
+        F.lit(p).alias("sample_mod"),
+        F.col("n_edges").alias("sampled_edges"),
+        F.col("n_triangles").alias("sampled_triangles"),
+        F.col("n_wedges").alias("sampled_wedges"),
+        (F.col("n_edges") * p).alias("est_edges"),
+        (F.col("n_triangles") * p * p * p).alias("est_triangles"),
+        (F.col("n_wedges") * F.lit(p) * p).alias("est_wedges"),
+        est_cc.alias("est_clustering_coeff"),
+    )
 
 
 @query(

@@ -666,64 +666,175 @@ def prefix_filtered_containment_pairs(df: DataFrame, text_col: str = "text",
 
 def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.6,
-                       num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                       num_hashes: int = 32, bands: int = 8,
+                       per_node_cap: int = 4, per_comp_cap: int = 16,
+                       max_rounds: int = 8) -> DataFrame:
     """The production GLOBAL dedup path, composed end-to-end: MinHash
-    bands → exact-Jaccard verify → star-contraction closure → cluster
-    ids (r8 VERDICT task 2).
-
-    Every piece already shipped separately — this is the composition a
-    100 TB user actually runs when the docs say "use clusters/LSH for
-    global semantics" instead of a Θ(n²·density) global pair listing:
+    bands → capped iterative exact-Jaccard verify → star-contraction
+    closure → cluster ids (r8 VERDICT task 2; verify redesigned r10).
 
     1. candidates: :func:`minhash_lsh_candidates` with ``shingle_n=1``
        so the signature estimates TOKEN-SET Jaccard — the same relation
        the exact operators (:func:`ngram_jaccard_pairs`) compute. Banded
        buckets bound candidate mass by content, never block².
-    2. verify: exact hashed-token-set Jaccard on candidates only
-       (precision 1 — no false edge ever enters the graph). Reuses
-       :func:`_token_base`, so bodies leave the scan once.
-    3. closure: star-contraction connected components
-       (operators/graph.py, O(log n) shuffle rounds) → every doc labeled
-       with its cluster's min doc id, keepers flagged.
+    2. α-prune (ints only, r9 VERDICT task 1): the size-ratio bound
+       J ≤ min/max kills lopsided candidates BEFORE any token array
+       moves — the prune joins an (id, token_count) table, so the
+       candidate stream stays 16-byte rows.
+    3. verify + closure, INTERLEAVED (r10). The r9 sf10f sweep showed
+       why one-shot verification cannot survive a dense corpus on
+       bounded disk, and the r10 measurement pinned the cause: at sf1f
+       88% of the 78.2M candidates are TRUE pairs (64.5M; the size
+       prune alone removes just 6%) — the duplicate clusters are
+       ~10k-member quasi-cliques whose edge mass is Θ(members²) while
+       the CLUSTER output only needs a spanning subset. So verification
+       is budgeted per round, Borůvka-style:
 
-    Recall is the banded S-curve 1−(1−J^r)^b (r = num_hashes/bands): at
-    the default 8 bands × 4 rows, ≥0.98 for J ≥ 0.8, ~0.67 AT the 0.6
-    threshold boundary — the standard LSH trade: borderline pairs may be
-    missed, strong duplicates essentially never. Cluster-set equality to
-    the exact closure is pytest-proven on a planted fixture whose true
-    pairs sit above the reliable region (tests/test_graph_cc.py).
+       - round 1: each doc verifies only its ``per_node_cap`` smallest
+         candidate partners per orientation (a duplicate clique
+         contracts here — every member reaches a near-min id);
+       - round k: surviving candidates are relabeled by current
+         component, intra-component pairs retire UNVERIFIED (their
+         outcome cannot change the partition — this is where the
+         quasi-clique mass goes), and each (comp_a, comp_b) pair
+         verifies up to ``per_comp_cap`` representatives;
+       - round ``max_rounds``: bulk-verifies whatever remains, so the
+         result is EXACTLY the closure of the fully-verified candidate
+         relation no matter how adversarial the graph — by termination
+         every candidate pair is either verified or intra-component.
+         Cluster-set equality to the exact recursive-CTE closure stays
+         pytest-proven (tests/test_graph_cc.py).
+
+       Verified-true edges merge components via component-level star
+       contraction (operators/graph.py) — after round 1 that graph has
+       one node per COMPONENT, not per doc.
+
+    Scale accounting (sf1f, measured r10): one-shot verify ships
+    Σ_pairs(|A|+|B|) ≈ 4.0e9 hashed tokens (≈32 GB of shuffle payload;
+    ~10× that at sf10f — the r9 disk-full), while the capped schedule
+    ships arrays for ~2·n·per_node_cap round-1 pairs plus later-round
+    representatives, and every other shuffle stays ids-only. Precision
+    is still 1 (every edge that merges components passed the exact
+    Jaccard); recall is still the banded S-curve 1−(1−J^r)^b of
+    candidate generation — the schedule changes WHICH true pairs get
+    verified, never the partition they induce.
 
     Returns (doc_id, cluster_id, is_keeper): cluster_id = min doc_id of
     the component, is_keeper marks the one row per cluster a dedup job
     keeps. Output is per-doc (n rows), never per-pair — the whole point
     at scale.
     """
-    from .graph import connected_components
+    from .graph import (
+        _release_checkpoints,
+        _tracked_checkpoint,
+        connected_components,
+    )
 
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=1
     )
     base = _token_base(df, text_col, id_col)
+    sizes = base.select("id", "__n")
+    pruned = (
+        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("nb")), "id_b")
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
+    )
+
     va = base.select(
-        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("__n").alias("na")
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("__n").alias("vna")
     )
     vb = base.select(
-        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("__n").alias("nb")
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("__n").alias("vnb")
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    jaccard = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
-    edges = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(jaccard >= F.lit(threshold))
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    nodes = df.select(F.col(id_col).alias("id"))
-    return (
-        connected_components(nodes, edges)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("component").alias("cluster_id"),
-            (F.col("id") == F.col("component")).alias("is_keeper"),
+    jaccard = inter.cast("double") / (F.col("vna") + F.col("vnb") - inter).cast("double")
+
+    def _verify(pairs: DataFrame, extra: list[str]) -> DataFrame:
+        """Exact-Jaccard filter; token arrays join in here and nowhere
+        else — the whole design exists to keep `pairs` small."""
+        return (
+            pairs.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(jaccard >= F.lit(threshold))
+            .select("id_a", "id_b", *extra)
         )
+
+    nodes = df.select(F.col(id_col).alias("id"))
+
+    # Round 1: per-node budget, both orientations, smallest ids first.
+    # The ranked candidate set is checkpointed ONCE — sel1, the round-1
+    # verify, and the leftover pool all derive from it, and without the
+    # checkpoint each would re-run the whole minhash candidate pipeline.
+    wa = Window.partitionBy("id_a").orderBy("id_b")
+    wb = Window.partitionBy("id_b").orderBy("id_a")
+    ranked, ranked_ids = _tracked_checkpoint(
+        pruned.withColumn("__ra", F.row_number().over(wa)).withColumn(
+            "__rb", F.row_number().over(wb)
+        )
+    )
+    sel1 = ranked.filter(
+        (F.col("__ra") <= per_node_cap) | (F.col("__rb") <= per_node_cap)
+    ).select("id_a", "id_b")
+    pool, pool_ids = ranked.filter(
+        (F.col("__ra") > per_node_cap) & (F.col("__rb") > per_node_cap)
+    ).select("id_a", "id_b"), ranked_ids
+    edges1 = _verify(sel1, []).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp, comp_ids = _tracked_checkpoint(connected_components(nodes, edges1))
+
+    for rnd in range(2, max_rounds + 1):
+        ca = comp.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
+        cb = comp.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
+        live = (
+            pool.join(ca, "id_a")
+            .join(cb, "id_b")
+            .filter(F.col("__ca") != F.col("__cb"))
+        )
+        if rnd == max_rounds:
+            sel = live.select("id_a", "id_b", "__ca", "__cb")
+            new_pool, new_pool_ids = None, set()
+        else:
+            wc = Window.partitionBy("__ca", "__cb").orderBy("id_a", "id_b")
+            rl = live.withColumn("__rc", F.row_number().over(wc))
+            sel = rl.filter(F.col("__rc") <= per_comp_cap).select(
+                "id_a", "id_b", "__ca", "__cb"
+            )
+            new_pool, new_pool_ids = _tracked_checkpoint(
+                rl.filter(F.col("__rc") > per_comp_cap).select("id_a", "id_b")
+            )
+        merges = (
+            _verify(sel, ["__ca", "__cb"])
+            .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
+            .distinct()
+        )
+        # Component-level contraction: nodes are the CURRENT components,
+        # so the CC input shrinks every round instead of staying n-sized.
+        cnodes = comp.select(F.col("component").alias("id")).distinct()
+        mapping = connected_components(cnodes, merges)
+        new_comp, new_comp_ids = _tracked_checkpoint(
+            comp.join(
+                mapping.select(
+                    F.col("id").alias("component"), F.col("component").alias("__new")
+                ),
+                "component",
+            ).select("id", F.col("__new").alias("component"))
+        )
+        n_remaining = new_pool.count() if new_pool is not None else 0
+        new_comp.count()  # materialize before releasing the parents
+        _release_checkpoints(new_comp, comp_ids | pool_ids)
+        comp, comp_ids = new_comp, new_comp_ids
+        pool, pool_ids = new_pool, new_pool_ids
+        if n_remaining == 0:
+            break
+
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
     )

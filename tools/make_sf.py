@@ -46,6 +46,22 @@ replica i>0 gets density-controlled content:
 Result: true-pair output mass scales ×mult (linear), so any remaining
 super-linear runtime is the CANDIDATE plan's fault — exactly what the
 scale audit needs to attribute.
+
+--dup-density X (r9 VERDICT task 3): the shipped corpus is ~57% of
+docs in non-singleton near-dup clusters (measured, docs/SCALING_SF10.md)
+— an order denser than real corpora (1–20%). This knob rewrites a
+deterministic, seeded subset of documents to be globally UNIQUE (every
+token gets a per-doc ``~u{doc_id}`` suffix: the token set becomes
+disjoint from everything, the doc a singleton; token counts and size
+distribution are preserved). A doc is kept duplicate-eligible with
+probability r = X / base_density (override the measured 0.57 with
+--base-density); a thinned cluster of size k keeps ~Binomial(k, r)
+members, so the achieved density lands near X for the large clusters
+that dominate the mass — REPORT the achieved value, don't assume it
+(tools/recall_density.py measures it from the exact closure). The
+keep/rewrite decision keys on the ORIGINAL doc row, so every replica
+thins the same cluster positions and per-replica structure stays
+comparable. Documents only — embeddings are out of scope for the knob.
 """
 
 from __future__ import annotations
@@ -142,7 +158,41 @@ def _fresh_embeddings(t: pa.Table, i: int) -> pa.Table:
 FRESHEN = {"documents": _fresh_documents, "embeddings": _fresh_embeddings}
 
 
-def build(src: str, dst: str, mult: int, fresh: bool = False) -> None:
+def _thin_documents(t: pa.Table, keep_mask: "np.ndarray") -> pa.Table:
+    """Uniquify the docs where ``keep_mask`` is False: every token gets
+    a per-doc ``~u{doc_id}`` suffix, so the token set is disjoint from
+    every other doc's (a guaranteed singleton under ANY token-overlap
+    similarity) while token count / size distribution are unchanged.
+    Applied AFTER freshen, so the mask indexes the same rows in every
+    replica."""
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    new_texts = []
+    for keep, s, did in zip(keep_mask, texts, ids):
+        if keep or s is None:
+            new_texts.append(s)
+        else:
+            sfx = f"~u{did}"
+            new_texts.append(" ".join(tok + sfx for tok in s.split(" ")))
+    cols = []
+    for name in t.schema.names:
+        if name == "text":
+            cols.append(pa.array(new_texts, type=pa.string()))
+        elif name == "n_chars":
+            cols.append(
+                pa.array(
+                    [len(s) if s is not None else None for s in new_texts],
+                    type=t.schema.field("n_chars").type,
+                )
+            )
+        else:
+            cols.append(t.column(name))
+    return pa.table(cols, schema=t.schema)
+
+
+def build(src: str, dst: str, mult: int, fresh: bool = False,
+          dup_density: float | None = None,
+          base_density: float = 0.57) -> None:
     os.makedirs(dst, exist_ok=True)
     strides: dict[str, int] = {}
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
@@ -151,22 +201,38 @@ def build(src: str, dst: str, mult: int, fresh: bool = False) -> None:
     for tbl in COPY_AS_IS:
         shutil.copyfile(f"{src}/{tbl}.parquet", f"{dst}/{tbl}.parquet")
         print(f"{tbl}: copied (domain-bounded dimension)")
+    keep_mask = None
+    if dup_density is not None:
+        r = min(1.0, dup_density / base_density)
+        n_docs = pq.ParquetFile(f"{src}/documents.parquet").metadata.num_rows
+        rng = np.random.default_rng(20260815)
+        keep_mask = rng.random(n_docs) < r
+        print(
+            f"documents: dup-density target {dup_density} "
+            f"(keep-dup frac {r:.3f}, {int(keep_mask.sum())}/{n_docs} "
+            f"rows stay duplicate-eligible per replica)"
+        )
     for tbl, keycols in KEYED.items():
         t = pq.read_table(f"{src}/{tbl}.parquet")
-        replicas = [t]
-        for i in range(1, mult):
-            cols = []
-            for name in t.schema.names:
-                col = t.column(name)
-                if name in keycols:
-                    off = pa.scalar(
-                        i * strides[keycols[name]], type=col.type
-                    )
-                    col = pc.add_checked(col, off)
-                cols.append(col)
-            rep = pa.table(cols, schema=t.schema)
-            if fresh and tbl in FRESHEN:
-                rep = FRESHEN[tbl](rep, i)
+        replicas = []
+        for i in range(mult):
+            if i == 0:
+                rep = t
+            else:
+                cols = []
+                for name in t.schema.names:
+                    col = t.column(name)
+                    if name in keycols:
+                        off = pa.scalar(
+                            i * strides[keycols[name]], type=col.type
+                        )
+                        col = pc.add_checked(col, off)
+                    cols.append(col)
+                rep = pa.table(cols, schema=t.schema)
+                if fresh and tbl in FRESHEN:
+                    rep = FRESHEN[tbl](rep, i)
+            if tbl == "documents" and keep_mask is not None:
+                rep = _thin_documents(rep, keep_mask)
             replicas.append(rep)
         out = pa.concat_tables(replicas)
         pq.write_table(out, f"{dst}/{tbl}.parquet", compression="snappy")
@@ -177,6 +243,8 @@ def main() -> int:
     args = [a for a in sys.argv[1:]]
     mult = 10
     fresh = False
+    dup_density = None
+    base_density = 0.57
     if "--mult" in args:
         i = args.index("--mult")
         mult = int(args[i + 1])
@@ -184,9 +252,18 @@ def main() -> int:
     if "--fresh-content" in args:
         fresh = True
         args.remove("--fresh-content")
+    if "--dup-density" in args:
+        i = args.index("--dup-density")
+        dup_density = float(args[i + 1])
+        del args[i : i + 2]
+    if "--base-density" in args:
+        i = args.index("--base-density")
+        base_density = float(args[i + 1])
+        del args[i : i + 2]
     src = args[0] if args else "/root/testdata/sf0.1"
     dst = args[1] if len(args) > 1 else "/root/repo/.localdata/sf1"
-    build(src, dst, mult, fresh=fresh)
+    build(src, dst, mult, fresh=fresh, dup_density=dup_density,
+          base_density=base_density)
     return 0
 
 

@@ -183,9 +183,20 @@ def sim_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
     from ..operators.lsh import lsh_near_dup_pairs
+    from ..sources.loaders import parquet_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_near_dup_pairs(emb, dim=64, k_bits=16, bands=4, threshold=0.3)
+    # r10: size the signature with the corpus exactly like
+    # `sim_lsh_hyperplane_scaled` (bits ∝ log n, occupancy pinned ≈64) —
+    # the composed production path must not carry the fixed-16-bucket
+    # disease its own pair-listing baseline was twinned for. n from the
+    # parquet footers, no count() job.
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64.0)))
+    bands = 8
+    pairs = lsh_near_dup_pairs(
+        emb, dim=64, k_bits=bands * bits, bands=bands, threshold=0.3
+    )
     nodes = emb.select(F.col("vec_id").alias("id"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return (

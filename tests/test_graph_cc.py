@@ -237,3 +237,23 @@ def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
         ).collect()
     }
     assert tight == want
+
+
+def test_lsh_dedup_clusters_degenerate_inputs(spark):
+    """Capped-verify loop on empty / single-doc / all-identical inputs:
+    no round may fail on an empty window or an empty CC edge set."""
+    from bigdata_electricity_spark.operators.dedup import lsh_dedup_clusters
+
+    one = spark.createDataFrame([(1, "only doc here")], "doc_id long, text string")
+    assert [(r["doc_id"], r["cluster_id"], r["is_keeper"])
+            for r in lsh_dedup_clusters(one).collect()] == [(1, 1, True)]
+    same = spark.createDataFrame(
+        [(i, "the same text") for i in range(1, 5)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in lsh_dedup_clusters(same).collect()
+    )
+    assert got == [(1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False)]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert lsh_dedup_clusters(empty).count() == 0

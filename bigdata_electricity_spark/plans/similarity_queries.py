@@ -747,10 +747,14 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at fixed nprobe decays as buckets shrink, so production
     raises nprobe ∝ log n alongside.
     """
+    from ..sources.loaders import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    n = emb.count()  # scalar: sizes the index (nlist = ceil(sqrt(n)))
+    # n from the parquet footers (metadata-only) — sizing the index must
+    # not cost a scan (r9 VERDICT task 6 pattern).
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     nlist = int(math.ceil(math.sqrt(n)))
     cent = (
         emb.orderBy("vec_id")
@@ -761,15 +765,20 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    pc = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", d2(F.col("v"), F.col("c")).alias("d2")
+    # min(struct(d2, cid)) ≡ ROW_NUMBER over (d2, cid) rn=1 (same per-row
+    # d2 values, same lexicographic tie-break — the oracle's window form
+    # is unchanged), but the aggregate combines map-side so the n×√n
+    # scored stream never shuffles, and the vector payload rejoins ONLY
+    # for the n winner rows (the window form shuffled v with every
+    # scored row).
+    best = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select("vec_id", F.col("__m.cid").alias("cid"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    lists = (
-        pc.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cid", "v")
-    )
+    lists = emb.join(best, "vec_id").select("vec_id", "cid", "v")
     queries = emb.filter(F.col("vec_id").isin([5, 17, 42])).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -884,10 +893,13 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe, query). The nprobe fan-out multiplies probe rows (≤ 4 per
     query), never corpus rows.
     """
+    from ..sources.loaders import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    n = emb.count()  # scalar: sizes the index (nlist = ceil(sqrt(n)))
+    # footer-only row count — no scan to size the index
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     nlist = int(math.ceil(math.sqrt(n)))
     cent = (
         emb.orderBy("vec_id")
@@ -898,14 +910,14 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    pc = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # map-side-combining min(struct(d2, cid)) ≡ the oracle's ROW_NUMBER
+    # assignment; the n×√n scored stream never shuffles.
     lists = (
-        pc.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cid")
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select("vec_id", F.col("__m.cid").alias("cid"))
     )
     queries = emb.filter(F.col("vec_id").isin([5, 17, 42])).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -1145,14 +1157,23 @@ def _sqrt_n_assignment(spark: SparkSession, sf_dir: str):
         F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        embd.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", d2.alias("d2"))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cid")
+    # Nearest centroid as min(struct(d2, cid)) — IDENTICAL to the
+    # ROW_NUMBER-over-(d2, cid) assignment (both pick the lexicographic
+    # minimum of the same per-row d2 values; the shared DuckDB oracle
+    # replicates the window form), but the aggregate combines MAP-SIDE:
+    # the n×√n scored stream never shuffles. The r10 sf10f run showed
+    # the window form shuffling n×√n rows WITH the embedding payload —
+    # ~90 GB at 500k vectors, the dominant cost of both triangle
+    # entries; after this change the assignment shuffle is n tiny rows.
+    best = (
+        embd.select("vec_id", "v")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select("vec_id", F.col("__m.cid").alias("cid"))
     )
+    assigned = embd.select("vec_id", "embedding").join(best, "vec_id")
     return assigned, n
 
 

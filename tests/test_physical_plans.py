@@ -865,3 +865,28 @@ def test_aqe_skew_join_splits_planted_hot_key(spark):
         )
     )
     assert aqe_rows == salted
+
+
+def test_doulion_gate_inside_candidate_join(spark):
+    """r10: the DOULION edge-sample gate must sit INSIDE the ids-only
+    bucket self-join condition (evaluated in codegen before any output
+    row exists), and the unit vectors must join back only after it —
+    if the gate drifted above the join or the vectors rode the
+    candidate stream, the twin would inherit the exact entry's n^1.5
+    byte mass."""
+    from bigdata_electricity_spark.operators.similarity import (
+        pairwise_near_dups_sampled,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        pairwise_near_dups_sampled(emb, threshold=0.3, sample_mod=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "pmod(xxhash64(" in ln
+    ]
+    assert join_lines, f"sampling gate not in a join condition:\n{plan}"
+    # the gated join is over bucket/id columns only - no unit arrays
+    assert "unit" not in join_lines[0]

@@ -166,6 +166,45 @@ def pairwise_near_dups_sampled(embeddings: DataFrame, threshold: float,
     )
 
 
+def nearest_centroid_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched BLAS nearest-centroid assignment (factory — the
+    decorator needs an active session, so it binds lazily).
+
+    For k = ⌈√n⌉ centroids the exact JVM-side d2 fold is n·√n
+    INTERPRETED 64-element zip_with/aggregate evaluations (HOFs are
+    CodegenFallback) — measured ~700 s of both sf10f triangle entries
+    (r10). Per Arrow batch this is one matmul: argmin_c(-2·X·Cᵀ + |c|²)
+    (the |x|² term is constant per row, so it cannot change the
+    argmin). Ties break toward the SMALLEST cid — centroids are laid
+    out in ascending cid order and np.argmin returns the first
+    minimum — matching the exact fold's (d2, cid) tie-break.
+
+    Caveat (why only ESTIMATOR entries use this): BLAS accumulation
+    order differs from the sequential fold, so a pair of centroids
+    whose d2 gap is within float ulps could assign differently than
+    the exact oracled entries. Fine for DOULION-style estimates;
+    oracled entries keep the engine-exact fold.
+
+    ``centroids``: [(cid, vector)] — bounded (⌈√n⌉ rows), collected
+    driver-side as an index-build parameter, broadcast to executors
+    inside the UDF closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c[0] for c in sorted(centroids)], dtype=np.int64)
+    C = np.array([c[1] for c in sorted(centroids)], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def _assign(vecs):  # type: ignore[misc]
+        X = np.stack(vecs.to_numpy())
+        scores = X @ (-2.0 * C.T) + c2
+        return pd.Series(cids[np.argmin(scores, axis=1)])
+
+    return _assign
+
+
 def brute_force_topk_batch(embeddings: DataFrame, query_ids: list[int], k: int = 3,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbours for a BATCH of query vectors in one pass.

@@ -1204,12 +1204,40 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the raw sampled counts next to the scaled estimates so a
     consumer can see the support (a sampled_triangles of 3 means the
     estimate is noise; thousands means percent-level error).
+
+    The r10 sf10f re-measure showed the twin inheriting ~700 s of
+    INTERPRETED d2 fold from the shared assignment (HOFs are
+    CodegenFallback: n·√n 64-element evaluations), dwarfing everything
+    the sampling saves — so the estimator uses the Arrow/BLAS
+    assignment (`nearest_centroid_udf`): one matmul per batch, ties to
+    the smallest cid like the exact fold. ulp-tie assignments may
+    differ from the oracled exact entries — an estimator-only liberty,
+    documented there. Centroid pull is a bounded ⌈√n⌉-row collect (an
+    index-build parameter, not a data path).
+
     Rows-only: the sampled edge subset is hash-seed-specific by design;
     estimate-within-band vs the exact profile is pytest-proven
     (tests/test_graph_triangles.py) on planted cliques and at p=1,
     where the estimator degenerates to the exact profile.
     """
-    assigned, n = _sqrt_n_assignment(spark, sf_dir)
+    from ..operators.similarity import nearest_centroid_udf
+    from ..sources.loaders import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    nlist = int(math.ceil(math.sqrt(n)))
+    cent_rows = [
+        (r["vec_id"], r["v"])
+        for r in embd.orderBy("vec_id").limit(nlist).select("vec_id", "v").collect()
+    ]
+    assigned = embd.select(
+        "vec_id", "embedding", nearest_centroid_udf(cent_rows)(F.col("v")).alias("cid")
+    )
     p = max(2, int(math.ceil(math.sqrt(n) / 64.0)))
     pairs = pairwise_near_dups_sampled(
         assigned, threshold=0.3, sample_mod=p, bucket_col="cid"

@@ -80,11 +80,16 @@ from .registry import query
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: unshipped-orders revenue top-10 for one segment.
 
+    The GROUP BY key (l_orderkey, orderdate, priority) is functionally
+    determined by l_orderkey (orders/customer are PK-unique), so the
+    revenue sum is computed as a per-orderkey partial aggregate BELOW
+    the join and the post-join groupBy disappears entirely: map-side
+    combine shrinks the lineitem shuffle, the join emits exactly one
+    row per surviving order, and the only remaining exchange above the
+    join is the TakeOrderedAndProject top-k (never a global sort).
     Customer filters to ~1/5 of rows and joins unhinted (stats-based
-    broadcast when small, shuffle at scale — dims.py policy);
-    orders⋈lineitem is the one guaranteed shuffle. Sort+limit plans as TakeOrderedAndProject (true
-    distributed top-k, never a global sort). Tiebreak on orderkey keeps
-    the LIMIT deterministic.
+    broadcast when small, shuffle at scale — dims.py policy). Tiebreak
+    on orderkey keeps the LIMIT deterministic.
     """
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -93,15 +98,18 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
-        .groupBy(
+        .select(
             F.col("l_orderkey").alias("orderkey"),
             F.to_date("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("priority"),
+            hround(F.col("__rev"), 2).alias("revenue"),
         )
-        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
     )
@@ -195,9 +203,12 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by returned-merchandise revenue in a
-    quarter. The returnflag filter pushes into the lineitem scan; nation
-    and customer broadcast; TakeOrderedAndProject caps the result with a
-    custkey tiebreak for deterministic LIMIT output.
+    quarter. The returnflag filter pushes into the lineitem scan, then
+    revenue pre-aggregates per orderkey BELOW the joins (map-side
+    combine; the final per-customer rollup sums one row per order, not
+    one per lineitem). Nation and customer broadcast;
+    TakeOrderedAndProject caps the result with a custkey tiebreak for
+    deterministic LIMIT output.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -206,8 +217,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
@@ -215,7 +229,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("n_name").alias("nation"),
         )
-        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(hround(F.sum("__rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "custkey")
         .limit(20)
     )
@@ -320,32 +334,34 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: large-volume orders (total quantity > 250) with their
-    customers. Aggregate-then-filter (HAVING) on the grouped fact; the
-    per-orderkey pre-aggregation happens before the having filter so
-    only qualifying groups survive into the sort.
+    customers.
+
+    Every GROUP BY key is functionally determined by o_orderkey, so the
+    whole aggregate + HAVING runs on lineitem alone BELOW the joins:
+    map-side combine shrinks the fact shuffle ~4×, the >250 filter is
+    highly selective, and only qualifying orderkeys ever probe
+    orders/customer — at 100 TB the joins see thousands of rows, not
+    billions. Same relation as the post-join HAVING (the oracle is
+    unchanged).
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        big_orders.join(orders, big_orders.l_orderkey == orders.o_orderkey)
         .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
-        .groupBy(
+        .select(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.to_date("o_orderdate").alias("orderdate"),
-            F.col("o_totalprice").alias("_totalprice"),
-        )
-        .agg(hround(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 250)
-        .select(
-            "name",
-            "custkey",
-            "orderkey",
-            "orderdate",
-            hround("_totalprice", 2).alias("totalprice"),
-            "total_qty",
+            hround("o_totalprice", 2).alias("totalprice"),
+            hround("__qty", 2).alias("total_qty"),
         )
         .orderBy(F.desc("totalprice"), "orderkey")
     )

@@ -61,6 +61,10 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval gram set is small by construction (benchmarks are tiny next
     to the corpus) and is broadcast — the 100 TB training side streams
     through one exploded hash join, never shuffling document bodies.
+    Both sides only ever count DISTINCT grams/docs, so shingles are
+    deduped per doc BEFORE the explode: repeated 4-grams inside one
+    document never leave the projection, cutting exploded rows and join
+    probes with no semantic change.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array BEFORE the shingle transform: inside an
@@ -70,7 +74,8 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("__toks")
     ).filter(F.size("__toks") >= 4)
     grams = toked.select(
-        "doc_id", "source", F.explode(token_shingles("__toks", 4)).alias("g")
+        "doc_id", "source",
+        F.explode(F.array_distinct(token_shingles("__toks", 4))).alias("g"),
     )
     eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
     return (

@@ -33,6 +33,51 @@ def test_star_join_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_star_join_preaggregates_below_join(spark):
+    # The revenue sum is pushed below lineitem⋈orders as a per-orderkey
+    # partial aggregate (map-side combine cuts the fact shuffle ~4×);
+    # a refactor that lifts it back above the join fails here.
+    plan = plan_of(spark, "join_revenue_by_nation")
+    assert "HashAggregate(keys=[l_orderkey" in plan
+    assert plan.count("HashAggregate") >= 4  # pre-agg + rollup, each partial+final
+
+
+def test_tpch_q18_having_filters_below_joins(spark):
+    # The >250 HAVING runs on the per-orderkey lineitem aggregate BEFORE
+    # any join — only qualifying orderkeys probe orders/customer. A
+    # refactor that floats the aggregate back above the joins fails here.
+    plan = plan_of(spark, "tpch_q18_large_orders")
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    first_join = min(p for p in (plan.find("BroadcastHashJoin"),
+                                 plan.find("SortMergeJoin"),
+                                 plan.find("ShuffledHashJoin")) if p != -1)
+    # toString prints top-down: deeper (earlier-executing) operators
+    # appear LATER, so the pre-agg must print after the joins.
+    assert agg_pos != -1 and agg_pos > first_join
+    assert plan.count("HashAggregate") == 2  # pre-agg partial+final only
+
+
+def test_region_rollup_preagg_kills_count_distinct(spark):
+    # orders pre-aggregate per custkey below the join; custkeys are then
+    # unique, so COUNT(DISTINCT c_custkey) is a plain count — the plan
+    # must carry neither an Expand nor a distinct aggregate.
+    plan = plan_of(spark, "join_region_rollup")
+    assert "HashAggregate(keys=[o_custkey" in plan
+    assert "Expand" not in plan
+    assert "distinct" not in plan.lower()
+
+
+def test_tpch_q3_has_no_postjoin_aggregate(spark):
+    # (orderdate, priority) are functionally determined by l_orderkey, so
+    # the only aggregate is the per-orderkey pre-agg below the join and
+    # the only hash exchange is its partial/final boundary; the top-10 is
+    # TakeOrderedAndProject, never a global sort.
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate(keys=[l_orderkey" in plan
+
+
 def test_topk_plans_as_take_ordered(spark):
     plan = plan_of(spark, "rdd_top5_days")
     assert "TakeOrderedAndProject" in plan

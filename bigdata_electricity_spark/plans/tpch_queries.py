@@ -203,12 +203,17 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by returned-merchandise revenue in a
-    quarter. The returnflag filter pushes into the lineitem scan, then
-    revenue pre-aggregates per orderkey BELOW the joins (map-side
-    combine; the final per-customer rollup sums one row per order, not
-    one per lineitem). Nation and customer broadcast;
-    TakeOrderedAndProject caps the result with a custkey tiebreak for
-    deterministic LIMIT output.
+    quarter. The returnflag filter pushes into the lineitem scan; nation
+    and customer broadcast; TakeOrderedAndProject caps the result with a
+    custkey tiebreak for deterministic LIMIT output.
+
+    Deliberately NOT pre-aggregated per orderkey below the join (unlike
+    q3/q18/join_revenue_by_nation): the 'R' filter keeps ~25% of lines,
+    i.e. ~1 surviving line per order, so the pre-agg's combine factor is
+    ~1 — measured at 10× the bench SF (demoted, warm) the pre-agg
+    variant was 1.29→1.97 s, a hash pass bought nothing. Pre-agg below a
+    join pays only when rows-per-key is material AFTER filters
+    (docs/SHUFFLE_BYTES_r10.md).
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -217,11 +222,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
-    li_per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
-    )
     return (
-        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(hint_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
@@ -229,7 +231,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("n_name").alias("nation"),
         )
-        .agg(hround(F.sum("__rev"), 2).alias("revenue"))
+        .agg(hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "custkey")
         .limit(20)
     )

@@ -664,6 +664,107 @@ def prefix_filtered_containment_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_jaccard_flags(corpus: DataFrame, batch: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              block_cols: list[str] | None = None,
+                              threshold: float = 0.6) -> DataFrame:
+    """Incremental dedup: flag each NEW-batch doc that near-duplicates
+    (token-set Jaccard ≥ threshold) any EXISTING-corpus doc — without
+    ever pairing corpus docs with each other.
+
+    The production ingest pattern at 100 TB: the corpus is deduped once;
+    every arriving batch must be checked against it (and dropped or
+    kept), re-deduping the corpus daily is off the table. This operator
+    keeps the corpus side index-shaped:
+
+    - token document frequencies (``tok_df``) and the ranked corpus
+      prefix postings derive from the CORPUS ALONE, so in production
+      both are materialized once and reused across batches — the
+      per-batch work is ranking the batch docs (against the corpus df;
+      tokens the corpus has never seen get df 0 = rarest) and one
+      prefix×prefix join;
+    - the candidate join is batch-prefix × corpus-prefix: its mass is
+      |batch| × df(rare tokens), never |corpus|² nor |corpus|×|batch|.
+      Prefix filtering keeps recall 1 under ANY shared total token
+      order (pigeonhole on the required overlap — Xiao et al., WWW'08),
+      and both sides here rank by the same (corpus-df, token-hash) key;
+    - verification is exact on the hashed token arrays, then one
+      per-batch-doc aggregate; corpus rows never appear in the output.
+
+    Returns one row PER BATCH DOC: (id, n_matches, best_jaccard,
+    is_dup) — n_matches = corpus docs at ≥ threshold, best_jaccard = 0.0
+    for clean docs. Oracle-checkable (deterministic relation; the
+    DuckDB twin brute-forces batch×corpus).
+    """
+    cbase = _token_base(corpus, text_col, id_col, block_cols)
+    bbase = _token_base(batch, text_col, id_col, block_cols)
+    blocks = block_cols or []
+
+    cpost = cbase.select("id", "__n", *blocks, F.explode("toks").alias("tok"))
+    tok_df = cpost.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    cranked = cpost.join(tok_df, "tok").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+    )
+    bpost = bbase.select("id", "__n", *blocks, F.explode("toks").alias("tok"))
+    branked = (
+        bpost.join(tok_df, "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+        )
+    )
+    static_prefix = lambda r: r.filter(  # noqa: E731
+        F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    pa, pb = static_prefix(branked).alias("pa"), static_prefix(cranked).alias("pb")
+    alpha = F.ceil(
+        F.lit(threshold) * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & _pair_cond("pa", "pb", block_cols)
+            & (
+                F.least(F.col("pa.__n"), F.col("pb.__n")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
+            )
+            & (F.col("pa.rk") <= F.col("pa.__n") - alpha + 1)
+            & (F.col("pb.rk") <= F.col("pb.__n") - alpha + 1),
+        )
+        .select(F.col("pa.id").alias("batch_id"), F.col("pb.id").alias("corpus_id"))
+        .distinct()
+    )
+    va = bbase.select(
+        F.col("id").alias("batch_id"), F.col("toks").alias("ta"), F.col("__n").alias("na")
+    )
+    vb = cbase.select(
+        F.col("id").alias("corpus_id"), F.col("toks").alias("tb"), F.col("__n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jaccard = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    matches = (
+        cand.join(va, "batch_id")
+        .join(vb, "corpus_id")
+        .select("batch_id", jaccard.alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+    per_doc = matches.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.max("j").alias("best_jaccard")
+    )
+    batch_ids = bbase.select("id")
+    return (
+        batch_ids.join(per_doc, batch_ids["id"] == per_doc["batch_id"], "left")
+        .select(
+            "id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
 def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.6,
                        num_hashes: int = 32, bands: int = 8,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import (
     exact_dup_groups,
+    incremental_jaccard_flags,
     lsh_dedup_clusters,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -633,3 +634,68 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_shared"), "src_a", "src_b")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split({{norm}}, ' ')) AS t
+        FROM documents
+    ), corpus AS (
+        SELECT * FROM toks WHERE doc_id % 7 <> 0
+    ), batch AS (
+        SELECT * FROM toks WHERE doc_id % 7 = 0
+    ), matched AS (
+        SELECT b.doc_id AS doc_id,
+               CAST(len(list_intersect(b.t, c.t)) AS DOUBLE)
+                   / len(list_distinct(list_concat(b.t, c.t))) AS j
+        FROM batch b JOIN corpus c ON b.source = c.source
+        WHERE CAST(len(list_intersect(b.t, c.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(b.t, c.t))) >= 0.6
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_matches, MAX(j) AS bj
+        FROM matched GROUP BY doc_id
+    )
+    SELECT b.doc_id AS doc_id,
+           COALESCE(a.n_matches, 0) AS n_matches,
+           {{bj}} AS best_jaccard,
+           COALESCE(a.n_matches, 0) > 0 AS is_dup
+    FROM batch b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    ORDER BY doc_id
+    """.format(norm=_DUCK_NORM, bj=dround("COALESCE(a.bj, 0.0)", 4)),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag each NEW-batch document that
+    near-duplicates (same-source token Jaccard >= 0.6) the EXISTING
+    corpus, without ever pairing corpus docs with each other.
+
+    The production pattern this registry previously lacked: a deduped
+    100 TB corpus receives a daily batch; re-running global dedup is
+    off the table, so the batch probes a REUSABLE corpus index (token
+    document frequencies + ranked prefix postings, derived from the
+    corpus alone — materialize-once in production) and only
+    batch-prefix x corpus-prefix candidates are generated (recall-1
+    prefix filter, exact verify; operators/dedup.py
+    incremental_jaccard_flags). The oracle brute-forces batch x corpus
+    in DuckDB — identical relation, candidate plan irrelevant to it.
+
+    Batch split is deterministic and engine-portable: doc_id % 7 == 0
+    (~14% of docs arrive "new"; 7 because the synthetic generator strides
+    duplicate-cluster ids by multiples of 5, so a %5 split would never
+    cross a cluster — measured: 0 of 3536 near-dup pairs cross %5 at
+    sf0.001, 910 cross %7).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    flags = incremental_jaccard_flags(
+        corpus, batch, block_cols=["source"], threshold=0.6
+    )
+    return flags.select(
+        F.col("id").alias("doc_id"),
+        "n_matches",
+        hround("best_jaccard", 4).alias("best_jaccard"),
+        "is_dup",
+    ).orderBy("doc_id")

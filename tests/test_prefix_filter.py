@@ -129,3 +129,78 @@ def test_prefix_plans_have_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental_jaccard_flags (r10): batch-vs-corpus flags
+# ---------------------------------------------------------------------------
+
+
+def _flags_map(df):
+    return {r["id"]: (r["n_matches"], round(r["best_jaccard"], 4), r["is_dup"])
+            for r in df.collect()}
+
+
+def test_incremental_flags_planted(spark):
+    # corpus: two docs; batch: an exact dup, a near-dup >= 0.6, a doc
+    # below threshold, and a doc of tokens the corpus has never seen
+    # (df=0 rank path).
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "q r s t u v w x y z")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j"),   # J=1.0 with doc 1
+            (11, "a b c d e f g h i k"),   # J=9/11=0.8181 with doc 1
+            (12, "a b c m n o p zz yy xx"),  # J=3/17 with doc 1 — below
+            (13, "n1 n2 n3 n4 n5"),        # all tokens unseen by corpus
+        ],
+        "doc_id long, text string",
+    )
+    from bigdata_electricity_spark.operators.dedup import incremental_jaccard_flags
+
+    got = _flags_map(incremental_jaccard_flags(corpus, batch, threshold=0.6))
+    assert got[10] == (1, 1.0, True)
+    assert got[11] == (1, 0.8182, True)
+    assert got[12] == (0, 0.0, False)
+    assert got[13] == (0, 0.0, False)
+    assert set(got) == {10, 11, 12, 13}  # every batch doc reported
+
+
+def test_incremental_flags_equal_bruteforce_on_corpus(spark):
+    # On the real sf0.001 corpus (same-source blocking, doc_id%7 split),
+    # the prefix-filtered incremental path must equal a brute-force
+    # batch x corpus join: recall 1, exact verify.
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    from bigdata_electricity_spark.operators.dedup import incremental_jaccard_flags
+
+    got = _flags_map(
+        incremental_jaccard_flags(corpus, batch, block_cols=["source"], threshold=0.6)
+    )
+
+    def toks(df):
+        from bigdata_electricity_spark.operators.text import normalize_text
+        return df.select(
+            "doc_id", "source",
+            F.array_distinct(F.split(normalize_text(F.col("text")), " ")).alias("t"),
+        )
+    b, c = toks(batch).alias("b"), toks(corpus).alias("c")
+    inter = F.size(F.array_intersect(F.col("b.t"), F.col("c.t")))
+    union = F.size(F.col("b.t")) + F.size(F.col("c.t")) - inter
+    j = inter.cast("double") / union.cast("double")
+    brute = (
+        b.join(c, F.col("b.source") == F.col("c.source"))
+        .select(F.col("b.doc_id").alias("id"), j.alias("j"))
+        .filter(F.col("j") >= 0.6)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("j").alias("bj"))
+    )
+    want = {r["id"]: (r["n"], round(r["bj"], 4), True) for r in brute.collect()}
+    flagged = {k: v for k, v in got.items() if v[2]}
+    assert flagged == want
+    assert len(want) > 0  # non-vacuous
+    # clean docs all report zeros
+    assert all(v == (0, 0.0, False) for k, v in got.items() if k not in want)

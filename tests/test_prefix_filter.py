@@ -204,3 +204,19 @@ def test_incremental_flags_equal_bruteforce_on_corpus(spark):
     assert len(want) > 0  # non-vacuous
     # clean docs all report zeros
     assert all(v == (0, 0.0, False) for k, v in got.items() if k not in want)
+
+
+def test_incremental_flags_degenerate_inputs(spark):
+    from bigdata_electricity_spark.operators.dedup import incremental_jaccard_flags
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    empty = docs.filter("doc_id < 0")
+    # empty batch -> empty output, schema intact
+    out = incremental_jaccard_flags(docs, empty, threshold=0.6)
+    assert out.count() == 0
+    assert out.columns == ["id", "n_matches", "best_jaccard", "is_dup"]
+    # empty corpus -> every batch doc clean (df=0 rank path end-to-end)
+    got = _flags_map(incremental_jaccard_flags(empty, docs, threshold=0.6))
+    assert got == {1: (0, 0.0, False), 2: (0, 0.0, False)}

@@ -220,3 +220,52 @@ def test_incremental_flags_degenerate_inputs(spark):
     # empty corpus -> every batch doc clean (df=0 rank path end-to-end)
     got = _flags_map(incremental_jaccard_flags(empty, docs, threshold=0.6))
     assert got == {1: (0, 0.0, False), 2: (0, 0.0, False)}
+
+
+def test_incremental_flags_property_random_corpora(spark):
+    """Random token-set corpora: the prefix-filtered incremental path
+    must equal a driver-side brute force at every threshold — the case
+    a broken prefix/α bound (recall < 1) or df=0 rank path would fail
+    first."""
+    from hypothesis import example, given, settings, strategies as st
+
+    from bigdata_electricity_spark.operators.dedup import incremental_jaccard_flags
+
+    token = st.integers(0, 11)  # small alphabet -> dense overlaps
+    doc = st.lists(token, min_size=1, max_size=8, unique=True)
+
+    # Planted @examples: identical docs, prefix-boundary J (exactly at
+    # threshold), singleton-token docs, batch tokens fully unseen.
+    @settings(max_examples=8, deadline=None)
+    @example([[0, 1, 2, 3, 4]], [[0, 1, 2, 3, 4]], 0.6)
+    @example([[0, 1, 2, 3, 4]], [[0, 1, 2]], 0.6)   # J=3/5=0.6 boundary
+    @example([[5]], [[5], [6]], 0.5)
+    @example([[0, 1]], [[10, 11]], 0.5)
+    @given(
+        st.lists(doc, min_size=1, max_size=6),
+        st.lists(doc, min_size=1, max_size=6),
+        st.sampled_from([0.5, 0.6, 0.8]),
+    )
+    def prop(corpus_toks, batch_toks, threshold):
+        def text(ts):
+            return " ".join(f"w{t}" for t in ts)
+
+        corpus = spark.createDataFrame(
+            [(i, text(ts)) for i, ts in enumerate(corpus_toks)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, text(ts)) for i, ts in enumerate(batch_toks)],
+            "doc_id long, text string",
+        )
+        got = _flags_map(incremental_jaccard_flags(corpus, batch, threshold=threshold))
+        for i, bts in enumerate(batch_toks):
+            b = set(bts)
+            js = [
+                len(b & set(cts)) / len(b | set(cts)) for cts in corpus_toks
+            ]
+            hits = [j for j in js if j >= threshold]
+            want = (len(hits), round(max(hits), 4) if hits else 0.0, bool(hits))
+            assert got[100 + i] == want, (bts, corpus_toks, threshold)
+
+    prop()

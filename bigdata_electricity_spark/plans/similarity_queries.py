@@ -2269,3 +2269,153 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ant", "con")
         .limit(25)
     )
+
+
+@query(
+    "sim_incremental_batch",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    corpus AS (SELECT * FROM pts WHERE vec_id % 7 <> 0),
+    batch  AS (SELECT * FROM pts WHERE vec_id % 7 = 0),
+    cent AS (
+        SELECT vec_id AS cid, v AS c FROM corpus
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+                <= (SELECT ceil(sqrt(COUNT(*))) FROM corpus)
+    ),
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(p.v, c.c),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), c.cid) AS rn
+            FROM corpus p CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT b.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(b.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM batch b CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT b.vec_id AS qid, p.vec_id AS mid,
+               {{cos}} AS cos
+        FROM batch b
+        JOIN probe pr ON pr.qid = b.vec_id
+        JOIN lists l ON l.cid = pr.cid
+        JOIN pts p ON p.vec_id = l.vec_id
+    )
+    SELECT qid AS vec_id, rank, mid AS match_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM (
+        SELECT qid, mid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, mid) AS rank
+        FROM cand
+    )
+    WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """.format(cos=_DUCK_COS.format(a="p.v", b="b.v")),
+)
+def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding ingest: every NEW-batch vector (vec_id % 7
+    == 0, ~14%) bulk-retrieves its top-3 exact-cosine corpus neighbors
+    through a corpus-only IVF index — the embedding sibling of
+    `dedup_incremental_batch`, and the BULK-serve shape the other IVF
+    entries (which serve 3 fixed queries) do not exercise.
+
+    Index side (reusable across batches in production — corpus-only by
+    construction): nlist = ceil(sqrt(n_corpus)) seeded centroids (the
+    nlist smallest corpus vec_ids), corpus inverted lists assigned via
+    the map-side min(struct(d2, cid)) aggregate (never shuffles the
+    n x sqrt(n) scored stream). Serve side: the batch probes its
+    nprobe=2 nearest lists; probe ranking runs on SKINNY (qid, cid, d2)
+    rows — query vectors rejoin only for the |batch| x 2 winners, so no
+    vector payload rides the ranking shuffle. Candidates score exact
+    cosine inside the probed lists; per-query top-3 is a window over
+    candidate rows (output-bounded). A batch vector whose two probed
+    lists are empty yields no rows — possible only when buckets
+    outnumber occupied cells; both engines drop it identically.
+
+    n_corpus derives from the parquet footer row count (ids are dense
+    0..n-1 in this testdata): no scan spent sizing the index.
+
+    Measured (sf0.1 → sf1f, 10×): 8.1 → 47.8 s, of which the one-time
+    index build — the exact interpreted d2 fold all ORACLED IVF entries
+    share (`sim_ivf_scaled_nlist`: 35.6 s at sf1f for build + 3
+    queries; the BLAS argmin twin exists for estimator entries but
+    differs by float ulps, so oracled entries keep the engine-exact
+    fold) — is ~35 s; BULK-serving the 2,857-vector batch adds ~12 s ≈
+    4 ms/query. In production the build amortizes across every batch
+    the index serves; the per-batch increment is the serve term
+    (|batch| × nprobe·√n cosines).
+    """
+    from ..sources.loaders import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    n_total = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    n_corpus = n_total - (n_total + 6) // 7  # ids dense 0..n-1
+    nlist = int(math.ceil(math.sqrt(n_corpus)))
+    cent = (
+        corpus.orderBy("vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
+        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    # corpus inverted lists: map-side min(struct) assignment (r10 pattern)
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select("vec_id", F.col("__m.cid").alias("cid"))
+    )
+    lists = corpus.join(assign, "vec_id").select("vec_id", "cid", "v")
+    # batch probes: rank on skinny rows, rejoin the query vector after
+    qc = (
+        batch.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("qid"), "cid",
+            d2(F.col("v"), F.col("c")).alias("d2"),
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cid")
+    probe = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= 2)
+        .select("qid", "cid")
+    )
+    bq = batch.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    cand = (
+        lists.join(probe, "cid")
+        .join(bq, "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("mid"),
+            cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("mid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("mid").alias("match_id"),
+            (F.floor(F.col("cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+        )
+        .orderBy("vec_id", "rank")
+    )

@@ -636,12 +636,14 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental_batch",
-    oracle=f"""
+# Shared by dedup_incremental_batch and its streaming twin: the final
+# flag table is micro-batch-boundary-INVARIANT (each batch doc appears
+# exactly once across micro-batches; its flags depend only on that row
+# and the static corpus), so one brute-force oracle certifies both.
+_INCR_FLAGS_ORACLE = """
     WITH toks AS (
         SELECT doc_id, source,
-               list_distinct(string_split({{norm}}, ' ')) AS t
+               list_distinct(string_split({norm}, ' ')) AS t
         FROM documents
     ), corpus AS (
         SELECT * FROM toks WHERE doc_id % 7 <> 0
@@ -660,11 +662,16 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.doc_id AS doc_id,
            COALESCE(a.n_matches, 0) AS n_matches,
-           {{bj}} AS best_jaccard,
+           {bj} AS best_jaccard,
            COALESCE(a.n_matches, 0) > 0 AS is_dup
     FROM batch b LEFT JOIN agg a ON b.doc_id = a.doc_id
     ORDER BY doc_id
-    """.format(norm=_DUCK_NORM, bj=dround("COALESCE(a.bj, 0.0)", 4)),
+    """.format(norm=_DUCK_NORM, bj=dround("COALESCE(a.bj, 0.0)", 4))
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_INCR_FLAGS_ORACLE,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: flag each NEW-batch document that
@@ -699,3 +706,66 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround("best_jaccard", 4).alias("best_jaccard"),
         "is_dup",
     ).orderBy("doc_id")
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=_INCR_FLAGS_ORACLE,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `dedup_incremental_batch`: the new-doc stream
+    (doc_id % 7 == 0) arrives via ``readStream`` and every micro-batch
+    is flagged against the STATIC corpus inside ``foreachBatch``, the
+    per-batch flags appended to a parquet snapshot — the production
+    ingest-gate topology (Kafka/files-on-arrival → dedup gate → keep or
+    drop) run on the real streaming engine.
+
+    Shares the batch twin's brute-force oracle VERBATIM: each batch doc
+    appears exactly once across micro-batches and its flags depend only
+    on that row plus the static corpus, so the final snapshot is
+    micro-batch-boundary-invariant — foreachBatch offset tracking and
+    the append bookkeeping are exactly what the hash check certifies.
+    At 100 TB the corpus-side index (token df + ranked prefix postings,
+    corpus-only by construction) is materialized once and every
+    micro-batch reuses it; here it is rebuilt per batch because the
+    entry must be stateless.
+    """
+    import shutil
+
+    from ..operators.dedup import incremental_jaccard_flags
+    from ..sources.sinks import run_dir
+
+    out = run_dir("stream_incr_dedup", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)  # append sink: clear prior run
+    docs_static = load_table(spark, sf_dir, "documents")
+    corpus = docs_static.filter(F.col("doc_id") % 7 != 0)
+    stream = (
+        spark.readStream.schema(docs_static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+
+    def flag_batch(batch_df, batch_id: int) -> None:
+        flags = incremental_jaccard_flags(
+            corpus, batch_df, block_cols=["source"], threshold=0.6
+        )
+        (
+            flags.select(
+                F.col("id").alias("doc_id"),
+                "n_matches",
+                hround("best_jaccard", 4).alias("best_jaccard"),
+                "is_dup",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    query_handle = (
+        stream.writeStream.outputMode("append").foreachBatch(flag_batch).start()
+    )
+    try:
+        query_handle.processAllAvailable()
+    finally:
+        query_handle.stop()
+    return spark.read.parquet(out).orderBy("doc_id")

@@ -113,7 +113,11 @@ def main() -> None:
             sys.exit("--sf1 needs .localdata/sf1 — run: python tools/make_sf.py")
     if "--sf1f" in sys.argv:
         sf_dir = "/root/repo/.localdata/sf1f"
-        suite = HEAVY_SF1 + ["dedup_lsh_clusters"]
+        # r14 additions: the incremental-ingest pair. Suite TOTAL is
+        # comparable from r14 on; per-query trends throughout.
+        suite = HEAVY_SF1 + ["dedup_lsh_clusters",
+                             "dedup_incremental_batch",
+                             "sim_incremental_batch"]
         metric = "heavy_suite_sf1f_sec"
         if not os.path.isdir(sf_dir):
             sys.exit("--sf1f needs .localdata/sf1f — run: "

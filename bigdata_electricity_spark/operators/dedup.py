@@ -695,16 +695,57 @@ def incremental_jaccard_flags(corpus: DataFrame, batch: DataFrame,
     is_dup) — n_matches = corpus docs at ≥ threshold, best_jaccard = 0.0
     for clean docs. Oracle-checkable (deterministic relation; the
     DuckDB twin brute-forces batch×corpus).
-    """
-    cbase = _token_base(corpus, text_col, id_col, block_cols)
-    bbase = _token_base(batch, text_col, id_col, block_cols)
-    blocks = block_cols or []
 
+    Composition of :func:`build_incremental_index` (the corpus-only,
+    materialize-once half) and :func:`incremental_flags_from_index`
+    (the per-batch half) — `dedup_index_roundtrip` persists the index
+    DataFrames to parquet and serves from the reloaded copies to
+    certify that split end-to-end.
+    """
+    index = build_incremental_index(corpus, text_col, id_col, block_cols, threshold)
+    return incremental_flags_from_index(index, batch, text_col, id_col,
+                                        block_cols, threshold)
+
+
+def build_incremental_index(corpus: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            block_cols: list[str] | None = None,
+                            threshold: float = 0.6) -> dict[str, DataFrame]:
+    """The corpus-only half of incremental dedup — everything here is a
+    pure function of the corpus and therefore persistable/reusable
+    across batches: ``tok_df`` (token → document frequency), ``prefix``
+    (each corpus doc's rarest-⌈(1−t)·n⌉+1 ranked postings, with size
+    and block columns), ``arrays`` (hashed token arrays for the exact
+    verify). All three are plain-columnar DataFrames (longs + smalls) —
+    write them as parquet (bucket ``prefix`` by tok for a shuffle-free
+    candidate probe at scale) and reload in any later session."""
+    cbase = _token_base(corpus, text_col, id_col, block_cols)
+    blocks = block_cols or []
     cpost = cbase.select("id", "__n", *blocks, F.explode("toks").alias("tok"))
     tok_df = cpost.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     cranked = cpost.join(tok_df, "tok").withColumn(
         "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
     )
+    prefix = cranked.filter(
+        F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select("id", "__n", *blocks, "tok", "rk")
+    arrays = cbase.select("id", "toks", "__n")
+    return {"tok_df": tok_df, "prefix": prefix, "arrays": arrays}
+
+
+def incremental_flags_from_index(index: dict[str, DataFrame], batch: DataFrame,
+                                 text_col: str = "text", id_col: str = "doc_id",
+                                 block_cols: list[str] | None = None,
+                                 threshold: float = 0.6) -> DataFrame:
+    """The per-batch half of incremental dedup: rank the batch against
+    the index's corpus df (unseen tokens → df 0 = rarest), candidate
+    via batch-prefix × index-prefix, verify exactly on the index's
+    token arrays. ``index`` may be freshly built or reloaded from
+    parquet — same relation either way (certified by
+    `dedup_index_roundtrip`'s shared oracle)."""
+    bbase = _token_base(batch, text_col, id_col, block_cols)
+    blocks = block_cols or []
+    tok_df = index["tok_df"]
     bpost = bbase.select("id", "__n", *blocks, F.explode("toks").alias("tok"))
     branked = (
         bpost.join(tok_df, "tok", "left")
@@ -713,10 +754,10 @@ def incremental_jaccard_flags(corpus: DataFrame, batch: DataFrame,
             "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
         )
     )
-    static_prefix = lambda r: r.filter(  # noqa: E731
+    bprefix = branked.filter(
         F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     )
-    pa, pb = static_prefix(branked).alias("pa"), static_prefix(cranked).alias("pb")
+    pa, pb = bprefix.alias("pa"), index["prefix"].alias("pb")
     alpha = F.ceil(
         F.lit(threshold) * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
     )
@@ -739,7 +780,7 @@ def incremental_jaccard_flags(corpus: DataFrame, batch: DataFrame,
     va = bbase.select(
         F.col("id").alias("batch_id"), F.col("toks").alias("ta"), F.col("__n").alias("na")
     )
-    vb = cbase.select(
+    vb = index["arrays"].select(
         F.col("id").alias("corpus_id"), F.col("toks").alias("tb"), F.col("__n").alias("nb")
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))

@@ -44,3 +44,76 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     on the same product (plans/similarity_queries._DUCK_COS)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+# ---------------------------------------------------------------------------
+# Unrolled fixed-dimension variants (r10)
+# ---------------------------------------------------------------------------
+#
+# Measured this round: zip_with/aggregate are CodegenFallback — every
+# evaluation walks an INTERPRETED expression tree, which is what made the
+# n×√n IVF assignment folds cost ~35 s at 10× the bench SF (and ~700 s at
+# 100× for the triangle entries before their estimator twin moved to
+# BLAS). When the dimension is a known constant, the same math unrolls
+# into `dim` explicit element_at terms — plain arithmetic expressions
+# that whole-stage codegen compiles — with the IDENTICAL result bit for
+# bit: the fold computes ((0.0 + t0) + t1) + …, the unrolled chain
+# computes (t0 + t1) + …, and 0.0 + t0 == t0 exactly in IEEE double, so
+# the addition order (and thus every rounding step) is unchanged. The
+# oracled entries can therefore switch freely between the two forms.
+#
+# Caveat: element_at past the array end is NULL (non-ANSI), so a row
+# whose vector is SHORTER than `dim` yields NULL instead of a partial
+# sum — pass the table's true constant dimension.
+
+
+def squared_l2_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ (aᵢ−bᵢ)² as ``dim`` codegen'd terms — bit-identical to the
+    aggregate/zip_with fold, ~10× faster evaluation (interpreted →
+    compiled)."""
+    out: Column | None = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        t = d * d
+        out = t if out is None else out + t
+    assert out is not None
+    return out
+
+
+def dot_product_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as ``dim`` codegen'd terms — bit-identical to
+    :func:`dot_product`."""
+    out: Column | None = None
+    for i in range(1, dim + 1):
+        t = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        out = t if out is None else out + t
+    assert out is not None
+    return out
+
+
+def l2_norm_unrolled(a: Column, dim: int) -> Column:
+    """√(Σ aᵢ²) as ``dim`` codegen'd terms — bit-identical to
+    :func:`l2_norm`."""
+    out: Column | None = None
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        t = x * x
+        out = t if out is None else out + t
+    assert out is not None
+    return F.sqrt(out)
+
+
+def cosine_similarity_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled :func:`cosine_similarity` — same NULL-on-zero-norm guard,
+    same accumulation order, compiled instead of interpreted."""
+    denom = l2_norm_unrolled(a, dim) * l2_norm_unrolled(b, dim)
+    return F.when(denom > 0, dot_product_unrolled(a, b, dim) / denom)
+
+
+def embedding_dim(df, vec_col: str = "embedding") -> int:
+    """The constant vector dimension of a table, from ONE row (limit-1
+    scan — a single parquet page, not a pass over the data)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if row is None:
+        return 0
+    return int(row["d"])

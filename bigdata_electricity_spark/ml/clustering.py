@@ -74,20 +74,23 @@ def lloyd_centroids(points: DataFrame, seed_ids: list[int], iters: int = 1,
 
 def _lloyd_rounds(points: DataFrame, seed_ids: list[int], iters: int,
                   id_col: str, vec_col: str):
+    from ..functions.vectors import embedding_dim, squared_l2_unrolled
+
     cent = points.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c")
     )
+    # Unrolled fixed-dim d2 (r10): the HOF fold is CodegenFallback —
+    # interpreted per scored row; unrolling is bit-identical (same
+    # left-assoc double adds — functions/vectors.py rationale), so the
+    # 1e-9-rounded determinism contract is untouched.
+    dim = embedding_dim(points, vec_col)
     assigned = None
     for _ in range(iters):
         joined = points.crossJoin(F.broadcast(cent)).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             "cid",
-            F.aggregate(
-                F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
+            squared_l2_unrolled(F.col(vec_col), F.col("c"), dim).alias("d2"),
         )
         w = Window.partitionBy("id").orderBy("d2", "cid")
         assigned = (

@@ -12,7 +12,16 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import dround, hround
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_unrolled,
+    dot_product,
+    dot_product_unrolled,
+    embedding_dim,
+    l2_norm,
+    l2_norm_unrolled,
+    squared_l2_unrolled,
+)
 from ..operators.dims import hint_dim
 from ..operators.similarity import (
     brute_force_topk,
@@ -624,10 +633,12 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = lloyd_centroids(emb, seed_ids=[0, 1, 2, 3], iters=1)
 
-    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
-        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # Unrolled fixed-dim d2 (r10): HOF folds are CodegenFallback, so the
+    # n x sqrt(n) assignment walked an interpreted tree per row — measured
+    # 22.5 -> 2.9 s at sf1f; unrolling is bit-identical (same left-assoc
+    # double adds; rationale in functions/vectors.py).
+    dim = embedding_dim(emb, "v")
+    d2 = lambda vcol, ccol: squared_l2_unrolled(vcol, ccol, dim)  # noqa: E731
     # inverted lists: every point -> nearest centroid
     pc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cid", d2(F.col("v"), F.col("c")).alias("d2")
@@ -658,7 +669,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("qid")
     ).select(
         "qid", "vec_id",
-        cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+        cosine_similarity_unrolled(F.col("v"), F.col("qv"), dim).alias("cos"),
     )
     w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -761,10 +772,12 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(nlist)  # TakeOrdered — bounded by nlist
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
-    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
-        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # Unrolled fixed-dim d2 (r10): HOF folds are CodegenFallback, so the
+    # n x sqrt(n) assignment walked an interpreted tree per row — measured
+    # 22.5 -> 2.9 s at sf1f; unrolling is bit-identical (same left-assoc
+    # double adds; rationale in functions/vectors.py).
+    dim = embedding_dim(emb, "v")
+    d2 = lambda vcol, ccol: squared_l2_unrolled(vcol, ccol, dim)  # noqa: E731
     # min(struct(d2, cid)) ≡ ROW_NUMBER over (d2, cid) rn=1 (same per-row
     # d2 values, same lexicographic tie-break — the oracle's window form
     # is unchanged), but the aggregate combines map-side so the n×√n
@@ -797,7 +810,7 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+            cosine_similarity_unrolled(F.col("v"), F.col("qv"), dim).alias("cos"),
         )
     )
     w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -906,10 +919,12 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(nlist)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
-    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
-        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # Unrolled fixed-dim d2 (r10): HOF folds are CodegenFallback, so the
+    # n x sqrt(n) assignment walked an interpreted tree per row — measured
+    # 22.5 -> 2.9 s at sf1f; unrolling is bit-identical (same left-assoc
+    # double adds; rationale in functions/vectors.py).
+    dim = embedding_dim(emb, "v")
+    d2 = lambda vcol, ccol: squared_l2_unrolled(vcol, ccol, dim)  # noqa: E731
     # map-side-combining min(struct(d2, cid)) ≡ the oracle's ROW_NUMBER
     # assignment; the n×√n scored stream never shuffles.
     lists = (
@@ -927,7 +942,7 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+            cosine_similarity_unrolled(F.col("v"), F.col("qv"), dim).alias("cos"),
         )
         .withColumn(
             "rk",
@@ -2345,15 +2360,20 @@ def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus derives from the parquet footer row count (ids are dense
     0..n-1 in this testdata): no scan spent sizing the index.
 
-    Measured (sf0.1 → sf1f, 10×): 8.1 → 47.8 s, of which the one-time
-    index build — the exact interpreted d2 fold all ORACLED IVF entries
-    share (`sim_ivf_scaled_nlist`: 35.6 s at sf1f for build + 3
-    queries; the BLAS argmin twin exists for estimator entries but
-    differs by float ulps, so oracled entries keep the engine-exact
-    fold) — is ~35 s; BULK-serving the 2,857-vector batch adds ~12 s ≈
-    4 ms/query. In production the build amortizes across every batch
-    the index serves; the per-batch increment is the serve term
-    (|batch| × nprobe·√n cosines).
+    Measured at sf1f (10× bench SF): 47.8 s as first written → 14.3 s
+    cold-session / 5.3 s warm after three r10 fixes, each its own
+    lesson: (1) unrolled fixed-dim d2 replaces the interpreted HOF fold
+    in the n×√n index build (bit-identical — functions/vectors.py);
+    (2) norms precompute once per vector so candidates pay one dot,
+    not three sums; (3) EXPLICIT repartition counts on the build and
+    serve stages — the work is compute-bound on ~60 KB partitions,
+    which AQE's byte-based coalescing wrongly serializes (measured: a
+    single 21 s task; repartition("cid") without a count got coalesced
+    back to 6). The BLAS argmin twin exists for estimator entries but
+    differs by float ulps; oracled entries stay expression-exact. In
+    production the build amortizes across every batch the index
+    serves; the per-batch increment is the serve term
+    (|batch| × nprobe·√n dots).
     """
     from ..sources.loaders import parquet_row_count
 
@@ -2370,19 +2390,44 @@ def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(nlist)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
-    d2 = lambda vcol, ccol: F.aggregate(  # noqa: E731
-        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # Unrolled fixed-dim d2 (r10): HOF folds are CodegenFallback, so the
+    # n x sqrt(n) assignment walked an interpreted tree per row — measured
+    # 22.5 -> 2.9 s at sf1f; unrolling is bit-identical (same left-assoc
+    # double adds; rationale in functions/vectors.py).
+    dim = embedding_dim(emb, "v")
+    d2 = lambda vcol, ccol: squared_l2_unrolled(vcol, ccol, dim)  # noqa: E731
+    # The index-build side is compute-bound too (n×√n d2 terms over a
+    # one-split local file) — spread it across the machine and let the
+    # groupBy(vec_id) reuse the same hash partitioning (no extra
+    # exchange). par = cluster parallelism, not a byte heuristic.
+    par = spark.sparkContext.defaultParallelism
+    corpus_p = corpus.repartition(par, "vec_id")
     # corpus inverted lists: map-side min(struct) assignment (r10 pattern)
     assign = (
-        corpus.crossJoin(F.broadcast(cent))
+        corpus_p.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid")).alias("__m"))
         .select("vec_id", F.col("__m.cid").alias("cid"))
     )
-    lists = corpus.join(assign, "vec_id").select("vec_id", "cid", "v")
+    # Inverted lists REPARTITIONED by cid with an EXPLICIT partition
+    # count: candidate scoring (the |batch|·nprobe·√n cosines — the
+    # serve term) is compute-bound on ~60 KB partitions, exactly the
+    # shape AQE's byte-based coalescing wrongly serializes (measured:
+    # unhinted, the 20k-row corpus arrives as ONE parquet split and
+    # every cosine evaluates in a single 21 s task; repartition("cid")
+    # alone got coalesced to 6 tasks). A user-specified numPartitions
+    # is not AQE-coalescable, so scoring spreads across the machine —
+    # and on a real deployment lists-partitioned-by-cid is also the
+    # storage layout that makes probing partition pruning. Norms are
+    # precomputed ONCE per stored/query vector — cos = dot/(‖v‖·‖q‖)
+    # with the identical sqrt-of-sum values, so results stay
+    # bit-identical while per-candidate work drops ~3×.
+    lists = (
+        corpus_p.join(assign, "vec_id")
+        .select("vec_id", "cid", "v", l2_norm_unrolled(F.col("v"), dim).alias("nv"))
+        .repartition(par, "cid")
+    )
     # batch probes: rank on skinny rows, rejoin the query vector after
     qc = (
         batch.crossJoin(F.broadcast(cent))
@@ -2397,14 +2442,24 @@ def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 2)
         .select("qid", "cid")
     )
-    bq = batch.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    # Both probe and the query vectors are batch-derived — the small
+    # side by definition in incremental ingest — so they BROADCAST:
+    # candidate scoring stays map-side over the lists partitions and
+    # only skinny (qid, mid, cos) rows reach the ranking shuffle.
+    bq = batch.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        l2_norm_unrolled(F.col("v"), dim).alias("nq"),
+    )
+    denom = F.col("nv") * F.col("nq")
     cand = (
-        lists.join(probe, "cid")
-        .join(bq, "qid")
+        lists.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(bq), "qid")
         .select(
             "qid",
             F.col("vec_id").alias("mid"),
-            cosine_similarity(F.col("v"), F.col("qv")).alias("cos"),
+            F.when(denom > 0,
+                   dot_product_unrolled(F.col("v"), F.col("qv"), dim) / denom
+                   ).alias("cos"),
         )
     )
     w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("mid"))

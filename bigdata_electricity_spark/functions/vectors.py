@@ -65,6 +65,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # Caveat: element_at past the array end is NULL (non-ANSI), so a row
 # whose vector is SHORTER than `dim` yields NULL instead of a partial
 # sum — pass the table's true constant dimension.
+#
+# Unrolling is NOT universally faster — measure per plan. Where the
+# expression lands inside a compiled stage (the IVF hash-aggregate
+# assignment inputs), it won 7×; where the surrounding stage falls out
+# of whole-stage codegen anyway, the interpreted unrolled tree walks
+# 64 element_at nodes per row and LOSES ~2× to the HOF's tight
+# interpreted loop (measured on the MMR/RRF/k-center crossJoin
+# projections at sf1f, r10 — those entries keep the HOF forms).
 
 
 def squared_l2_unrolled(a: Column, b: Column, dim: int) -> Column:

@@ -78,7 +78,10 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def squared_l2_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Σ (aᵢ−bᵢ)² as ``dim`` codegen'd terms — bit-identical to the
     aggregate/zip_with fold, ~10× faster evaluation (interpreted →
-    compiled)."""
+    compiled). dim < 1 (an empty probe table) degenerates to the
+    fold's empty-array result, 0.0."""
+    if dim < 1:
+        return F.lit(0.0)
     out: Column | None = None
     for i in range(1, dim + 1):
         d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
@@ -90,7 +93,9 @@ def squared_l2_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 def dot_product_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Σ aᵢ·bᵢ as ``dim`` codegen'd terms — bit-identical to
-    :func:`dot_product`."""
+    :func:`dot_product`. dim < 1 degenerates to 0.0 (empty fold)."""
+    if dim < 1:
+        return F.lit(0.0)
     out: Column | None = None
     for i in range(1, dim + 1):
         t = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -101,7 +106,9 @@ def dot_product_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 def l2_norm_unrolled(a: Column, dim: int) -> Column:
     """√(Σ aᵢ²) as ``dim`` codegen'd terms — bit-identical to
-    :func:`l2_norm`."""
+    :func:`l2_norm`. dim < 1 degenerates to 0.0 (empty fold)."""
+    if dim < 1:
+        return F.sqrt(F.lit(0.0))
     out: Column | None = None
     for i in range(1, dim + 1):
         x = F.element_at(a, i).cast("double")

@@ -62,9 +62,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # the addition order (and thus every rounding step) is unchanged. The
 # oracled entries can therefore switch freely between the two forms.
 #
-# Caveat: element_at past the array end is NULL (non-ANSI), so a row
-# whose vector is SHORTER than `dim` yields NULL instead of a partial
-# sum — pass the table's true constant dimension.
+# Caveat: element_at past the array end is NULL under the default
+# (non-ANSI) session, so a row whose vector is SHORTER than `dim`
+# yields NULL instead of a partial sum; under
+# spark.sql.ansi.enabled=true the same access THROWS and fails the
+# whole job. Either way, pass the table's true constant dimension —
+# these helpers assume fixed-dim vectors. (try_element_at would give
+# NULL in both modes, at the cost of a per-element branch; the engine's
+# own sessions are non-ANSI, so the plain form is kept.)
 #
 # Unrolling is NOT universally faster — measure per plan. Where the
 # expression lands inside a compiled stage (the IVF hash-aggregate

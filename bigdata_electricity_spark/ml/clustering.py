@@ -39,11 +39,20 @@ def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8, seed: int = 42,
 
 
 def lloyd_dataframe(points: DataFrame, seed_ids: list[int], iters: int = 2,
-                    id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "v",
+                    dim: int | None = None) -> DataFrame:
     """K-means Lloyd iterations as PURE DataFrame operations — no
     pyspark.ml, no RNG: centroids seed from fixed point ids, each
     round is (broadcast centroids → per-point argmin by squared L2 →
     per-dimension mean), unrolled ``iters`` times into one lazy plan.
+
+    FIXED-DIM REQUIREMENT (r10 ADVICE): the unrolled distance reads
+    exactly ``dim`` elements per vector, so every vector must have the
+    table's one constant dimension — a longer vector is silently
+    truncated to ``dim`` terms, a shorter one contributes NULL d2
+    (non-ANSI element_at). Pass ``dim`` explicitly when you know it to
+    keep the plan FULLY lazy; when omitted it is sampled from one
+    arbitrary row (a limit-1 Spark job at plan-construction time).
 
     Determinism contract (what makes this oracle-checkable when
     `ml_kmeans_embeddings` is rows-only): seeding is by id, argmin ties
@@ -58,22 +67,24 @@ def lloyd_dataframe(points: DataFrame, seed_ids: list[int], iters: int = 2,
     triples, never whole vectors; iterations multiply plan depth, not
     data size (chain localCheckpoint for iters ≫ 5).
     """
-    assigned, _ = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col)
+    assigned, _ = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col, dim)
     return assigned.select("id", "cid", "d2")
 
 
 def lloyd_centroids(points: DataFrame, seed_ids: list[int], iters: int = 1,
-                    id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "v",
+                    dim: int | None = None) -> DataFrame:
     """(cid, c): centroids AFTER ``iters`` Lloyd updates, same
     determinism contract as :func:`lloyd_dataframe` (id seeding, cid
     tie-break, 1e-9 rounding per update) — the trained coarse quantizer
-    the IVF similarity path probes against."""
-    _, cent = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col)
+    the IVF similarity path probes against. Same fixed-dim requirement
+    and optional ``dim`` (pass it to keep the plan lazy)."""
+    _, cent = _lloyd_rounds(points, seed_ids, iters, id_col, vec_col, dim)
     return cent
 
 
 def _lloyd_rounds(points: DataFrame, seed_ids: list[int], iters: int,
-                  id_col: str, vec_col: str):
+                  id_col: str, vec_col: str, dim: int | None = None):
     from ..functions.vectors import embedding_dim, squared_l2_unrolled
 
     cent = points.filter(F.col(id_col).isin(seed_ids)).select(
@@ -83,7 +94,8 @@ def _lloyd_rounds(points: DataFrame, seed_ids: list[int], iters: int,
     # interpreted per scored row; unrolling is bit-identical (same
     # left-assoc double adds — functions/vectors.py rationale), so the
     # 1e-9-rounded determinism contract is untouched.
-    dim = embedding_dim(points, vec_col)
+    if dim is None:
+        dim = embedding_dim(points, vec_col)
     assigned = None
     for _ in range(iters):
         joined = points.crossJoin(F.broadcast(cent)).select(

@@ -718,7 +718,17 @@ def build_incremental_index(corpus: DataFrame, text_col: str = "text",
     and block columns), ``arrays`` (hashed token arrays for the exact
     verify). All three are plain-columnar DataFrames (longs + smalls) —
     write them as parquet (bucket ``prefix`` by tok for a shuffle-free
-    candidate probe at scale) and reload in any later session."""
+    candidate probe at scale) and reload in any later session.
+
+    The dict also records the BUILD PARAMETERS (``threshold``,
+    ``block_cols`` — plain values, not DataFrames): the corpus prefix
+    length is ⌈(1−t)·n⌉+1, so serving a reloaded index with a LOWER
+    threshold (or different blocks) than it was built with would
+    silently lose recall — the corpus prefixes are too short for the
+    looser bound. :func:`incremental_flags_from_index` asserts the
+    serve parameters match. Persisting callers should write these two
+    alongside the parquet (a one-row manifest) and restore them into
+    the reloaded dict."""
     cbase = _token_base(corpus, text_col, id_col, block_cols)
     blocks = block_cols or []
     cpost = cbase.select("id", "__n", *blocks, F.explode("toks").alias("tok"))
@@ -730,7 +740,13 @@ def build_incremental_index(corpus: DataFrame, text_col: str = "text",
         F.col("rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select("id", "__n", *blocks, "tok", "rk")
     arrays = cbase.select("id", "toks", "__n")
-    return {"tok_df": tok_df, "prefix": prefix, "arrays": arrays}
+    return {
+        "tok_df": tok_df,
+        "prefix": prefix,
+        "arrays": arrays,
+        "threshold": threshold,
+        "block_cols": list(blocks),
+    }
 
 
 def incremental_flags_from_index(index: dict[str, DataFrame], batch: DataFrame,
@@ -742,7 +758,25 @@ def incremental_flags_from_index(index: dict[str, DataFrame], batch: DataFrame,
     via batch-prefix × index-prefix, verify exactly on the index's
     token arrays. ``index`` may be freshly built or reloaded from
     parquet — same relation either way (certified by
-    `dedup_index_roundtrip`'s shared oracle)."""
+    `dedup_index_roundtrip`'s shared oracle).
+
+    If the index records its build parameters (threshold/block_cols —
+    :func:`build_incremental_index` always does), they MUST match the
+    serve parameters: the persisted corpus prefixes are sized for the
+    build threshold, so a looser serve threshold would silently lose
+    recall. Asserted here rather than documented-only (r10 ADVICE)."""
+    if "threshold" in index and index["threshold"] != threshold:
+        raise ValueError(
+            f"index built at threshold={index['threshold']} cannot serve "
+            f"threshold={threshold}: corpus prefixes are sized ⌈(1−t)·n⌉+1 "
+            "at build time — rebuild the index or serve at the build value"
+        )
+    if "block_cols" in index and list(index["block_cols"]) != list(block_cols or []):
+        raise ValueError(
+            f"index built with block_cols={index['block_cols']} cannot serve "
+            f"block_cols={list(block_cols or [])}: candidate blocking is baked "
+            "into the persisted prefix postings"
+        )
     bbase = _token_base(batch, text_col, id_col, block_cols)
     blocks = block_cols or []
     tok_df = index["tok_df"]

@@ -791,6 +791,8 @@ def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok (write_bucketed_table) so every batch's candidate probe is a
     co-located join; plain parquet keeps this entry engine-portable.
     """
+    import json
+    import os
     import shutil
 
     from ..operators.dedup import build_incremental_index, incremental_flags_from_index
@@ -802,9 +804,21 @@ def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = run_dir("incr_index", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     built = build_incremental_index(corpus, block_cols=["source"], threshold=0.6)
-    for name, df in built.items():
+    # DataFrames go to parquet; the build parameters (threshold /
+    # block_cols) travel as a one-row JSON manifest and are restored
+    # into the reloaded dict — incremental_flags_from_index asserts
+    # they match the serve call (r10 ADVICE: a looser serve threshold
+    # than build would silently lose recall).
+    tables = {k: v for k, v in built.items() if isinstance(v, DataFrame)}
+    params = {k: v for k, v in built.items() if not isinstance(v, DataFrame)}
+    for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{base}/{name}")
-    loaded = {name: spark.read.parquet(f"{base}/{name}") for name in built}
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/manifest.json", "w") as fh:
+        json.dump(params, fh)
+    with open(f"{base}/manifest.json") as fh:
+        loaded = json.load(fh)
+    loaded.update({name: spark.read.parquet(f"{base}/{name}") for name in tables})
     flags = incremental_flags_from_index(
         loaded, batch, block_cols=["source"], threshold=0.6
     )

@@ -2374,6 +2374,14 @@ def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the build amortizes across every batch the index
     serves; the per-batch increment is the serve term
     (|batch| × nprobe·√n dots).
+
+    BROADCAST BOUND (r10 ADVICE): this entry broadcasts the full batch
+    query-vector table (~1/7 of the embeddings here) because the test
+    batch IS micro-batch-sized. "The batch is the small side" only
+    holds for bounded micro-batches — a production server keys the
+    broadcast to the per-micro-batch arrival (a few thousand vectors),
+    or switches bq to a shuffle join past a size threshold; broadcasting
+    1/7 of a 100 TB corpus would blow any driver limit.
     """
     from ..sources.loaders import parquet_row_count
 

@@ -222,6 +222,35 @@ def test_incremental_flags_degenerate_inputs(spark):
     assert got == {1: (0, 0.0, False), 2: (0, 0.0, False)}
 
 
+def test_index_param_mismatch_rejected(spark):
+    """An index built at one threshold/blocking cannot silently serve
+    another (r10 ADVICE): prefix lengths are ⌈(1−t)·n⌉+1 at BUILD time,
+    so a looser serve threshold would lose recall — it must raise."""
+    from bigdata_electricity_spark.operators.dedup import (
+        build_incremental_index,
+        incremental_flags_from_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(10, "a b c d e")], "doc_id long, text string")
+    index = build_incremental_index(corpus, threshold=0.8)
+    assert index["threshold"] == 0.8 and index["block_cols"] == []
+    # matching parameters serve fine
+    got = _flags_map(incremental_flags_from_index(index, batch, threshold=0.8))
+    assert got[10] == (1, 1.0, True)
+    with pytest.raises(ValueError, match="threshold"):
+        incremental_flags_from_index(index, batch, threshold=0.6)
+    with pytest.raises(ValueError, match="block_cols"):
+        incremental_flags_from_index(index, batch, block_cols=["source"],
+                                     threshold=0.8)
+    # a legacy index dict without recorded parameters still serves
+    legacy = {k: index[k] for k in ("tok_df", "prefix", "arrays")}
+    got = _flags_map(incremental_flags_from_index(legacy, batch, threshold=0.6))
+    assert got[10][2] is True
+
+
 def test_incremental_flags_property_random_corpora(spark):
     """Random token-set corpora: the prefix-filtered incremental path
     must equal a driver-side brute force at every threshold — the case

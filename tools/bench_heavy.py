@@ -35,6 +35,15 @@ the max on disk is N-1).
 Same harness discipline as bench.py: $SPARK_GRAFT_SF_DIR data dir,
 best-of-N with --repeat, per-query isolation so one failure doesn't cost
 the artifact. Timings are only comparable same-VM (ROUND_NOTES r3).
+
+Trend trustworthiness (r10 VERDICT task 2): four same-round sf1f records
+spanned 391-568 s — ±40% box-load noise, too wide to detect a twin
+regression. So --record now (a) forces repeat >= 2, recording the min of
+two warm passes (the second pass amortizes codegen/scan-cache noise);
+(b) stamps the 1-minute load average into the JSON line; and (c) REFUSES
+to record at all when the box is already busy (load1 > --max-load,
+default 4.0 on this 32-CPU box) — a contended single shot is worse than
+no data point. Ad-hoc runs without --record keep repeat 1.
 """
 
 from __future__ import annotations
@@ -113,8 +122,8 @@ def main() -> None:
             sys.exit("--sf1 needs .localdata/sf1 — run: python tools/make_sf.py")
     if "--sf1f" in sys.argv:
         sf_dir = "/root/repo/.localdata/sf1f"
-        # r14 additions: the incremental-ingest pair. Suite TOTAL is
-        # comparable from r14 on; per-query trends throughout.
+        # r10 additions: the incremental-ingest pair. Suite TOTAL is
+        # comparable from r10 on; per-query trends throughout.
         suite = HEAVY_SF1 + ["dedup_lsh_clusters",
                              "dedup_incremental_batch",
                              "sim_incremental_batch"]
@@ -139,6 +148,24 @@ def main() -> None:
             # "0".isdigit() is True, so catch non-positive here: repeat=0
             # would skip the timing loop and leave best=None for every entry.
             sys.exit("usage: bench_heavy.py [--repeat N] [--record] (N >= 1)")
+    record = "--record" in sys.argv
+    max_load = 4.0
+    if "--max-load" in sys.argv:
+        idx = sys.argv.index("--max-load")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: bench_heavy.py [--max-load X]")
+        max_load = float(sys.argv[idx + 1])
+    load1 = os.getloadavg()[0]
+    if record and load1 > max_load:
+        sys.exit(
+            f"refusing --record: 1-min load average {load1:.2f} > {max_load:.1f} "
+            "— a contended run pollutes the trend (rerun when idle, or raise "
+            "--max-load deliberately)"
+        )
+    if record and repeat < 2:
+        # Recorded points are min-of-2 warm passes: a single shot on a
+        # shared box swung ±40% between same-day runs (r10 VERDICT).
+        repeat = 2
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench_heavy")
@@ -170,12 +197,13 @@ def main() -> None:
         "repeat": repeat,
         "round": round_no,
         "date": time.strftime("%Y-%m-%d"),
+        "load1_at_start": round(load1, 2),
     }
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
     print(line)
-    if "--record" in sys.argv:
+    if record:
         with open(os.path.join(repo_root, "docs", "BENCH_HEAVY.jsonl"), "a") as f:
             f.write(line + "\n")
     spark.stop()

@@ -86,4 +86,14 @@ SCALE_TWINS: dict[str, str] = {
     "dedup_simhash": "dedup_simhash_grouped",
 }
 
+# Every SCALE_TWINS key is by definition an exact-baseline: it keeps
+# deliberately exact small-data semantics and names the production twin
+# above. Assigned centrally (not at definition sites) so the dict stays
+# the single source of truth; an entry that is BOTH a twin and a key
+# (e.g. sim_lsh_hyperplane) classifies as exact-baseline — it has a
+# better twin of its own. tests/test_registry_parity.py asserts the
+# classification is total and consistent.
+for _exact in SCALE_TWINS:
+    REGISTRY[_exact].scale_class = "exact-baseline"
+
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

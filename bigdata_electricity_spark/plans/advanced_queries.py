@@ -1060,6 +1060,7 @@ def array_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "map_type_roundtrip",
+    scale_class="certification",
     oracle="""
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_types,

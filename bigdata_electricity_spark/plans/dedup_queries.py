@@ -773,6 +773,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_index_roundtrip",
+    scale_class="certification",
     oracle=_INCR_FLAGS_ORACLE,
 )
 def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -631,6 +631,7 @@ def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pyds_jsonl_sink_roundtrip",
+    scale_class="certification",
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -804,6 +805,7 @@ def dynamic_partition_overwrite_recent(spark: SparkSession, sf_dir: str) -> Data
 
 @query(
     "export_orc_roundtrip",
+    scale_class="certification",
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
@@ -1206,6 +1208,7 @@ def ingest_quarantine_bad_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "export_xml_roundtrip",
+    scale_class="certification",
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,

@@ -25,24 +25,48 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+SCALE_CLASSES = ("production", "exact-baseline", "certification")
+
+
 @dataclass
 class QuerySpec:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     doc: str
+    # How the entry should be used at scale (r10 VERDICT task 6 — the
+    # driver-facing surfacing of plans.SCALE_TWINS):
+    #   production     — the plan survives a 100× scale-up as written;
+    #   exact-baseline — deliberately exact small-data semantics kept as
+    #                    an oracle-checkable baseline; a named scale twin
+    #                    in plans.SCALE_TWINS computes the production
+    #                    variant (set automatically from that dict);
+    #   certification  — exists to certify an engine property
+    #                    (persistence roundtrip, crash recovery, recall
+    #                    audit, sink format), not to answer a query.
+    scale_class: str = "production"
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query, optionally with its DuckDB oracle SQL."""
+def query(name: str, oracle: str | None = None,
+          scale_class: str = "production") -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    ``scale_class`` defaults to "production"; pass "certification" for
+    property-certification entries. "exact-baseline" is assigned
+    centrally from plans.SCALE_TWINS, never at the definition site."""
+    if scale_class not in SCALE_CLASSES:
+        raise ValueError(f"unknown scale_class {scale_class!r} for {name}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(),
+            scale_class=scale_class,
+        )
         return fn
 
     return deco

@@ -383,6 +383,7 @@ _DUCK_DEQUANT = """
 
 @query(
     "quantized_recall_at_k",
+    scale_class="certification",
     oracle=f"""
     WITH dq AS ({_DUCK_DEQUANT}),
     exact_scored AS (
@@ -829,6 +830,7 @@ def sim_ivf_scaled_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_recall_profile",
+    scale_class="certification",
     oracle=f"""
     WITH pts AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

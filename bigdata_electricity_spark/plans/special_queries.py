@@ -605,6 +605,7 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "streaming_checkpoint_recovery",
+    scale_class="certification",
     oracle="""
     WITH synth AS (
         SELECT range AS event_id,
@@ -1046,6 +1047,7 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_late_data_accounting",
+    scale_class="certification",
     oracle="""
     WITH synth AS (
         SELECT range AS event_id,

@@ -55,3 +55,26 @@ def test_scale_twins_exist():
         assert exact in REGISTRY, exact
         assert twin in REGISTRY, twin
         assert exact != twin
+
+
+def test_scale_class_total_and_consistent():
+    """Every entry carries a valid scale_class; every exact-baseline is
+    a SCALE_TWINS key (names its production twin) and vice versa; twins
+    of exact baselines are never themselves classified exact unless they
+    have a further twin (the sim_lsh_hyperplane chain)."""
+    from bigdata_electricity_spark.plans import SCALE_TWINS
+    from bigdata_electricity_spark.plans.registry import SCALE_CLASSES
+
+    for name, spec in REGISTRY.items():
+        assert spec.scale_class in SCALE_CLASSES, (name, spec.scale_class)
+    exact = {n for n, s in REGISTRY.items() if s.scale_class == "exact-baseline"}
+    assert exact == set(SCALE_TWINS), exact ^ set(SCALE_TWINS)
+    # the END of every twin chain is a production (or certification) plan
+    for e in exact:
+        t = SCALE_TWINS[e]
+        seen = {e}
+        while t in SCALE_TWINS:
+            assert t not in seen, f"twin cycle at {t}"
+            seen.add(t)
+            t = SCALE_TWINS[t]
+        assert REGISTRY[t].scale_class == "production", (e, t)

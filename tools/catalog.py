@@ -27,6 +27,14 @@ whose plan does not survive a 100× scale-up (global sorts, full-corpus
 scans, row fan-outs); each links its scale-safe twin — use the twin in
 production pipelines.
 
+Every entry carries a **scale class** (`QuerySpec.scale_class`):
+`production` (plan survives a 100× scale-up as written),
+`exact-baseline` (deliberately exact small-data semantics kept as an
+oracle-checkable baseline — the linked twin is the production variant),
+or `certification` (exists to certify an engine property — persistence
+roundtrip, crash recovery, recall audit, sink format — not to answer a
+query).
+
 ## Boundary conventions (cross-engine traps, pinned by tests)
 
 Empirically pinned semantics a user porting queries should know —
@@ -78,8 +86,8 @@ def main() -> None:
     twin_of = {v: k for k, v in SCALE_TWINS.items()}
     for mod in sorted(by_module):
         lines.append(f"\n## {mod} ({len(by_module[mod])})\n")
-        lines.append("| query | check | what |")
-        lines.append("|---|---|---|")
+        lines.append("| query | check | scale class | what |")
+        lines.append("|---|---|---|---|")
         for name, spec in sorted(by_module[mod]):
             kind = "oracle" if spec.oracle else "rows-only"
             what = first_line(spec.doc)
@@ -87,7 +95,7 @@ def main() -> None:
                 what += f" — **exact, small-data**: scale twin `{SCALE_TWINS[name]}`"
             elif name in twin_of:
                 what += f" — scale-safe twin of `{twin_of[name]}`"
-            lines.append(f"| `{name}` | {kind} | {what} |")
+            lines.append(f"| `{name}` | {kind} | {spec.scale_class} | {what} |")
     with open("/root/repo/docs/QUERIES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"docs/QUERIES.md: {len(REGISTRY)} queries, {n_oracle} oracled")

@@ -278,3 +278,125 @@ def brute_force_topk_arrow(embeddings: DataFrame, query_vec_id: int, k: int = 10
         .limit(k)
         .select(id_col, F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index as a persistable build/serve pair (r10 VERDICT task 3)
+# ---------------------------------------------------------------------------
+#
+# The incremental-ingest entry (plans/similarity_queries.py
+# sim_incremental_batch) argued "the build amortizes across batches" but
+# rebuilt its IVF every invocation. These two halves make the claim
+# concrete the same way the dedup side did (operators/dedup.py
+# build_incremental_index / incremental_flags_from_index): everything in
+# build_ivf_index is a pure function of the CORPUS, all plain-columnar
+# (longs + double arrays + one double), so it persists to parquet and
+# cold-reloads in any later session; serve_ivf_topk answers a batch from
+# whichever copy it is handed — fresh lineage or reloaded — with the
+# identical relation (certified by sim_index_roundtrip's shared oracle).
+
+
+def build_ivf_index(corpus: DataFrame, nlist: int, dim: int, par: int,
+                    id_col: str = "vec_id", vec_col: str = "v") -> dict:
+    """The corpus-only half of IVF ANN serving: ``cent`` (cid, c) —
+    nlist seeded centroids (the nlist smallest corpus ids: deterministic,
+    engine-portable); ``lists`` (id, cid, v, nv) — every corpus vector
+    assigned to its nearest centroid via the map-side min(struct(d2,
+    cid)) aggregate (the n×√n scored stream never shuffles), with its
+    L2 norm precomputed ONCE so serving pays a single dot per candidate.
+
+    The dict records the build parameters (nlist, dim, id/vec column
+    names) as plain values — persisting callers write them as a JSON
+    manifest beside the parquet, exactly like the dedup index.
+
+    Scale: build cost is n×nlist distance terms (unrolled fixed-dim —
+    compiled, not interpreted); at 100 TB the build shards per partition
+    and merges, or trains on a hash sample (documented in
+    sim_ivf_scaled_nlist). The assignment input is repartitioned to
+    ``par`` explicitly: the work is compute-bound on tiny partitions,
+    the shape AQE's byte-based coalescing wrongly serializes (measured
+    r10: one 21 s task without the hint).
+    """
+    from ..functions.vectors import l2_norm_unrolled, squared_l2_unrolled
+
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+    )
+    corpus_p = corpus.repartition(par, id_col)
+    assign = (
+        corpus_p.crossJoin(F.broadcast(cent))
+        .select(
+            id_col, "cid",
+            squared_l2_unrolled(F.col(vec_col), F.col("c"), dim).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select(id_col, F.col("__m.cid").alias("cid"))
+    )
+    lists = corpus_p.join(assign, id_col).select(
+        F.col(id_col).alias("id"), "cid", F.col(vec_col).alias("v"),
+        l2_norm_unrolled(F.col(vec_col), dim).alias("nv"),
+    )
+    return {"cent": cent, "lists": lists, "nlist": nlist, "dim": dim,
+            "id_col": id_col, "vec_col": vec_col}
+
+
+def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
+                   nprobe: int = 2, par: int | None = None) -> DataFrame:
+    """The per-batch half: probe each query's ``nprobe`` nearest lists,
+    score exact cosine inside them, return (qid, rank, mid, cos) for
+    rank <= k. ``index`` may be freshly built or reloaded from parquet —
+    same relation either way.
+
+    Probe ranking runs on SKINNY (qid, cid, d2) rows; the query vectors
+    (with precomputed norms) rejoin broadcast-side only for scoring, so
+    no vector payload rides the ranking shuffle. The lists are
+    repartitioned to ``par`` by cid HERE (not at build) so a cold
+    parquet reload gets the same compute-spread as fresh lineage.
+    Broadcasting the batch is the micro-batch contract — bound the
+    per-broadcast batch size in production (see sim_incremental_batch's
+    broadcast-bound note)."""
+    from ..functions.vectors import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+        squared_l2_unrolled,
+    )
+
+    dim, id_col, vec_col = index["dim"], index["id_col"], index["vec_col"]
+    cent, lists = index["cent"], index["lists"]
+    if par is not None:
+        lists = lists.repartition(par, "cid")
+    qc = batch.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("qid"), "cid",
+        squared_l2_unrolled(F.col(vec_col), F.col("c"), dim).alias("d2"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cid")
+    probe = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    bq = batch.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        l2_norm_unrolled(F.col(vec_col), dim).alias("nq"),
+    )
+    denom = F.col("nv") * F.col("nq")
+    cand = (
+        lists.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(bq), "qid")
+        .select(
+            "qid",
+            F.col("id").alias("mid"),
+            F.when(denom > 0,
+                   dot_product_unrolled(F.col("v"), F.col("qv"), dim) / denom
+                   ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("mid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "mid", "cos")
+    )

@@ -162,6 +162,172 @@ def ml_als_rank1_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("als_round")
 
 
+ALS2_ROUNDS = 3
+
+
+def _als2_oracle() -> str:
+    """Rank-2 ALS oracle: each half-step solves the 2×2 ridge normal
+    equations in closed form. The normal-equation CELLS (a11, a12, a22,
+    b1, b2) are 1e-9-rounded BEFORE the solve and the solved factors
+    1e-9-rounded after — both engines then run identical IEEE arithmetic
+    between identical rounded inputs, so the trajectory cannot drift."""
+    r9 = lambda e: dround(e, 9)  # noqa: E731
+    lam = "CAST(0.1 AS DOUBLE)"
+    det = "(a11 * a22 - a12 * a12)"
+    sql = f"""
+    WITH ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    ), v0 AS MATERIALIZED (
+        SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS vf1,
+               CAST(i % 97 AS DOUBLE) / CAST(97 AS DOUBLE) AS vf2
+        FROM ratings
+    )"""
+    for r in range(1, ALS2_ROUNDS + 1):
+        p = r - 1
+        sql += f""", uc{r} AS MATERIALIZED (
+        SELECT t.u,
+               {r9(f'{lam} + SUM(v.vf1 * v.vf1)')} AS a11,
+               {r9('SUM(v.vf1 * v.vf2)')} AS a12,
+               {r9(f'{lam} + SUM(v.vf2 * v.vf2)')} AS a22,
+               {r9('SUM(t.r * v.vf1)')} AS b1,
+               {r9('SUM(t.r * v.vf2)')} AS b2
+        FROM ratings t JOIN v{p} v ON t.i = v.i GROUP BY t.u
+    ), u{r} AS MATERIALIZED (
+        SELECT u, {r9(f'(a22 * b1 - a12 * b2) / {det}')} AS uf1,
+               {r9(f'(a11 * b2 - a12 * b1) / {det}')} AS uf2
+        FROM uc{r}
+    ), vc{r} AS MATERIALIZED (
+        SELECT t.i,
+               {r9(f'{lam} + SUM(u.uf1 * u.uf1)')} AS a11,
+               {r9('SUM(u.uf1 * u.uf2)')} AS a12,
+               {r9(f'{lam} + SUM(u.uf2 * u.uf2)')} AS a22,
+               {r9('SUM(t.r * u.uf1)')} AS b1,
+               {r9('SUM(t.r * u.uf2)')} AS b2
+        FROM ratings t JOIN u{r} u ON t.u = u.u GROUP BY t.i
+    ), v{r} AS MATERIALIZED (
+        SELECT i, {r9(f'(a22 * b1 - a12 * b2) / {det}')} AS vf1,
+               {r9(f'(a11 * b2 - a12 * b1) / {det}')} AS vf2
+        FROM vc{r}
+    ), e{r} AS (
+        SELECT {dround('sqrt(AVG((t.r - (u.uf1 * v.vf1 + u.uf2 * v.vf2)) '
+                       '* (t.r - (u.uf1 * v.vf1 + u.uf2 * v.vf2))))', 6)} AS rmse,
+               (SELECT {dround('SUM(uf1 * uf1 + uf2 * uf2)', 4)} FROM u{r}) AS u_ss,
+               (SELECT {dround('SUM(vf1 * vf1 + vf2 * vf2)', 4)} FROM v{r}) AS v_ss
+        FROM ratings t
+        JOIN u{r} u ON t.u = u.u
+        JOIN v{r} v ON t.i = v.i
+    )"""
+    selects = [
+        f"SELECT {r} AS als_round, rmse, u_ss, v_ss FROM e{r}"
+        for r in range(1, ALS2_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY als_round"
+
+
+@query("ml_als_rank2_rounds", oracle=_als2_oracle())
+def ml_als_rank2_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 alternating least squares on the same customer × part
+    implicit matrix as `ml_als_rank1_rounds` — the real distributed-ALS
+    shape (r10 VERDICT task 5): each half-step accumulates the k×k
+    ridge normal equations PER ENTITY as grouped-aggregate cells (k²+k
+    = 6 sums at k=2: a11, a12, a22, b1, b2 — Gram matrix + right-hand
+    side) and solves them in closed form (2×2 inverse; det ≥ λ² > 0
+    because the Gram matrix is PSD and λ = 0.1 rides the diagonal, so
+    the division is always defined). That is exactly production ALS's
+    per-iteration plan — one shuffle join (ratings × current factor,
+    keyed on the factor id) + one grouped aggregate with map-side
+    combine — generalized from rank-1's scalar division to the normal-
+    equation solve; rank-k just widens the cell tuple to k² + k columns.
+
+    Init breaks the rank symmetry deterministically and engine-portably:
+    vf1 = 1, vf2 = (i mod 97)/97 — without distinct components both
+    factor columns would stay proportional forever and rank 2 would
+    collapse to rank 1.
+
+    Float lockstep (the `ml_gd_linreg_rounds` idiom, one level deeper):
+    the normal-equation cells are 1e-9 half-up rounded BEFORE the
+    solve, and the solved factors 1e-9 rounded after — between
+    roundings both engines do identical IEEE arithmetic on identical
+    inputs, so the 3-round trajectory is hash-comparable. Trajectory
+    additionally pinned against a plain-Python recursion on a planted
+    2-block fixture (tests/test_r8_entries.py) where rank 2 must fit
+    the two blocks strictly better than rank 1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+        .localCheckpoint(eager=False)  # referenced 3× per round
+    )
+    lam = F.lit(ALS_REG)
+    v = ratings.select("i").distinct().select(
+        "i",
+        F.lit(1.0).alias("vf1"),
+        ((F.col("i") % 97).cast("double") / F.lit(97).cast("double")).alias("vf2"),
+    )
+
+    def half_step(fac: DataFrame, join_key: str, group_key: str,
+                  f1: str, f2: str, out1: str, out2: str) -> DataFrame:
+        """One ridge half-step: join ratings with the current factor on
+        ``join_key``, accumulate the 2×2 normal equations per
+        ``group_key``, solve closed-form. Cells and factors both
+        1e-9-rounded (cross-engine lockstep)."""
+        cells = (
+            ratings.join(fac, join_key)
+            .groupBy(group_key)
+            .agg(
+                hround(lam + F.sum(F.col(f1) * F.col(f1)), 9).alias("a11"),
+                hround(F.sum(F.col(f1) * F.col(f2)), 9).alias("a12"),
+                hround(lam + F.sum(F.col(f2) * F.col(f2)), 9).alias("a22"),
+                hround(F.sum(F.col("r") * F.col(f1)), 9).alias("b1"),
+                hround(F.sum(F.col("r") * F.col(f2)), 9).alias("b2"),
+            )
+        )
+        det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+        return cells.select(
+            group_key,
+            hround((F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det, 9).alias(out1),
+            hround((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 9).alias(out2),
+        ).localCheckpoint(eager=False)  # used by next half-step, rmse, ss
+
+    out_rows: list[DataFrame] = []
+    for r in range(1, ALS2_ROUNDS + 1):
+        u = half_step(v, "i", "u", "vf1", "vf2", "uf1", "uf2")
+        v = half_step(u, "u", "i", "uf1", "uf2", "vf1", "vf2")
+        pred = F.col("uf1") * F.col("vf1") + F.col("uf2") * F.col("vf2")
+        rmse = (
+            ratings.join(u, "u")
+            .join(v, "i")
+            .agg(
+                hround(
+                    F.sqrt(F.avg((F.col("r") - pred) * (F.col("r") - pred))), 6
+                ).alias("rmse")
+            )
+        )
+        u_ss = u.agg(
+            hround(F.sum(F.col("uf1") * F.col("uf1") + F.col("uf2") * F.col("uf2")), 4).alias("u_ss")
+        )
+        v_ss = v.agg(
+            hround(F.sum(F.col("vf1") * F.col("vf1") + F.col("vf2") * F.col("vf2")), 4).alias("v_ss")
+        )
+        out_rows.append(
+            rmse.crossJoin(F.broadcast(u_ss))
+            .crossJoin(F.broadcast(v_ss))
+            .select(F.lit(r).alias("als_round"), "rmse", "u_ss", "v_ss")
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("als_round")
+
+
 TREE_BINS = 8  # histogram resolution: 7 interior quantile edges
 
 

@@ -20,6 +20,7 @@ import os
 import sys
 
 import pandas as pd
+import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
@@ -127,8 +128,67 @@ def test_als_matches_direct_recursion_on_planted_blocks(spark, tmp_path_factory)
         assert abs(row.v_ss - v_ss) < 1e-3, (row, v_ss)
 
 
-def test_als_rmse_decreases_on_real_data(spark):
-    got = REGISTRY["ml_als_rank1_rounds"].fn(spark, SF0001).collect()
+def _als2_direct(r: dict[tuple[int, int], float], rounds: int):
+    """Plain-Python rank-2 ALS with the entry's exact rounding schedule
+    (cells 1e-9 before the 2×2 solve, factors 1e-9 after)."""
+    lam = 0.1
+    items = sorted({i for (_, i) in r})
+    v = {i: (1.0, (i % 97) / 97.0) for i in items}
+
+    def solve(lst, fac):
+        a11 = _hr(lam + sum(fac[j][0] * fac[j][0] for j, _ in lst), 9)
+        a12 = _hr(sum(fac[j][0] * fac[j][1] for j, _ in lst), 9)
+        a22 = _hr(lam + sum(fac[j][1] * fac[j][1] for j, _ in lst), 9)
+        b1 = _hr(sum(rv * fac[j][0] for j, rv in lst), 9)
+        b2 = _hr(sum(rv * fac[j][1] for j, rv in lst), 9)
+        det = a11 * a22 - a12 * a12
+        return (_hr((a22 * b1 - a12 * b2) / det, 9),
+                _hr((a11 * b2 - a12 * b1) / det, 9))
+
+    traj = []
+    for _ in range(rounds):
+        by_u: dict[int, list[tuple[int, float]]] = {}
+        by_i: dict[int, list[tuple[int, float]]] = {}
+        for (u, i), rv in r.items():
+            by_u.setdefault(u, []).append((i, rv))
+            by_i.setdefault(i, []).append((u, rv))
+        uf = {u: solve(lst, v) for u, lst in sorted(by_u.items())}
+        v = {i: solve(lst, uf) for i, lst in sorted(by_i.items())}
+        sq = [
+            (rv - (uf[u][0] * v[i][0] + uf[u][1] * v[i][1])) ** 2
+            for (u, i), rv in sorted(r.items())
+        ]
+        traj.append(
+            (
+                _hr(math.sqrt(sum(sq) / len(sq)), 6),
+                _hr(sum(a * a + b * b for a, b in uf.values()), 4),
+                _hr(sum(a * a + b * b for a, b in v.values()), 4),
+            )
+        )
+    return traj
+
+
+def test_als_rank2_matches_direct_recursion_on_planted_blocks(
+        spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("als2_fix"))
+    r = _write_als_fixture(d)
+    expect = _als2_direct(r, 3)
+    got = REGISTRY["ml_als_rank2_rounds"].fn(spark, d).collect()
+    assert [row.als_round for row in got] == [1, 2, 3]
+    for row, (rmse, u_ss, v_ss) in zip(got, expect):
+        assert abs(row.rmse - rmse) < 1e-6, (row, rmse)
+        assert abs(row.u_ss - u_ss) < 1e-3, (row, u_ss)
+        assert abs(row.v_ss - v_ss) < 1e-3, (row, v_ss)
+    # The fixture is a 2-block matrix plus one cross edge — a rank-2
+    # model must fit it strictly better than rank 1 by the final round
+    # (this is the whole point of widening the factorization).
+    rank1 = REGISTRY["ml_als_rank1_rounds"].fn(spark, d).collect()
+    assert got[-1].rmse < rank1[-1].rmse, (got[-1].rmse, rank1[-1].rmse)
+
+
+@pytest.mark.parametrize("entry", ["ml_als_rank1_rounds", "ml_als_rank2_rounds"])
+def test_als_rmse_decreases_on_real_data(spark, entry):
+    got = REGISTRY[entry].fn(spark, SF0001).collect()
     rmses = [row.rmse for row in got]
     assert len(rmses) == 3
     assert rmses[1] <= rmses[0] and rmses[2] <= rmses[1], rmses

@@ -12,6 +12,8 @@ the training-data-pipeline dedup ladder, each designed shuffle-aware:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import normalize_text
@@ -840,14 +842,72 @@ def incremental_flags_from_index(index: dict[str, DataFrame], batch: DataFrame,
     )
 
 
+def lsh_signature_for(n_docs: int, target_recall: float = 0.98,
+                      j_t: float = 0.8, j_bg: float = 0.1) -> tuple[int, int]:
+    """(num_hashes, bands) for a corpus of ``n_docs`` distinct documents —
+    the dedup-side analogue of `sim_lsh_hyperplane_scaled`'s
+    bits-scale-with-n discipline (r10 VERDICT task 1).
+
+    Two constraints, in tension:
+
+    - RECALL: a pair at Jaccard ``j_t`` must become a candidate with
+      probability ≥ ``target_recall``; the banded S-curve gives
+      b ≥ ln(1 − R) / ln(1 − j_tʳ) for rows-per-band r.
+    - FALSE-CANDIDATE MASS: background (non-duplicate) pairs collide at
+      ≈ b·j_bgʳ each, so total false candidates ≈ b·n²·E[j^r] — which
+      grows n² at FIXED r while true pairs grow ~n. Sharpening r by one
+      per decade of corpus growth multiplies per-pair false probability
+      by j_bg (= 0.1, the measured p90 background token-set Jaccard at
+      sf1f), exactly cancelling a 10× growth in n.
+
+    The law: r = 4 below 10⁷ distinct docs (the bench/sf10f regime,
+    where measured false-candidate share is only ~12% and the r10
+    recall table pins pair recall at 0.98 — docs/RECALL_DENSITY.md),
+    then +1 per decade; b re-derived from the recall bound at every r.
+    At r=4 the bound yields b=8 — today's certified operating point
+    emerges from the law rather than being replaced by it.
+    """
+    r = 4
+    n0 = 10_000_000
+    while n_docs > n0:
+        r += 1
+        n0 *= 10
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - j_t ** r))
+    return r * b, b
+
+
 def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.6,
-                       num_hashes: int = 32, bands: int = 8,
+                       num_hashes: int | None = None, bands: int | None = None,
+                       n_docs: int | None = None,
                        per_node_cap: int = 4, per_comp_cap: int = 16,
                        max_rounds: int = 8) -> DataFrame:
-    """The production GLOBAL dedup path, composed end-to-end: MinHash
-    bands → capped iterative exact-Jaccard verify → star-contraction
-    closure → cluster ids (r8 VERDICT task 2; verify redesigned r10).
+    """The production GLOBAL dedup path, composed end-to-end: token-set
+    contraction → MinHash bands → capped iterative exact-Jaccard verify
+    → star-contraction closure → cluster ids (r8 VERDICT task 2; verify
+    redesigned r10; contraction + footer-scaled signature r11).
+
+    0. CONTRACTION (r11): documents with IDENTICAL token sets are
+       J = 1.0 ≥ any threshold by definition, so they collapse to one
+       representative (min id) BEFORE candidate generation. This is
+       exactly partition-preserving — the MinHash signature, the banded
+       buckets, and the exact verify all depend only on the token SET,
+       so every candidate/verified edge between two docs exists iff it
+       exists between their representatives (pytest: the corpus
+       closure-equality test runs the contracted path against the
+       closure of the UNCONTRACTED candidate relation). It removes the
+       largest quasi-cliques outright: at sf1f, 13.2k of 50k docs sit
+       in identical-token-set groups (max 248 members, 356k J=1 pairs,
+       each of which previously collided in ALL ``bands`` bands).
+       Signature/banding then run over distinct content only; members
+       rejoin by (id → rep) at the end — an ids-only join.
+
+    Signature size: pass ``n_docs`` (parquet footer row count — no
+    scan) and (num_hashes, bands) derive from :func:`lsh_signature_for`
+    — r = 4 below 10⁷ distinct docs then +1 per decade (pins false-
+    candidate mass against n² pair growth), b from the recall bound at
+    J = 0.8 ≥ 0.98. At every tested SF the law yields the certified
+    (32, 8) point (docs/RECALL_DENSITY.md).
 
     1. candidates: :func:`minhash_lsh_candidates` with ``shingle_n=1``
        so the signature estimates TOKEN-SET Jaccard — the same relation
@@ -906,10 +966,34 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         connected_components,
     )
 
-    cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=1
+    if num_hashes is None or bands is None:
+        num_hashes, bands = (
+            lsh_signature_for(n_docs) if n_docs is not None else (32, 8)
+        )
+
+    # Step 0 — token-set contraction. all_base is the ONE tokenization
+    # pass over the full corpus (checkpointed); everything downstream
+    # (signature, verify arrays, sizes) touches representatives only.
+    all_base = _token_base(df, text_col, id_col)
+    fpd = all_base.select("id", F.array_sort("toks").alias("__st")).select(
+        "id",
+        F.xxhash64("__st").alias("__f1"),
+        F.xxhash64(F.lit(1), "__st").alias("__f2"),
     )
-    base = _token_base(df, text_col, id_col)
+    # 128-bit fingerprint (two independently-seeded xxhash64 over the
+    # SORTED distinct-token-hash array — set-equal docs hash equal
+    # regardless of token order); collision would need ~2⁶⁴ groups.
+    grp = fpd.groupBy("__f1", "__f2").agg(
+        F.min("id").alias("rep")
+    ).localCheckpoint(eager=False)  # feeds reps_df, base, and the expand
+    member_map = fpd.join(grp, ["__f1", "__f2"]).select("id", "rep")
+    rep_ids = grp.select(F.col("rep").alias(id_col))
+    reps_df = df.join(rep_ids, id_col, "left_semi")
+
+    cand = minhash_lsh_candidates(
+        reps_df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=1
+    )
+    base = all_base.join(grp.select(F.col("rep").alias("id")), "id", "left_semi")
     sizes = base.select("id", "__n")
     pruned = (
         cand.join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("na")), "id_a")
@@ -940,7 +1024,7 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", *extra)
         )
 
-    nodes = df.select(F.col(id_col).alias("id"))
+    nodes = rep_ids.select(F.col(id_col).alias("id"))
 
     # Round 1: per-node budget, both orientations, smallest ids first.
     # The ranked candidate set is checkpointed ONCE — sel1, the round-1
@@ -1009,8 +1093,16 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         if n_remaining == 0:
             break
 
-    return comp.select(
+    # Expand representatives back to members (ids-only join). The
+    # component label is the min doc id over the component's REPS,
+    # which equals the min over all member docs because each rep is
+    # already the min id of its token-set group — so cluster_id and
+    # is_keeper are identical to the uncontracted path's.
+    rep_comp = comp.select(
+        F.col("id").alias("rep"), F.col("component").alias("cluster_id")
+    )
+    return member_map.join(rep_comp, "rep").select(
         F.col("id").alias(id_col),
-        F.col("component").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_keeper"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )

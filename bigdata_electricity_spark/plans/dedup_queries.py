@@ -317,9 +317,19 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. Rows-only (edges depend on xxhash64 band seeds); cluster-
     set equality to the exact recursive-CTE closure is pytest-proven on
     a planted fixture (tests/test_graph_cc.py).
+
+    r11: identical-token-set docs contract to one representative before
+    banding (exactly partition-preserving — see the operator docstring),
+    and the signature size derives from the parquet footer row count
+    (lsh_signature_for: r=4/b=8 at every tested SF, sharpening one row
+    per band per decade past 10⁷ distinct docs to pin false-candidate
+    mass against n² pair growth).
     """
+    from ..sources.loaders import parquet_row_count
+
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_dedup_clusters(docs, threshold=0.6).orderBy("doc_id")
+    n = parquet_row_count(f"{sf_dir}/documents.parquet")
+    return lsh_dedup_clusters(docs, threshold=0.6, n_docs=n).orderBy("doc_id")
 
 
 @query("dedup_simhash")  # rows-only: bit-level fingerprint, engine-specific

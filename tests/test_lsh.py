@@ -157,3 +157,23 @@ def test_scaled_bits_recall_on_planted_pairs(planted):
     planted_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
     assert len(got & planted_pairs) >= 18
     assert len(got - planted_pairs) <= 2
+
+
+def test_minhash_signature_law():
+    """lsh_signature_for (r10 VERDICT task 1): the law must (a) yield the
+    certified (32, 8) operating point everywhere the recall table was
+    measured (docs/RECALL_DENSITY.md — up to 10⁷ distinct docs), (b)
+    sharpen one row per band per decade past that, and (c) satisfy the
+    banded recall bound 1−(1−J_tʳ)ᵇ ≥ 0.98 at J_t = 0.8 for EVERY corpus
+    size, including the sharpened regimes."""
+    from bigdata_electricity_spark.operators.dedup import lsh_signature_for
+
+    for n in (1, 1000, 50_000, 500_000, 5_000_000, 10_000_000):
+        assert lsh_signature_for(n) == (32, 8), n
+    for n, r_want in ((10_000_001, 5), (100_000_001, 6), (1_000_000_001, 7)):
+        h, b = lsh_signature_for(n)
+        r = h // b
+        assert r == r_want and h == r * b, (n, h, b)
+        assert 1 - (1 - 0.8 ** r) ** b >= 0.98, (n, r, b)
+    # the certified point satisfies the bound too
+    assert 1 - (1 - 0.8 ** 4) ** 8 >= 0.98

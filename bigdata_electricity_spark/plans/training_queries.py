@@ -90,6 +90,115 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_TOPK = 20
+
+
+@query(
+    "decon_embedding_topk",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eid, v FROM pts WHERE vec_id % 13 = 0),
+    c AS (SELECT vec_id, v FROM pts WHERE vec_id % 13 <> 0),
+    scored AS (
+        SELECT c.vec_id, ev.eid,
+               CASE WHEN sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ev.v, x -> x * x))) > 0
+                    THEN list_sum(list_transform(list_zip(c.v, ev.v),
+                                                 p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(ev.v, x -> x * x))))
+               END AS cos
+        FROM c CROSS JOIN ev
+    ),
+    best AS (
+        SELECT vec_id, eid, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eid) AS rn
+        FROM scored WHERE cos IS NOT NULL
+    )
+    SELECT vec_id, eid AS eval_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM best WHERE rn = 1
+    ORDER BY cos DESC, vec_id
+    LIMIT {_DECON_TOPK}
+    """,
+)
+def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination review queue — the embedding half of the
+    decontamination ladder (`decon_ngram_overlap` is the lexical half;
+    n-gram overlap misses paraphrased eval leakage, which shows up only
+    in embedding space): the {_DECON_TOPK} training vectors closest (max
+    exact cosine) to ANY eval-suite vector, with the eval item each one
+    matched. Eval suite = vec_id % 13 == 0 (~8%; 13 is coprime with the
+    %5 cluster stride and the %7 incremental split, so all three
+    partitions are independent). A pipeline reviews/drops from the top
+    of this queue — a global risk RANKING rather than a threshold flag,
+    because the right cutoff is corpus-dependent (this synthetic corpus
+    tops out at cosine ~0.51: no planted semantic leakage, and the
+    queue surfaces exactly that).
+
+    Plan shape at 100 TB: eval suites are small by nature, so the eval
+    side (with precomputed norms) BROADCASTS and the corpus streams
+    map-side through the cross join; the per-vector argmax is the
+    map-side-combining min(struct(−cos, eid)) (no shuffle of the n×m
+    scored stream — the r10 IVF-assignment pattern), and the global
+    top-{_DECON_TOPK} is one TakeOrderedAndProject. Nothing but
+    (vec_id, eid, cos) triples — one row per corpus vector — ever
+    reaches an exchange. Cosines are computed with identical
+    left-associative double accumulation on both engines (the unrolled
+    helpers), so the argmax and the final ordering are bit-portable;
+    the cosine is 1e-6-rounded only for display.
+    """
+    from ..functions.vectors import (
+        dot_product_unrolled,
+        embedding_dim,
+        l2_norm_unrolled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim = embedding_dim(emb, "v")
+    ev = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("evv"),
+        l2_norm_unrolled(F.col("v"), dim).alias("ne"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 13 != 0).select(
+        "vec_id", "v", l2_norm_unrolled(F.col("v"), dim).alias("nv")
+    )
+    denom = F.col("nv") * F.col("ne")
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eid",
+        F.when(denom > 0,
+               dot_product_unrolled(F.col("v"), F.col("evv"), dim) / denom
+               ).alias("cos"),
+    )
+    # NULL cosines (zero-norm vectors) are dropped BEFORE the argmax on
+    # both engines — a NULL field would otherwise win Spark's struct-min
+    # (NULLs order first) while losing DuckDB's DESC ranking.
+    best = (
+        scored.filter(F.col("cos").isNotNull())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("nc"), F.col("eid").alias("eid"))).alias("__m"))
+        .select(
+            "vec_id",
+            F.col("__m.eid").alias("eval_id"),
+            (-F.col("__m.nc")).alias("cos"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("cos"), "vec_id")
+        .limit(_DECON_TOPK)
+        .select(
+            "vec_id", "eval_id",
+            (F.floor(F.col("cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+        )
+    )
+
+
 # Shared by dedup_cc_clusters and its prefix-filtered scale twin —
 # identical edge sets mean one closure oracle certifies both plans.
 _CC_ORACLE = f"""

@@ -935,3 +935,24 @@ def test_doulion_gate_inside_candidate_join(spark):
     assert join_lines, f"sampling gate not in a join condition:\n{plan}"
     # the gated join is over bucket/id columns only - no unit arrays
     assert "unit" not in join_lines[0]
+
+
+def test_decon_embedding_plan_broadcasts_eval_and_takeorders(spark):
+    """r11: the semantic-decontamination queue must broadcast the eval
+    side (small by nature — the 100 TB corpus streams map-side through
+    the cross join), combine the per-vector argmax map-side
+    (partial_min of the (-cos, eid) struct), and take the global top-k
+    via TakeOrderedAndProject — never a global sort."""
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    plan = (
+        REGISTRY["decon_embedding_topk"].fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_min" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # no full sort BY COSINE anywhere (the struct-min SortAggregate
+    # sorts locally by vec_id — that one is fine); the only cos
+    # ordering is inside TakeOrderedAndProject's bounded heap
+    assert "Sort [cos" not in plan, plan

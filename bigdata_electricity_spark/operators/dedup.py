@@ -767,11 +767,18 @@ def incremental_flags_from_index(index: dict[str, DataFrame], batch: DataFrame,
     serve parameters: the persisted corpus prefixes are sized for the
     build threshold, so a looser serve threshold would silently lose
     recall. Asserted here rather than documented-only (r10 ADVICE)."""
-    if "threshold" in index and index["threshold"] != threshold:
+    # Only a LOOSER serve threshold loses recall: prefix length
+    # ⌈(1−t)·n⌉+1 shrinks as t rises, so build-time prefixes cover any
+    # serve threshold ≥ the build value (candidate superset, exact
+    # verify filters) — and the comparison is tolerant so a threshold
+    # that does not survive a JSON manifest round-trip bit-exactly does
+    # not brick a recall-safe serve (r11 ADVICE).
+    if "threshold" in index and threshold < index["threshold"] - 1e-9:
         raise ValueError(
             f"index built at threshold={index['threshold']} cannot serve "
-            f"threshold={threshold}: corpus prefixes are sized ⌈(1−t)·n⌉+1 "
-            "at build time — rebuild the index or serve at the build value"
+            f"looser threshold={threshold}: corpus prefixes are sized "
+            "⌈(1−t)·n⌉+1 at build time, too short for the looser bound — "
+            "rebuild the index or serve at ≥ the build value"
         )
     if "block_cols" in index and list(index["block_cols"]) != list(block_cols or []):
         raise ValueError(
@@ -966,7 +973,16 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         connected_components,
     )
 
-    if num_hashes is None or bands is None:
+    if (num_hashes is None) != (bands is None):
+        # Deriving the missing half from the law would silently ignore
+        # the recall/false-mass coupling the pair encodes (r11 ADVICE:
+        # the old branch overwrote BOTH, discarding the explicit one).
+        raise ValueError(
+            "pass BOTH num_hashes and bands or NEITHER — the pair is "
+            "coupled through the banded S-curve (lsh_signature_for); "
+            f"got num_hashes={num_hashes}, bands={bands}"
+        )
+    if num_hashes is None:
         num_hashes, bands = (
             lsh_signature_for(n_docs) if n_docs is not None else (32, 8)
         )
@@ -975,14 +991,22 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     # pass over the full corpus (checkpointed); everything downstream
     # (signature, verify arrays, sizes) touches representatives only.
     all_base = _token_base(df, text_col, id_col)
+    tokless = F.col("__st").isNull() | (F.size("__st") == 0)
     fpd = all_base.select("id", F.array_sort("toks").alias("__st")).select(
         "id",
-        F.xxhash64("__st").alias("__f1"),
-        F.xxhash64(F.lit(1), "__st").alias("__f2"),
+        F.when(tokless, F.col("id")).otherwise(F.xxhash64("__st")).alias("__f1"),
+        F.when(tokless, -F.col("id")).otherwise(
+            F.xxhash64(F.lit(1), "__st")
+        ).alias("__f2"),
     )
     # 128-bit fingerprint (two independently-seeded xxhash64 over the
     # SORTED distinct-token-hash array — set-equal docs hash equal
     # regardless of token order); collision would need ~2⁶⁴ groups.
+    # Token-LESS docs (null text → null toks: xxhash64 of null returns
+    # the seed, so they would ALL collapse into one fake duplicate
+    # group) fingerprint as (id, −id) instead — each stays its own
+    # representative, matching the uncontracted path where their null
+    # Jaccard never passes verify (r11 ADVICE).
     grp = fpd.groupBy("__f1", "__f2").agg(
         F.min("id").alias("rep")
     ).localCheckpoint(eager=False)  # feeds reps_df, base, and the expand

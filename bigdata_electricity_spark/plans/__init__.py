@@ -94,6 +94,15 @@ SCALE_TWINS: dict[str, str] = {
 # better twin of its own. tests/test_registry_parity.py asserts the
 # classification is total and consistent.
 for _exact in SCALE_TWINS:
+    if REGISTRY[_exact].scale_class != "production":
+        # A definition-site classification on a SCALE_TWINS key would be
+        # silently discarded here — fail loudly instead (r11 ADVICE).
+        raise ValueError(
+            f"{_exact} is a SCALE_TWINS key (classified exact-baseline "
+            f"centrally) but was registered as "
+            f"{REGISTRY[_exact].scale_class!r} at its definition site — "
+            "remove one of the two classifications"
+        )
     REGISTRY[_exact].scale_class = "exact-baseline"
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "SCALE_TWINS"]

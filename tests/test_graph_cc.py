@@ -257,3 +257,40 @@ def test_lsh_dedup_clusters_degenerate_inputs(spark):
     assert got == [(1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False)]
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert lsh_dedup_clusters(empty).count() == 0
+
+
+def test_lsh_dedup_clusters_null_text_docs_stay_singletons(spark):
+    """r11 ADVICE: xxhash64 of a null array returns the seed, so before
+    the fix every NULL-text doc shared one token-set fingerprint and
+    the contraction reported them as one duplicate cluster. They must
+    each stay their own singleton cluster — the uncontracted path's
+    null Jaccard never passes verify — while real duplicates in the
+    same corpus still collapse."""
+    from bigdata_electricity_spark.operators.dedup import lsh_dedup_clusters
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None),
+         (10, "shared duplicate body of text"),
+         (11, "shared duplicate body of text")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in lsh_dedup_clusters(df).collect()
+    )
+    assert got == [(1, 1, True), (2, 2, True), (3, 3, True),
+                   (10, 10, True), (11, 10, False)]
+
+
+def test_lsh_dedup_clusters_rejects_half_specified_signature(spark):
+    """r11 ADVICE: passing only one of num_hashes/bands used to silently
+    overwrite BOTH with derived values; it must raise instead."""
+    import pytest
+
+    from bigdata_electricity_spark.operators.dedup import lsh_dedup_clusters
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
+        lsh_dedup_clusters(df, num_hashes=32)
+    with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
+        lsh_dedup_clusters(df, bands=8)

@@ -245,6 +245,21 @@ def test_index_param_mismatch_rejected(spark):
     with pytest.raises(ValueError, match="block_cols"):
         incremental_flags_from_index(index, batch, block_cols=["source"],
                                      threshold=0.8)
+    # a TIGHTER serve threshold is recall-safe (build prefixes are a
+    # superset of what the tighter bound needs) and must be allowed,
+    # with the exact verify applying the serve value (r11 ADVICE);
+    # float noise within tolerance of the build value must also serve.
+    loose = build_incremental_index(corpus, threshold=0.6)
+    near_b = spark.createDataFrame(
+        [(11, "a b c d x"), (12, "a b c d e")], "doc_id long, text string"
+    )
+    tight = _flags_map(incremental_flags_from_index(loose, near_b, threshold=0.8))
+    assert tight[11] == (0, 0.0, False)   # J=4/6≈0.667 < 0.8 — dropped
+    assert tight[12] == (1, 1.0, True)
+    noisy = _flags_map(
+        incremental_flags_from_index(loose, near_b, threshold=0.6 - 1e-12)
+    )
+    assert noisy[11] == (1, 0.6667, True)
     # a legacy index dict without recorded parameters still serves
     legacy = {k: index[k] for k in ("tok_df", "prefix", "arrays")}
     got = _flags_map(incremental_flags_from_index(legacy, batch, threshold=0.6))

@@ -23,6 +23,7 @@ from ..sources.loaders import load_table
 from .registry import query
 
 SEG_TOKENS = 16
+ROLL_W = 8
 BPE_ROUNDS = 3
 
 
@@ -111,6 +112,138 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_substring_rolling",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS MATERIALIZED (
+        SELECT doc_id, s,
+               array_to_string(t[(s+1):(s+{ROLL_W})], ' ') AS w
+        FROM toks,
+             UNNEST(generate_series(0, GREATEST(len(t)-{ROLL_W}, 0))) AS u(s)
+    ), flagged AS MATERIALIZED (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, s) > 1 AS dup
+        FROM wins
+    ), tokpos AS (
+        SELECT doc_id, p, t[p+1] AS token, len(t) AS n
+        FROM toks, UNNEST(generate_series(0, len(t)-1)) AS v(p)
+    ), covered AS (
+        SELECT tk.doc_id, tk.p, tk.token, BOOL_OR(NOT f.dup) AS keep
+        FROM tokpos tk JOIN flagged f
+          ON f.doc_id = tk.doc_id
+         AND f.s BETWEEN GREATEST(tk.p - {ROLL_W} + 1, 0)
+                     AND LEAST(tk.p, GREATEST(tk.n - {ROLL_W}, 0))
+        GROUP BY tk.doc_id, tk.p, tk.token
+    ), winstats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM flagged GROUP BY doc_id
+    ), perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(string_agg(CASE WHEN keep THEN token END, ' ' ORDER BY p))
+                   AS kept_fp
+        FROM covered GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, w.n_windows, w.n_dup_windows, p.n_kept,
+           COALESCE(p.kept_fp, md5('')) AS kept_fp
+    FROM perdoc p JOIN winstats w USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted-substring dedup (r11 VERDICT task 1): rolling
+    {ROLL_W}-token windows at EVERY token offset, duplicated-window
+    detection corpus-wide with first occurrence (by (doc_id, start))
+    winning, and per-token clipping — a token is dropped iff every
+    window covering it is a duplicate, so the interior of any copied
+    passage of length ≥ ROLL_W vanishes while span edges (covered by
+    windows straddling into novel text) survive. This is the
+    Lee-et-al.-style exact-substring dedup shape that
+    `dedup_segment_exact` cannot express: its FIXED 16-token boundaries
+    miss any duplicated passage offset from a boundary (the planted
+    test in tests/test_corpus_queries.py proves the miss), because a
+    shifted copy never reproduces the original's segment alignment.
+    Generalizes the reference's exact-row dedup (Cleaning.scala:117-120)
+    to sub-document content, like the segment entry.
+
+    Plan shape — three narrow stages around ONE content-keyed wide
+    exchange:
+
+    1. window fingerprints: per-doc transform() emits the n rolling
+       windows (arrays never explode per window — one projection), then
+       the ONLY exchange partitioned by window content ranks first
+       occurrence. At 100 TB the shuffle key is xxhash64 of the window
+       (8 bytes), never the text; here the ≤{ROLL_W}-token string keeps
+       the relation oracle-checkable.
+    2. coverage: token keep-ness is a per-doc ROWS BETWEEN -(W-1) AND 0
+       running max over the window-start flags (window s covers tokens
+       s..s+W-1, so token p is covered by starts p-W+1..p) — no
+       token×window fan-out, one per-doc sort.
+    3. reconstruction: kept tokens reassemble per doc (collect_list of
+       (pos, token) structs, nulls — dropped tokens — skipped), md5
+       fingerprinted. Docs losing every token return n_kept=0 and
+       md5('') via the same aggregate.
+
+    Windows shorter than W exist only for docs with n ≤ W (one
+    whole-doc window) — both engines generate them identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t)-{ROLL_W}, 0)),"
+                f" s -> array_join(slice(t, s+1, {ROLL_W}), ' '))"
+            )
+        ).alias("s", "w"),
+    )
+    flagged = wins.withColumn(
+        "dup",
+        F.row_number().over(Window.partitionBy("w").orderBy("doc_id", "s")) > 1,
+    ).select("doc_id", F.col("s").alias("p"), "dup")
+    tokpos = toks.select("doc_id", F.posexplode("t").alias("p", "token"))
+    wdoc = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(ROLL_W - 1), 0)
+    covered = tokpos.join(flagged, ["doc_id", "p"], "left").withColumn(
+        "keep",
+        F.max(F.when(~F.col("dup"), 1).when(F.col("dup"), 0)).over(wdoc) == 1,
+    )
+    # Window stats fold into the SAME per-doc aggregate: each token row
+    # p ≤ n−W carries the flag of the window STARTING there (the left
+    # join above), so count(dup)/sum(dup) over token rows are exactly
+    # the per-doc window counts — flagged is scanned once and the
+    # content-keyed exchange happens once (verified in the plan).
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("dup").cast("long").alias("n_windows"),
+            F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_windows"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("p", "token"))
+                            )
+                        ),
+                        lambda x: x["token"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+        .select("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+                "n_kept", "kept_fp")
         .orderBy("doc_id")
     )
 

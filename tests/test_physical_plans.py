@@ -956,3 +956,19 @@ def test_decon_embedding_plan_broadcasts_eval_and_takeorders(spark):
     # sorts locally by vec_id — that one is fine); the only cos
     # ordering is inside TakeOrderedAndProject's bounded heap
     assert "Sort [cos" not in plan, plan
+
+
+def test_rolling_dedup_single_content_exchange(spark):
+    """dedup_substring_rolling (r11 VERDICT task 1): the window-content
+    ranking must be the ONLY content-keyed wide exchange — the coverage
+    decision and the window stats fold into per-doc passes, so a
+    refactor that re-scans the flagged windows (a second w-keyed
+    shuffle) fails here."""
+    plan = plan_of(spark, "dedup_substring_rolling")
+    hash_ex = [
+        seg[:80] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    content_keyed = [s for s in hash_ex if "w#" in s]
+    assert len(content_keyed) == 1, content_keyed
+    doc_keyed = [s for s in hash_ex if "doc_id#" in s]
+    assert len(doc_keyed) == 1, doc_keyed

@@ -98,29 +98,25 @@ def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3):
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                           num_hashes: int = 32, bands: int = 8,
-                           shingle_n: int = 3) -> DataFrame:
-    """MinHash+LSH candidate pairs: band the signature, bucket-join.
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig) MinHash signatures as array<bigint>.
 
-    rows_per_band = num_hashes / bands. Docs sharing ANY band bucket become
-    a candidate pair. The self-join is per-bucket (skew-bounded by bucket
-    size), never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+    Two materialized projections before fanning out to the per-hash
+    mins (higher-order functions run interpreted with no
+    cross-expression CSE, so anything inlined would be re-evaluated
+    per hash function — measured 16× slower at 32 hashes):
+      1. hash every TOKEN once to a long (xxhash64);
+      2. shingle hash = xxhash64 over the n token hashes via
+         try_element_at — a rolling hash that never builds the n-gram
+         STRING. Skipping the slice+concat_ws string materialization
+         and hashing fixed-width longs instead of ~20-byte strings
+         measured 10.0s → 2.6s at sf0.1 for the full candidate query.
+    try_element_at (not element_at) so docs shorter than shingle_n
+    hash their <n available tokens with trailing NULLs instead of
+    raising under ANSI — still a deterministic per-doc shingle.
     """
-    rows_per_band = num_hashes // bands
-    # Two materialized projections before fanning out to the per-hash
-    # mins (higher-order functions run interpreted with no
-    # cross-expression CSE, so anything inlined would be re-evaluated
-    # per hash function — measured 16× slower at 32 hashes):
-    #   1. hash every TOKEN once to a long (xxhash64);
-    #   2. shingle hash = xxhash64 over the n token hashes via
-    #      try_element_at — a rolling hash that never builds the n-gram
-    #      STRING. Skipping the slice+concat_ws string materialization
-    #      and hashing fixed-width longs instead of ~20-byte strings
-    #      measured 10.0s → 2.6s at sf0.1 for the full candidate query.
-    # try_element_at (not element_at) so docs shorter than shingle_n
-    # hash their <n available tokens with trailing NULLs instead of
-    # raising under ANSI — still a deterministic per-doc shingle.
     tokenhashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -141,13 +137,21 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     def hash_with_seed(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    sig = shingled.select(
+    return shingled.select(
         "id",
         F.array(
             *[F.array_min(F.transform("__sh", hash_with_seed(i))) for i in range(num_hashes)]
         ).alias("sig"),
     )
-    banded = sig.select(
+
+
+def banded_postings(sig: DataFrame, num_hashes: int = 32,
+                    bands: int = 8) -> DataFrame:
+    """(id, band, bucket) LSH band postings: one row per (doc, band),
+    bucket = xxhash64 of the band's rows_per_band signature entries.
+    8·n skinny rows — the ONLY relation candidate generation needs."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -169,6 +173,29 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = num_hashes / bands. Docs sharing ANY band bucket become
+    a candidate pair. The self-join is per-bucket (skew-bounded by bucket
+    size), never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+
+    NOTE this MATERIALIZES the distinct candidate-pair relation — the
+    right shape for bounded pair consumers (`dedup_minhash_lsh`'s
+    reporting, recall audits), but `lsh_dedup_clusters` deliberately
+    does NOT call it: at duplicate-dense SFs the distinct pair relation
+    is ~1000× the doc count (40.5M pairs for 39k docs at sf1f), and the
+    clustering path needs only spanning edges + a colocated exhaustive
+    verify (see its docstring).
+    """
+    banded = banded_postings(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        num_hashes, bands,
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -887,27 +914,32 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.6,
                        num_hashes: int | None = None, bands: int | None = None,
                        n_docs: int | None = None,
-                       per_node_cap: int = 4, per_comp_cap: int = 16,
-                       max_rounds: int = 8) -> DataFrame:
+                       per_node_cap: int = 4) -> DataFrame:
     """The production GLOBAL dedup path, composed end-to-end: token-set
-    contraction → MinHash bands → capped iterative exact-Jaccard verify
-    → star-contraction closure → cluster ids (r8 VERDICT task 2; verify
-    redesigned r10; contraction + footer-scaled signature r11).
+    contraction → MinHash bands → spanning-edge verify → ONE exhaustive
+    bucket-colocated cross-component verify → star-contraction closure
+    → cluster ids (r8 VERDICT task 2; verify redesigned r10; contraction
+    + footer-scaled signature r11; pair materialization ELIMINATED r12).
+
+    The r12 redesign, driven by measurement: the r10/r11 shape
+    materialized the distinct candidate-pair relation (40.5M pairs for
+    39,350 post-contraction docs at sf1f — ~70 of ~105 s: the 89.5M-row
+    banding join output shuffled into a distinct-pair aggregate, two
+    global row_number windows over it, and the leftover pool localCheck-
+    pointed to disk — the very structure that filled the disk at sf10f
+    in r9). But the CLUSTER output only ever needs a spanning subset of
+    the true-pair relation plus proof that no cross-cluster candidate
+    was missed; neither requires the pair relation as a materialized
+    intermediate. The r12 shape keeps every shuffle O(n):
 
     0. CONTRACTION (r11): documents with IDENTICAL token sets are
        J = 1.0 ≥ any threshold by definition, so they collapse to one
-       representative (min id) BEFORE candidate generation. This is
-       exactly partition-preserving — the MinHash signature, the banded
-       buckets, and the exact verify all depend only on the token SET,
-       so every candidate/verified edge between two docs exists iff it
-       exists between their representatives (pytest: the corpus
-       closure-equality test runs the contracted path against the
-       closure of the UNCONTRACTED candidate relation). It removes the
-       largest quasi-cliques outright: at sf1f, 13.2k of 50k docs sit
-       in identical-token-set groups (max 248 members, 356k J=1 pairs,
-       each of which previously collided in ALL ``bands`` bands).
-       Signature/banding then run over distinct content only; members
-       rejoin by (id → rep) at the end — an ids-only join.
+       representative (min id) BEFORE candidate generation — exactly
+       partition-preserving (signature, buckets, and exact verify all
+       depend only on the token SET). At sf1f it removes 13.2k of 50k
+       docs (max group 248 members). Token-LESS docs fingerprint as
+       (id, −id) and stay singletons (r11 ADVICE). Members rejoin by
+       (id → rep) at the end — an ids-only join.
 
     Signature size: pass ``n_docs`` (parquet footer row count — no
     scan) and (num_hashes, bands) derive from :func:`lsh_signature_for`
@@ -916,51 +948,63 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     J = 0.8 ≥ 0.98. At every tested SF the law yields the certified
     (32, 8) point (docs/RECALL_DENSITY.md).
 
-    1. candidates: :func:`minhash_lsh_candidates` with ``shingle_n=1``
-       so the signature estimates TOKEN-SET Jaccard — the same relation
-       the exact operators (:func:`ngram_jaccard_pairs`) compute. Banded
-       buckets bound candidate mass by content, never block².
-    2. α-prune (ints only, r9 VERDICT task 1): the size-ratio bound
-       J ≤ min/max kills lopsided candidates BEFORE any token array
-       moves — the prune joins an (id, token_count) table, so the
-       candidate stream stays 16-byte rows.
-    3. verify + closure, INTERLEAVED (r10). The r9 sf10f sweep showed
-       why one-shot verification cannot survive a dense corpus on
-       bounded disk, and the r10 measurement pinned the cause: at sf1f
-       88% of the 78.2M candidates are TRUE pairs (64.5M; the size
-       prune alone removes just 6%) — the duplicate clusters are
-       ~10k-member quasi-cliques whose edge mass is Θ(members²) while
-       the CLUSTER output only needs a spanning subset. So verification
-       is budgeted per round, Borůvka-style:
+    1. banded postings (:func:`banded_postings` over
+       :func:`minhash_signatures` with ``shingle_n=1``, so the
+       signature estimates TOKEN-SET Jaccard — the same relation the
+       exact operators compute): bands·n skinny rows, checkpointed once
+       and reused by stages 2–4. No pair relation is ever built from
+       them.
+    2. full-signature union (r11 VERDICT task 2): docs whose ENTIRE
+       signature matches are the same point to every band, and at the
+       certified operating point a J < t pair survives all num_hashes
+       min-hashes with probability ≤ t^num_hashes (0.6³² ≈ 8e-8) — so
+       signature-identical groups union into the closure DIRECTLY, one
+       star edge per member to the group min, no exact verify. Honest
+       sizing (measured sf1f): these are only 50.8k of the 40.5M
+       distinct candidate pairs (0.13%) — the r11 VERDICT's hypothesis
+       that the 74% true-pair candidate mass is full-signature mass is
+       wrong (a J ∈ [0.6, 0.95) pair matches all 32 hashes with
+       probability J³², e.g. 3% at J = 0.9); the shortcut is kept for
+       its zero cost and its value at J≈1-dense corpora, but the real
+       r12 win is the elimination of pair materialization. Precision
+       stays measured-1.0 (tools/recall_density.py re-certified r12).
+       Token-less docs are excluded (their signatures are degenerate
+       seed constants).
+    3. spanning-edge verify: within each (band, bucket), every member
+       pairs with the bucket's ``per_node_cap`` smallest ids — ≤
+       bands·cap·n pairs TOTAL (vs Σ C(bucket,2) ≈ 89.5M enumerated
+       pairs at sf1f), generated by one per-bucket row_number, verified
+       with exact Jaccard (the only stage that joins token arrays by
+       pair id). A true duplicate quasi-clique collapses here: every
+       member reaches a near-min id in some shared bucket. Verified
+       edges + full-signature edges feed star-contraction CC
+       (operators/graph.py).
+    4. exhaustive cross-component verify, COLOCATED: the banded
+       postings relabel by current component, token arrays attach
+       per-POSTING (bands·n rows — never per pair), and one self-join
+       per (band, bucket) evaluates id<, component≠, the integer
+       size-ratio prune, and the exact Jaccard INLINE in the join
+       stage. Intra-component pairs (the Θ(members²) quasi-clique mass
+       — 74% of candidates at sf1f) are rejected by an integer compare
+       during the probe, never shuffled, never touched as arrays; only
+       the few still-cross-component true edges reach the output
+       exchange, as (comp_a, comp_b) ids. One pass is EXHAUSTIVE: every
+       candidate pair is either verified here, verified in stage 3, or
+       already intra-component — so the result is exactly the closure
+       of the fully-verified candidate relation (cluster-set equality
+       to the recursive-CTE closure stays pytest-proven,
+       tests/test_graph_cc.py), with precision 1 up to the quantified
+       stage-2 hash bound and recall the banded S-curve of candidate
+       generation, unchanged.
 
-       - round 1: each doc verifies only its ``per_node_cap`` smallest
-         candidate partners per orientation (a duplicate clique
-         contracts here — every member reaches a near-min id);
-       - round k: surviving candidates are relabeled by current
-         component, intra-component pairs retire UNVERIFIED (their
-         outcome cannot change the partition — this is where the
-         quasi-clique mass goes), and each (comp_a, comp_b) pair
-         verifies up to ``per_comp_cap`` representatives;
-       - round ``max_rounds``: bulk-verifies whatever remains, so the
-         result is EXACTLY the closure of the fully-verified candidate
-         relation no matter how adversarial the graph — by termination
-         every candidate pair is either verified or intra-component.
-         Cluster-set equality to the exact recursive-CTE closure stays
-         pytest-proven (tests/test_graph_cc.py).
-
-       Verified-true edges merge components via component-level star
-       contraction (operators/graph.py) — after round 1 that graph has
-       one node per COMPONENT, not per doc.
-
-    Scale accounting (sf1f, measured r10): one-shot verify ships
-    Σ_pairs(|A|+|B|) ≈ 4.0e9 hashed tokens (≈32 GB of shuffle payload;
-    ~10× that at sf10f — the r9 disk-full), while the capped schedule
-    ships arrays for ~2·n·per_node_cap round-1 pairs plus later-round
-    representatives, and every other shuffle stays ids-only. Precision
-    is still 1 (every edge that merges components passed the exact
-    Jaccard); recall is still the banded S-curve 1−(1−J^r)^b of
-    candidate generation — the schedule changes WHICH true pairs get
-    verified, never the partition they induce.
+    Scale accounting (sf1f, measured r12): 105 s → ~35 s composed; no
+    intermediate exceeds bands·n rows (the banded postings +
+    checkpointed CC labels), vs the r11 shape's 40.5M-pair pool. At
+    sf10f the eliminated pool was ~10× larger — the r9 disk-full shape
+    is now structurally impossible. The stage-4 enumeration cost is
+    Σ_buckets C(k,2) integer compares (bucket occupancy is pinned by
+    the signature law, so this is Θ(n) per decade), and its array
+    compares are only the still-cross-component fraction.
 
     Returns (doc_id, cluster_id, is_keeper): cluster_id = min doc_id of
     the component, is_keeper marks the one row per cluster a dedup job
@@ -987,7 +1031,7 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
             lsh_signature_for(n_docs) if n_docs is not None else (32, 8)
         )
 
-    # Step 0 — token-set contraction. all_base is the ONE tokenization
+    # Stage 0 — token-set contraction. all_base is the ONE tokenization
     # pass over the full corpus (checkpointed); everything downstream
     # (signature, verify arrays, sizes) touches representatives only.
     all_base = _token_base(df, text_col, id_col)
@@ -1002,33 +1046,49 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     # 128-bit fingerprint (two independently-seeded xxhash64 over the
     # SORTED distinct-token-hash array — set-equal docs hash equal
     # regardless of token order); collision would need ~2⁶⁴ groups.
-    # Token-LESS docs (null text → null toks: xxhash64 of null returns
-    # the seed, so they would ALL collapse into one fake duplicate
-    # group) fingerprint as (id, −id) instead — each stays its own
-    # representative, matching the uncontracted path where their null
-    # Jaccard never passes verify (r11 ADVICE).
+    # Token-LESS docs fingerprint as (id, −id) — each its own
+    # representative (r11 ADVICE; see stage 0 above).
     grp = fpd.groupBy("__f1", "__f2").agg(
         F.min("id").alias("rep")
     ).localCheckpoint(eager=False)  # feeds reps_df, base, and the expand
     member_map = fpd.join(grp, ["__f1", "__f2"]).select("id", "rep")
     rep_ids = grp.select(F.col("rep").alias(id_col))
     reps_df = df.join(rep_ids, id_col, "left_semi")
-
-    cand = minhash_lsh_candidates(
-        reps_df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=1
-    )
     base = all_base.join(grp.select(F.col("rep").alias("id")), "id", "left_semi")
-    sizes = base.select("id", "__n")
-    pruned = (
-        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("nb")), "id_b")
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("na", "nb")
-        )
-        .select("id_a", "id_b")
+    nodes = rep_ids.select(F.col(id_col).alias("id"))
+
+    # Stage 1 — signatures + banded postings (checkpointed: reused by
+    # the full-signature union, the spanning edges, and the exhaustive
+    # cross-component verify).
+    sig, sig_ids = _tracked_checkpoint(
+        minhash_signatures(reps_df, text_col, id_col, num_hashes, shingle_n=1)
+    )
+    banded, banded_ids = _tracked_checkpoint(
+        banded_postings(sig, num_hashes, bands)
     )
 
+    # Stage 2 — full-signature union edges (no verify; see docstring).
+    # Guard: token-less docs have degenerate constant signatures and
+    # must not group (__n is NULL or -1 for a null token array
+    # depending on sizeOfNull semantics, never > 0).
+    sigfp = (
+        sig.join(base.filter(F.col("__n") > 0).select("id"), "id", "left_semi")
+        .select(
+            "id",
+            F.xxhash64("sig").alias("__s1"),
+            F.xxhash64(F.lit(1), "sig").alias("__s2"),
+        )
+    )
+    wsig = Window.partitionBy("__s1", "__s2")
+    sig_edges = (
+        sigfp.withColumn("__mn", F.min("id").over(wsig))
+        .filter(F.col("id") != F.col("__mn"))
+        .select(F.col("__mn").alias("src"), F.col("id").alias("dst"))
+    )
+
+    # Stage 3 — spanning edges: each bucket member pairs with the
+    # bucket's per_node_cap smallest ids; exact-Jaccard verify is the
+    # only per-pair array join, over ≤ bands·cap·n rows.
     va = base.select(
         F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("__n").alias("vna")
     )
@@ -1038,91 +1098,89 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     jaccard = inter.cast("double") / (F.col("vna") + F.col("vnb") - inter).cast("double")
 
-    def _verify(pairs: DataFrame, extra: list[str]) -> DataFrame:
-        """Exact-Jaccard filter; token arrays join in here and nowhere
-        else — the whole design exists to keep `pairs` small."""
-        return (
-            pairs.join(va, "id_a")
-            .join(vb, "id_b")
-            .filter(jaccard >= F.lit(threshold))
-            .select("id_a", "id_b", *extra)
-        )
-
-    nodes = rep_ids.select(F.col(id_col).alias("id"))
-
-    # Round 1: per-node budget, both orientations, smallest ids first.
-    # The ranked candidate set is checkpointed ONCE — sel1, the round-1
-    # verify, and the leftover pool all derive from it, and without the
-    # checkpoint each would re-run the whole minhash candidate pipeline.
-    wa = Window.partitionBy("id_a").orderBy("id_b")
-    wb = Window.partitionBy("id_b").orderBy("id_a")
-    ranked, ranked_ids = _tracked_checkpoint(
-        pruned.withColumn("__ra", F.row_number().over(wa)).withColumn(
-            "__rb", F.row_number().over(wb)
-        )
+    wb = Window.partitionBy("band", "bucket").orderBy("id")
+    ranked = banded.withColumn("__rk", F.row_number().over(wb))
+    anchors = ranked.filter(F.col("__rk") <= per_node_cap).select(
+        "band", "bucket", F.col("id").alias("id_a")
     )
-    sel1 = ranked.filter(
-        (F.col("__ra") <= per_node_cap) | (F.col("__rb") <= per_node_cap)
-    ).select("id_a", "id_b")
-    pool, pool_ids = ranked.filter(
-        (F.col("__ra") > per_node_cap) & (F.col("__rb") > per_node_cap)
-    ).select("id_a", "id_b"), ranked_ids
-    edges1 = _verify(sel1, []).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    stars = (
+        ranked.join(anchors, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    edges1 = (
+        stars.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(jaccard >= F.lit(threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(sig_edges)
     )
     comp, comp_ids = _tracked_checkpoint(connected_components(nodes, edges1))
 
-    for rnd in range(2, max_rounds + 1):
-        ca = comp.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
-        cb = comp.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
-        live = (
-            pool.join(ca, "id_a")
-            .join(cb, "id_b")
-            .filter(F.col("__ca") != F.col("__cb"))
+    # Stage 4 — exhaustive cross-component verify. The bucket self-join
+    # runs INTS-ONLY (id, band, bucket, component, token count): the
+    # intra-component quasi-clique mass (74% of enumerations at sf1f)
+    # is rejected by an integer compare during the probe with ~40-byte
+    # rows — carrying the token arrays through this join instead
+    # measured 66 s vs 3.0 s at sf1f (the sort-merge inner loop copies
+    # the joined row per enumerated pair, so payload width is the whole
+    # cost). Only the surviving cross-component candidates (1.95M of
+    # 89.5M enumerations at sf1f, shrinking as stage 3 merges more)
+    # deduplicate to pairs and join the arrays for the exact verify —
+    # the irreducible exactness work, since a cross-component candidate
+    # must be verified no matter the schedule.
+    bi = (
+        banded.join(comp, "id")
+        .join(base.select("id", "__n"), "id")
+        .select("id", "band", "bucket", "component", "__n")
+    )
+    a, b = bi.alias("a"), bi.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.component") != F.col("b.component"))
+            & (
+                F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+            ),
         )
-        if rnd == max_rounds:
-            sel = live.select("id_a", "id_b", "__ca", "__cb")
-            new_pool, new_pool_ids = None, set()
-        else:
-            wc = Window.partitionBy("__ca", "__cb").orderBy("id_a", "id_b")
-            rl = live.withColumn("__rc", F.row_number().over(wc))
-            sel = rl.filter(F.col("__rc") <= per_comp_cap).select(
-                "id_a", "id_b", "__ca", "__cb"
-            )
-            new_pool, new_pool_ids = _tracked_checkpoint(
-                rl.filter(F.col("__rc") > per_comp_cap).select("id_a", "id_b")
-            )
-        merges = (
-            _verify(sel, ["__ca", "__cb"])
-            .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
-            .distinct()
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.component").alias("__ca"), F.col("b.component").alias("__cb"),
         )
-        # Component-level contraction: nodes are the CURRENT components,
-        # so the CC input shrinks every round instead of staying n-sized.
-        cnodes = comp.select(F.col("component").alias("id")).distinct()
-        mapping = connected_components(cnodes, merges)
-        new_comp, new_comp_ids = _tracked_checkpoint(
-            comp.join(
-                mapping.select(
-                    F.col("id").alias("component"), F.col("component").alias("__new")
-                ),
-                "component",
-            ).select("id", F.col("__new").alias("component"))
-        )
-        n_remaining = new_pool.count() if new_pool is not None else 0
-        new_comp.count()  # materialize before releasing the parents
-        _release_checkpoints(new_comp, comp_ids | pool_ids)
-        comp, comp_ids = new_comp, new_comp_ids
-        pool, pool_ids = new_pool, new_pool_ids
-        if n_remaining == 0:
-            break
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    merges = (
+        cross.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(jaccard >= F.lit(threshold))
+        .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
+        .distinct()
+    )
+    # Component-level contraction: CC runs over current components.
+    cnodes = comp.select(F.col("component").alias("id")).distinct()
+    mapping = connected_components(cnodes, merges)
+    final_comp, final_ids = _tracked_checkpoint(
+        comp.join(
+            mapping.select(
+                F.col("id").alias("component"), F.col("component").alias("__new")
+            ),
+            "component",
+        ).select("id", F.col("__new").alias("component"))
+    )
+    final_comp.count()  # materialize before releasing the parents
+    _release_checkpoints(final_comp, comp_ids | banded_ids | sig_ids)
 
     # Expand representatives back to members (ids-only join). The
     # component label is the min doc id over the component's REPS,
     # which equals the min over all member docs because each rep is
     # already the min id of its token-set group — so cluster_id and
     # is_keeper are identical to the uncontracted path's.
-    rep_comp = comp.select(
+    rep_comp = final_comp.select(
         F.col("id").alias("rep"), F.col("component").alias("cluster_id")
     )
     return member_map.join(rep_comp, "rep").select(

@@ -344,20 +344,34 @@ def build_ivf_index(corpus: DataFrame, nlist: int, dim: int, par: int,
 
 
 def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
-                   nprobe: int = 2, par: int | None = None) -> DataFrame:
+                   nprobe: int = 2, par: int | None = None,
+                   n_batch: int | None = None,
+                   broadcast_threshold: int = 100_000) -> DataFrame:
     """The per-batch half: probe each query's ``nprobe`` nearest lists,
     score exact cosine inside them, return (qid, rank, mid, cos) for
     rank <= k. ``index`` may be freshly built or reloaded from parquet —
     same relation either way.
 
     Probe ranking runs on SKINNY (qid, cid, d2) rows; the query vectors
-    (with precomputed norms) rejoin broadcast-side only for scoring, so
-    no vector payload rides the ranking shuffle. The lists are
-    repartitioned to ``par`` by cid HERE (not at build) so a cold
+    (with precomputed norms) rejoin only for the |batch|×nprobe
+    winners, so no vector payload rides the ranking shuffle. The lists
+    are repartitioned to ``par`` by cid HERE (not at build) so a cold
     parquet reload gets the same compute-spread as fresh lineage.
-    Broadcasting the batch is the micro-batch contract — bound the
-    per-broadcast batch size in production (see sim_incremental_batch's
-    broadcast-bound note)."""
+
+    BROADCAST BOUND (r11 VERDICT task 3): by default the batch-derived
+    sides (the probe winners and the query-vector table) broadcast —
+    the micro-batch contract, and the fastest plan for bounded batches.
+    A production server feeding BULK batches must not broadcast
+    arbitrarily large query tables through the driver, so callers pass
+    ``n_batch`` (parquet footer count or the micro-batch's own size —
+    never a count job) and any batch above ``broadcast_threshold``
+    falls back to SHUFFLE joins: both joins are hinted shuffle_hash so
+    neither Catalyst's size estimate nor AQE re-promotes a broadcast,
+    and the candidate stream shuffles by cid/qid instead. Identical
+    relation on both paths (the roundtrip pytest forces threshold=0
+    and asserts no batch-side BroadcastExchange survives in the plan).
+    The centroid table stays broadcast on both paths: it is √n-bounded
+    by construction."""
     from ..functions.vectors import (
         dot_product_unrolled,
         l2_norm_unrolled,
@@ -366,6 +380,7 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
 
     dim, id_col, vec_col = index["dim"], index["id_col"], index["vec_col"]
     cent, lists = index["cent"], index["lists"]
+    broadcast_batch = n_batch is None or n_batch <= broadcast_threshold
     if par is not None:
         lists = lists.repartition(par, "cid")
     qc = batch.crossJoin(F.broadcast(cent)).select(
@@ -382,10 +397,14 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
         l2_norm_unrolled(F.col(vec_col), dim).alias("nq"),
     )
+    if broadcast_batch:
+        probe, bq = F.broadcast(probe), F.broadcast(bq)
+    else:
+        probe, bq = probe.hint("shuffle_hash"), bq.hint("shuffle_hash")
     denom = F.col("nv") * F.col("nq")
     cand = (
-        lists.join(F.broadcast(probe), "cid")
-        .join(F.broadcast(bq), "qid")
+        lists.join(probe, "cid")
+        .join(bq, "qid")
         .select(
             "qid",
             F.col("id").alias("mid"),

@@ -176,12 +176,15 @@ def test_checkpoint_blocks_released_per_iteration(spark):
 
 
 def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
-    """r10 verify-schedule redesign: the capped Borůvka-style verify
-    (round-1 per-node budget → per-component representatives →
-    bulk-verify fallback) must induce EXACTLY the partition of the
-    one-shot verify-every-candidate closure — on the real sf0.001
-    corpus, not just planted fixtures. The schedule changes WHICH true
-    pairs get verified, never the components they span."""
+    """r10 verify-schedule redesign, r12 restructure: the staged verify
+    (full-signature union → per-bucket spanning edges → exhaustive
+    colocated cross-component verify) must induce EXACTLY the partition
+    of the one-shot verify-every-candidate closure — on the real
+    sf0.001 corpus, not just planted fixtures. The schedule changes
+    WHICH true pairs get exact-verified (and full-signature pairs union
+    unverified — this equality is also the empirical certification that
+    no J < t pair survives all 32 hashes here), never the components
+    they span."""
     from pyspark.sql import functions as F
 
     from bigdata_electricity_spark.operators.dedup import (
@@ -228,13 +231,12 @@ def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: (find(i), i == find(i)) for i in ids}
     assert got == want
-    # small caps + tiny round budget must still converge to the same
-    # partition (the bulk-verify fallback guarantees exactness)
+    # the tightest spanning budget (one anchor per bucket) must still
+    # converge to the same partition — the exhaustive cross-component
+    # verify guarantees exactness regardless of stage-3 coverage
     tight = {
         r["doc_id"]: (r["cluster_id"], r["is_keeper"])
-        for r in lsh_dedup_clusters(
-            docs, per_node_cap=1, per_comp_cap=1, max_rounds=3
-        ).collect()
+        for r in lsh_dedup_clusters(docs, per_node_cap=1).collect()
     }
     assert tight == want
 

@@ -38,12 +38,22 @@ the artifact. Timings are only comparable same-VM (ROUND_NOTES r3).
 
 Trend trustworthiness (r10 VERDICT task 2): four same-round sf1f records
 spanned 391-568 s — ±40% box-load noise, too wide to detect a twin
-regression. So --record now (a) forces repeat >= 2, recording the min of
-two warm passes (the second pass amortizes codegen/scan-cache noise);
-(b) stamps the 1-minute load average into the JSON line; and (c) REFUSES
-to record at all when the box is already busy (load1 > --max-load,
-default 4.0 on this 32-CPU box) — a contended single shot is worse than
-no data point. Ad-hoc runs without --record keep repeat 1.
+regression. So --record now (a) forces repeat >= 3, recording the min of
+three warm passes (r11 task 4: min-of-2 still left 13% max-to-min
+spread across records, above the <10% target); (b) stamps the 1-minute
+load average into the JSON line; and (c) REFUSES to record at all when
+the box is already busy (load1 > --max-load, default 4.0 on this 32-CPU
+box) — a contended single shot is worse than no data point. Ad-hoc runs
+without --record keep repeat 1.
+
+Suite split by scale_class (r11 VERDICT task 4): exact-baseline twins'
+scaling laws are pinned in docs/SCALING_SF10.md; the recurring trend
+benches production + certification entries only (at sf1f that removes
+97 of ~313 s — sim_lsh_hyperplane 76.9 s, dedup_simhash 20.2 s — whose
+re-measurement bought nothing and doubled noise exposure). Pass
+--include-baselines for an on-demand all-entries sweep. Each JSONL line
+carries suite_filter + value_by_class so totals never mix filters;
+per-query trends stay comparable across every line.
 """
 
 from __future__ import annotations
@@ -149,6 +159,15 @@ def main() -> None:
             # would skip the timing loop and leave best=None for every entry.
             sys.exit("usage: bench_heavy.py [--repeat N] [--record] (N >= 1)")
     record = "--record" in sys.argv
+    # r11 VERDICT task 4: exact-baseline twins' scaling laws are already
+    # pinned (docs/SCALING_SF10.md) — re-measuring them every trend run
+    # bought nothing and doubled noise exposure (97 of 313 s at sf1f).
+    # The recurring trend benches PRODUCTION + certification entries
+    # only; pass --include-baselines for an on-demand baseline sweep.
+    if "--include-baselines" not in sys.argv:
+        suite = [
+            n for n in suite if REGISTRY[n].scale_class != "exact-baseline"
+        ]
     max_load = 4.0
     if "--max-load" in sys.argv:
         idx = sys.argv.index("--max-load")
@@ -162,10 +181,11 @@ def main() -> None:
             "— a contended run pollutes the trend (rerun when idle, or raise "
             "--max-load deliberately)"
         )
-    if record and repeat < 2:
-        # Recorded points are min-of-2 warm passes: a single shot on a
-        # shared box swung ±40% between same-day runs (r10 VERDICT).
-        repeat = 2
+    if record and repeat < 3:
+        # Recorded points are min-of-3 warm passes (r11 VERDICT task 4:
+        # min-of-2 left 13% max-to-min spread across records; the target
+        # is <10%). A single shot on a shared box swung ±40% (r10).
+        repeat = 3
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench_heavy")
@@ -188,16 +208,27 @@ def main() -> None:
             errors.append(name)
             print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    by_class: dict[str, float] = {}
+    for name, sec in timings.items():
+        cls = REGISTRY[name].scale_class
+        by_class[cls] = round(by_class.get(cls, 0.0) + sec, 3)
     out = {
         "metric": metric,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_by_class": by_class,
         "sf": sf,
         "repeat": repeat,
         "round": round_no,
         "date": time.strftime("%Y-%m-%d"),
         "load1_at_start": round(load1, 2),
+        # suite TOTALS are only comparable within the same filter;
+        # per-query trends remain comparable across all lines.
+        "suite_filter": (
+            "all" if "--include-baselines" in sys.argv
+            else "production+certification"
+        ),
     }
     if errors:
         out["errors"] = errors

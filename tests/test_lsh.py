@@ -177,3 +177,38 @@ def test_minhash_signature_law():
         assert 1 - (1 - 0.8 ** r) ** b >= 0.98, (n, r, b)
     # the certified point satisfies the bound too
     assert 1 - (1 - 0.8 ** 4) ** 8 >= 0.98
+    # pinned second-decade operating point: at a 10⁸-doc footer count the
+    # law yields r=5, b re-solved from the recall bound (= 10 → 50
+    # hashes) — the exact signature the composed path would run with
+    # there (r11 VERDICT task 6; exercised end-to-end below)
+    assert lsh_signature_for(100_000_000) == (50, 10)
+
+
+def test_composed_dedup_exercises_sharpened_signature(spark):
+    """r11 VERDICT task 6: the law had never been EXERCISED above r=4 —
+    this runs lsh_dedup_clusters with a synthetic 10⁸ footer count
+    (n_docs is metadata, not a row count, so a planted corpus drives
+    the r=5/b=10 signature path end-to-end) and asserts the partition
+    still equals the exact closure: banding/bucketing/verify must hold
+    at 50 hashes, and the J=0.82-per-hop chain still co-clusters (the
+    sharpened S-curve keeps per-pair catch ≥ 0.98 at J ≥ 0.8 by the
+    bound the signature is solved from)."""
+    from bigdata_electricity_spark.operators.dedup import lsh_dedup_clusters
+
+    t = [f"t{i}" for i in range(40)]
+    x = [f"x{i}" for i in range(12)]
+    docs = [
+        (1, " ".join(t)),
+        (2, " ".join(t[:36] + x[0:4])),       # J=36/44≈0.82 with 1
+        (3, " ".join(t[:32] + x[0:8])),       # chain hop
+        (10, " ".join(f"u{i}" for i in range(20))),
+        (11, " ".join(f"u{i}" for i in range(20))),  # exact duplicate
+        (40, "lonely single document vocabulary entirely its own here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in lsh_dedup_clusters(df, threshold=0.6,
+                                    n_docs=100_000_000).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 40: 40}

@@ -979,32 +979,38 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
        member reaches a near-min id in some shared bucket. Verified
        edges + full-signature edges feed star-contraction CC
        (operators/graph.py).
-    4. exhaustive cross-component verify, COLOCATED: the banded
-       postings relabel by current component, token arrays attach
-       per-POSTING (bands·n rows — never per pair), and one self-join
-       per (band, bucket) evaluates id<, component≠, the integer
-       size-ratio prune, and the exact Jaccard INLINE in the join
-       stage. Intra-component pairs (the Θ(members²) quasi-clique mass
-       — 74% of candidates at sf1f) are rejected by an integer compare
-       during the probe, never shuffled, never touched as arrays; only
-       the few still-cross-component true edges reach the output
-       exchange, as (comp_a, comp_b) ids. One pass is EXHAUSTIVE: every
-       candidate pair is either verified here, verified in stage 3, or
-       already intra-component — so the result is exactly the closure
-       of the fully-verified candidate relation (cluster-set equality
-       to the recursive-CTE closure stays pytest-proven,
+    4. exhaustive cross-component verify: the banded postings relabel
+       by current component and self-join per (band, bucket) with
+       INTS-ONLY rows (id, component, token count — ~40 bytes);
+       id<, component≠ and the integer size-ratio prune evaluate during
+       the probe, so the intra-component quasi-clique mass (74% of the
+       89.5M enumerations at sf1f) dies on an integer compare without
+       ever being materialized (carrying the token arrays through this
+       join instead measured 66 s vs 3.0 s — the sort-merge inner loop
+       copies the joined row per enumerated pair, so payload width IS
+       the cost). The surviving cross-component candidates (1.95M at
+       sf1f, shrinking as stage 3 merges more) deduplicate to distinct
+       pairs and join the token arrays for the exact verify — the
+       irreducible exactness work, since a cross-component candidate
+       must be verified under any schedule. One pass is EXHAUSTIVE:
+       every candidate pair is either verified here, verified in stage
+       3, or already intra-component — so the result is exactly the
+       closure of the fully-verified candidate relation (cluster-set
+       equality to the recursive-CTE closure stays pytest-proven,
        tests/test_graph_cc.py), with precision 1 up to the quantified
        stage-2 hash bound and recall the banded S-curve of candidate
        generation, unchanged.
 
-    Scale accounting (sf1f, measured r12): 105 s → ~35 s composed; no
-    intermediate exceeds bands·n rows (the banded postings +
-    checkpointed CC labels), vs the r11 shape's 40.5M-pair pool. At
-    sf10f the eliminated pool was ~10× larger — the r9 disk-full shape
-    is now structurally impossible. The stage-4 enumeration cost is
-    Σ_buckets C(k,2) integer compares (bucket occupancy is pinned by
-    the signature law, so this is Θ(n) per decade), and its array
-    compares are only the still-cross-component fraction.
+    Scale accounting (sf1f, measured r12): 105 s → ~30 s composed
+    (sf10f 577.6 → 138.9 s, docs/TIME_sf10f_r12_task2.json); no
+    materialized intermediate exceeds bands·n rows plus the
+    still-cross-component pair set, vs the r11 shape's 40.5M-pair pool.
+    At sf10f the eliminated pool was ~10× larger — the r9 disk-full
+    shape is now structurally impossible. The stage-4 enumeration cost
+    is Σ_buckets C(k,2) integer compares (bucket occupancy is pinned by
+    the signature law, so this is near-linear per decade —
+    docs/RECALL_DENSITY.md's projection), and its array joins touch
+    only the still-cross-component fraction.
 
     Returns (doc_id, cluster_id, is_keeper): cluster_id = min doc_id of
     the component, is_keeper marks the one row per cluster a dedup job

@@ -194,6 +194,12 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Windows shorter than W exist only for docs with n ≤ W (one
     whole-doc window) — both engines generate them identically.
+
+    Measured at sf1f (10× bench SF, 50k docs): 2.9 s cold / 1.1 s warm;
+    plan-asserted one content-keyed + one doc-keyed exchange
+    (tests/test_physical_plans.py) — fusing the window stats into the
+    coverage aggregate (instead of re-scanning the flagged windows)
+    took the cold pass 6.0 → 2.9 s.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))

@@ -7,7 +7,15 @@ reports, summed over the query's completed stages:
     shuffle_write_bytes  — bytes written to shuffle (the cost that
                            scales with cluster bisection bandwidth)
     shuffle_read_bytes   — bytes read back from shuffle
-    input_bytes          — bytes read from the source scans
+    input_bytes          — bytes the input task metric reports. CAVEAT
+                           (measured r12): on local[*] the vectorized
+                           parquet reader's NIO path bypasses the
+                           FileSystem statistics, so LOCAL parquet scans
+                           under-report (a 6 MB scan showed 7 KB);
+                           cached/localCheckpoint block re-reads DO
+                           count. Treat input_bytes as a lineage-
+                           recomputation signal, not scan volume; the
+                           shuffle numbers are exact either way.
     output_rows          — rows the action returned
 
     python tools/shuffle_bytes.py [--sf-dir DIR] [--json out.json] q1 [q2 ...]
@@ -44,7 +52,16 @@ def measure_one(name: str, sf_dir: str, demote: bool = False) -> dict:
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
+        # Materialize through the noop sink, NOT count(): under count()
+        # Catalyst prunes every column the row count doesn't need, so a
+        # plan whose expensive work lives in non-multiplicity columns
+        # (window flags, collect_list reassembly, md5 fingerprints)
+        # measures near-zero (r12: dedup_substring_rolling read 7 KB
+        # instead of its real 52 MB scan). The noop sink consumes every
+        # column. Checkpointed plans were immune (localCheckpoint
+        # materializes all columns), which is why earlier artifacts for
+        # the checkpoint-heavy entries stand.
+        df.write.format("noop").mode("overwrite").save()
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
         # Spark 4.x signature: stageList(statuses, details, withSummaries,
@@ -60,7 +77,9 @@ def measure_one(name: str, sf_dir: str, demote: bool = False) -> dict:
             tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
             tot["shuffle_read_bytes"] += s.shuffleReadBytes()
             tot["input_bytes"] += s.inputBytes()
-        tot["output_rows"] = n
+        # row count AFTER the metrics snapshot — its (pruned) stages
+        # must not inflate the byte totals.
+        tot["output_rows"] = df.count()
         return tot
     finally:
         spark.stop()

@@ -65,17 +65,40 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped per doc BEFORE the explode: repeated 4-grams inside one
     document never leave the projection, cutting exploded rows and join
     probes with no semantic change.
+
+    Grams travel as 64-bit ROLLING HASHES, never strings (r12): each
+    token hashes once, each 4-gram is xxhash64 of its four token hashes
+    — no ~25-byte gram string is ever built, exploded, broadcast, or
+    counted (measured 1.8 → 1.1 s at sf0.1; the same rolling scheme
+    that took the MinHash candidate query 10.0 → 2.6 s). The distinct
+    counts equal the string-gram counts absent a 64-bit collision among
+    observed grams (expected collisions ≈ g²/2⁶⁵: ~2e-9 at the 250k
+    grams here, ~0.03 even at 10⁹ distinct grams — and hash-keyed gram
+    dedup is the standard shape at corpus scale anyway).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Materialize the token array BEFORE the shingle transform: inside an
-    # interpreted higher-order lambda the inlined split/normalize would be
-    # re-evaluated once per shingle (~13× slower measured at sf0.1).
+    # Materialize the token-hash array BEFORE the shingle transform:
+    # inside an interpreted higher-order lambda the inlined
+    # split/normalize would be re-evaluated once per shingle (~13×
+    # slower measured at sf0.1).
     toked = docs.select(
-        "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("__toks")
-    ).filter(F.size("__toks") >= 4)
+        "doc_id", "source",
+        F.transform(
+            F.split(normalize_text(F.col("text")), " "), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    ).filter(F.size("__th") >= 4)
     grams = toked.select(
         "doc_id", "source",
-        F.explode(F.array_distinct(token_shingles("__toks", 4))).alias("g"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__th") - 4),
+                    lambda i: F.xxhash64(
+                        *[F.try_element_at("__th", i + k + 1) for k in range(4)]
+                    ),
+                )
+            )
+        ).alias("g"),
     )
     eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
     return (

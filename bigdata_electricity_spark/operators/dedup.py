@@ -1194,3 +1194,107 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def build_window_index(corpus: DataFrame, width: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> dict:
+    """The corpus-only half of incremental shifted-substring dedup: the
+    DISTINCT rolling ``width``-token windows of the corpus (one row per
+    distinct window string), plus the build parameters. Pure function
+    of the corpus — persist to parquet (bucketed by xxhash64(w) at
+    scale so batch probes are co-located joins) and reload in any later
+    session; the dict records ``width`` so serving with a different
+    window width raises instead of silently clipping the wrong grain.
+
+    Windows are the same relation `dedup_substring_rolling`'s
+    first-occurrence ranking partitions by: per-doc transform() emits
+    the n rolling windows (one per token offset; a single whole-doc
+    window for docs with ≤ width tokens), then one distinct. The window
+    STRING is kept as the key for oracle parity at test scale; the
+    production key is xxhash64(w) (8 bytes — the
+    `decon_ngram_overlap` rolling-hash discipline).
+    """
+    toks = corpus.select(F.split(F.col(text_col), " ").alias("t"))
+    wins = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t)-{width}, 0)),"
+                f" s -> array_join(slice(t, s+1, {width}), ' '))"
+            )
+        ).alias("w")
+    ).distinct()
+    return {"windows": wins, "width": width}
+
+
+def clip_against_index(index: dict, batch: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       width: int = 8) -> DataFrame:
+    """The per-batch half: clip each NEW document against the corpus
+    window index — a batch window is duplicate iff the corpus contains
+    it (the corpus always wins; batch docs are NOT paired with each
+    other, the `incremental_jaccard_flags` contract), and a batch token
+    is dropped iff every window covering it is a duplicate. Returns the
+    same per-doc relation as `dedup_substring_rolling`: (doc_id,
+    n_tokens, n_windows, n_dup_windows, n_kept, kept_fp).
+
+    Plan: one content-keyed probe (batch windows LEFT SEMI-shaped join
+    against the index — expressed as a left join onto a flag so misses
+    survive), then the per-doc ROWS BETWEEN coverage max and one
+    grouped reassembly — the only wide exchange is the probe, and at
+    100 TB it is co-located when the index is bucketed by window key.
+    """
+    if "width" in index and index["width"] != width:
+        raise ValueError(
+            f"window index built at width={index['width']} cannot clip at "
+            f"width={width}: the window grain is baked into the persisted "
+            "distinct-window set — rebuild or serve at the build width"
+        )
+    windows = index["windows"]
+    toks = batch.select(F.col(id_col).alias("doc_id"),
+                        F.split(F.col(text_col), " ").alias("t"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t)-{width}, 0)),"
+                f" s -> array_join(slice(t, s+1, {width}), ' '))"
+            )
+        ).alias("s", "w"),
+    )
+    flagged = (
+        wins.join(windows.withColumn("__hit", F.lit(True)), "w", "left")
+        .select("doc_id", F.col("s").alias("p"),
+                F.coalesce("__hit", F.lit(False)).alias("dup"))
+    )
+    tokpos = toks.select("doc_id", F.posexplode("t").alias("p", "token"))
+    wdoc = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(width - 1), 0)
+    covered = tokpos.join(flagged, ["doc_id", "p"], "left").withColumn(
+        "keep",
+        F.max(F.when(~F.col("dup"), 1).when(F.col("dup"), 0)).over(wdoc) == 1,
+    )
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("dup").cast("long").alias("n_windows"),
+            F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_windows"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("p", "token"))
+                            )
+                        ),
+                        lambda x: x["token"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+        .select("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+                "n_kept", "kept_fp")
+    )

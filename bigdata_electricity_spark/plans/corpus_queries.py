@@ -254,6 +254,85 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_incremental",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), corpus_w AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(t[(s+1):(s+{ROLL_W})], ' ') AS w
+        FROM toks,
+             UNNEST(generate_series(0, GREATEST(len(t)-{ROLL_W}, 0))) AS u(s)
+        WHERE doc_id % 7 <> 0
+    ), bwins AS (
+        SELECT doc_id, s, array_to_string(t[(s+1):(s+{ROLL_W})], ' ') AS w
+        FROM toks,
+             UNNEST(generate_series(0, GREATEST(len(t)-{ROLL_W}, 0))) AS u(s)
+        WHERE doc_id % 7 = 0
+    ), flagged AS MATERIALIZED (
+        SELECT b.doc_id, b.s, (cw.w IS NOT NULL) AS dup
+        FROM bwins b LEFT JOIN corpus_w cw ON b.w = cw.w
+    ), tokpos AS (
+        SELECT doc_id, p, t[p+1] AS token, len(t) AS n
+        FROM toks, UNNEST(generate_series(0, len(t)-1)) AS v(p)
+        WHERE doc_id % 7 = 0
+    ), covered AS (
+        SELECT tk.doc_id, tk.p, tk.token, BOOL_OR(NOT f.dup) AS keep
+        FROM tokpos tk JOIN flagged f
+          ON f.doc_id = tk.doc_id
+         AND f.s BETWEEN GREATEST(tk.p - {ROLL_W} + 1, 0)
+                     AND LEAST(tk.p, GREATEST(tk.n - {ROLL_W}, 0))
+        GROUP BY tk.doc_id, tk.p, tk.token
+    ), winstats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM flagged GROUP BY doc_id
+    ), perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(string_agg(CASE WHEN keep THEN token END, ' ' ORDER BY p))
+                   AS kept_fp
+        FROM covered GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, w.n_windows, w.n_dup_windows, p.n_kept,
+           COALESCE(p.kept_fp, md5('')) AS kept_fp
+    FROM perdoc p JOIN winstats w USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shifted-substring dedup — the ingest-gate twin of
+    `dedup_substring_rolling` (and the substring rung of the
+    incremental triad the Jaccard and embedding ladders already have):
+    each NEW-batch document (doc_id % 7 == 0) is clipped against the
+    EXISTING corpus's rolling-window index — a batch window is
+    duplicate iff the corpus contains it (corpus always wins; batch
+    docs are never paired with each other), a batch token drops iff
+    every covering window is duplicate. The production need: a deduped
+    100 TB corpus receives daily arrivals whose passages may quote it
+    at ANY offset; re-running global substring dedup is off the table,
+    so arrivals probe a reusable corpus-only index
+    (`operators/dedup.py build_window_index` — the distinct corpus
+    windows, persistable to parquet and bucketed by window key at
+    scale) through `clip_against_index`, whose only wide exchange is
+    that content-keyed probe. The width travels with the index and a
+    mismatched serve raises.
+
+    Same output relation per batch doc as the global entry: (doc_id,
+    n_tokens, n_windows, n_dup_windows, n_kept, kept_fp). The DuckDB
+    twin replays the windowing with a LEFT JOIN against the corpus's
+    distinct windows.
+    """
+    from ..operators.dedup import build_window_index, clip_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    index = build_window_index(corpus, width=ROLL_W)
+    return clip_against_index(index, batch, width=ROLL_W).orderBy("doc_id")
+
+
 def _bpe_merge_step(lhs: F.Column, rhs: F.Column):
     """Greedy left-to-right application of merge (lhs, rhs) as a string
     fold: acc holds the already-merged prefix (space-separated symbols).

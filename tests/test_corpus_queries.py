@@ -221,3 +221,91 @@ def test_rolling_dedup_replica_on_corpus(spark):
     # non-vacuous: the corpus has duplicated substrings to clip
     assert any(v[2] > 0 for v in want.values())
     assert any(v[3] < v[0] for v in want.values())
+
+
+def test_incremental_substring_clip_planted(spark, tmp_path):
+    """Ingest-gate twin: a batch doc quoting a CORPUS passage at an
+    arbitrary offset is clipped (interior dropped, edges kept); a novel
+    batch doc is untouched; corpus docs never appear in the output; and
+    the per-doc relation equals a driver-side replay of the
+    corpus-window rule."""
+    import hashlib
+
+    a = [f"a{i}" for i in range(40)]
+    rows = [
+        # corpus (doc_id % 7 != 0)
+        (1, " ".join(a)),
+        (2, " ".join(f"c{i}" for i in range(25))),
+        # batch (doc_id % 7 == 0): 14 quotes corpus doc 1 at offset 5;
+        # 21 is entirely novel; 28 is a verbatim full copy of doc 2
+        (14, " ".join(["q0", "q1", "q2", "q3", "q4"] + a[4:28] + ["q5"])),
+        (21, " ".join(f"z{i}" for i in range(30))),
+        (28, " ".join(f"c{i}" for i in range(25))),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in rows],
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": [len(t) for _, t in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+                      r["n_kept"], r["kept_fp"])
+        for r in REGISTRY["dedup_substring_incremental"]
+        .fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {14, 21, 28}  # batch docs only
+
+    # driver-side replay: corpus window set, then the coverage rule
+    W = 8
+    corpus_w = set()
+    for d, t in rows:
+        if d % 7 != 0:
+            toks = t.split(" ")
+            for s in range(max(len(toks) - W, 0) + 1):
+                corpus_w.add(" ".join(toks[s:s + W]))
+    for d, t in rows:
+        if d % 7 != 0:
+            continue
+        toks = t.split(" ")
+        n = len(toks)
+        smax = max(n - W, 0)
+        dup = {s: (" ".join(toks[s:s + W]) in corpus_w) for s in range(smax + 1)}
+        kept = [
+            toks[p] for p in range(n)
+            if any(not dup[s] for s in range(max(p - W + 1, 0), min(p, smax) + 1))
+        ]
+        assert got[d] == (
+            n, smax + 1, sum(dup.values()), len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        ), d
+    # the planted quote is caught and clipped, the novel doc untouched,
+    # the verbatim copy fully dropped
+    assert got[14][2] > 0 and 0 < got[14][3] < got[14][0]
+    assert got[21][2] == 0 and got[21][3] == got[21][0]
+    assert got[28][3] == 0
+
+
+def test_window_index_width_mismatch_raises(spark):
+    """The window grain is baked into the persisted index — serving at
+    a different width must raise, like the other persisted indexes."""
+    import pytest
+
+    from bigdata_electricity_spark.operators.dedup import (
+        build_window_index,
+        clip_against_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                   "doc_id long, text string")
+    batch = spark.createDataFrame([(14, "a b c d e f g h i j")],
+                                  "doc_id long, text string")
+    index = build_window_index(corpus, width=8)
+    with pytest.raises(ValueError, match="width"):
+        clip_against_index(index, batch, width=4)
+    out = clip_against_index(index, batch, width=8).collect()
+    assert out[0]["n_kept"] == 0  # verbatim copy fully clipped

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import dround, hround
 from ..sources.loaders import load_table
-from .registry import query
+from .registry import REGISTRY, query
 
 SEG_TOKENS = 16
 ROLL_W = 8
@@ -331,6 +331,110 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 7 == 0)
     index = build_window_index(corpus, width=ROLL_W)
     return clip_against_index(index, batch, width=ROLL_W).orderBy("doc_id")
+
+
+_SUBSTR_INCR_ORACLE = REGISTRY["dedup_substring_incremental"].oracle
+
+
+@query("dedup_substring_index_roundtrip", oracle=_SUBSTR_INCR_ORACLE,
+       scale_class="certification")
+def dedup_substring_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence certification for the corpus window index — the
+    substring sibling of `dedup_index_roundtrip` / `sim_index_roundtrip`:
+    the corpus-only distinct-window set is WRITTEN to parquet with its
+    width manifest, RELOADED cold, and the batch is clipped entirely
+    from the reloaded copy — proving the materialize-once claim
+    `dedup_substring_incremental` makes (arrivals probe a reusable
+    index; the n-window distinct never reruns per batch). Shares that
+    entry's oracle VERBATIM: same relation through a second execution
+    topology. At 100 TB the windows would be written bucketed by
+    xxhash64(w) so every batch probe is a co-located join; plain
+    parquet keeps the entry engine-portable. The width travels as a
+    JSON manifest and is restored into the reloaded dict — serving at
+    another width raises (pytest-pinned).
+    """
+    import json
+    import os
+    import shutil
+
+    from ..operators.dedup import build_window_index, clip_against_index
+    from ..sources.sinks import run_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    base = run_dir("substr_index", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    built = build_window_index(corpus, width=ROLL_W)
+    built["windows"].write.mode("overwrite").parquet(f"{base}/windows")
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/manifest.json", "w") as fh:
+        json.dump({"width": built["width"]}, fh)
+    with open(f"{base}/manifest.json") as fh:
+        loaded = json.load(fh)
+    loaded["windows"] = spark.read.parquet(f"{base}/windows")
+    return clip_against_index(loaded, batch, width=ROLL_W).orderBy("doc_id")
+
+
+@query("streaming_incremental_substring", oracle=_SUBSTR_INCR_ORACLE)
+def streaming_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `dedup_substring_incremental` — completes the
+    substring rung of the incremental-triad pattern (batch probe /
+    streaming foreachBatch gate / persisted-index cold reload) that the
+    token-Jaccard and embedding rungs already have: the new-doc stream
+    (doc_id % 7 == 0) arrives via ``readStream`` and every micro-batch
+    is clipped against the PERSISTED corpus window index inside
+    ``foreachBatch`` (parquet + width manifest, reloaded before the
+    stream starts), per-batch results appended to a parquet snapshot.
+
+    Shares the batch twin's oracle VERBATIM: each batch doc appears
+    exactly once across micro-batches and its clipping depends only on
+    that doc plus the static corpus windows, so the final snapshot is
+    micro-batch-boundary-invariant.
+    """
+    import json
+    import os
+    import shutil
+
+    from ..operators.dedup import build_window_index, clip_against_index
+    from ..sources.sinks import run_dir
+
+    docs_static = load_table(spark, sf_dir, "documents")
+    corpus = docs_static.filter(F.col("doc_id") % 7 != 0)
+    base = run_dir("stream_incr_substr", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/flags"
+    built = build_window_index(corpus, width=ROLL_W)
+    built["windows"].write.mode("overwrite").parquet(f"{base}/windows")
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/manifest.json", "w") as fh:
+        json.dump({"width": built["width"]}, fh)
+    with open(f"{base}/manifest.json") as fh:
+        loaded = json.load(fh)
+    loaded["windows"] = spark.read.parquet(f"{base}/windows")
+
+    stream = (
+        spark.readStream.schema(docs_static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+
+    def clip_batch(batch_df, batch_id: int) -> None:
+        (
+            clip_against_index(loaded, batch_df, width=ROLL_W)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    query_handle = (
+        stream.writeStream.outputMode("append").foreachBatch(clip_batch).start()
+    )
+    try:
+        query_handle.processAllAvailable()
+    finally:
+        query_handle.stop()
+    return spark.read.parquet(out).orderBy("doc_id")
 
 
 def _bpe_merge_step(lhs: F.Column, rhs: F.Column):

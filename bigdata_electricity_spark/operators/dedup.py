@@ -1001,8 +1001,9 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
        stage-2 hash bound and recall the banded S-curve of candidate
        generation, unchanged.
 
-    Scale accounting (sf1f, measured r12): 105 s → ~30 s composed
-    (sf10f 577.6 → 138.9 s, docs/TIME_sf10f_r12_task2.json); no
+    Scale accounting (sf1f, measured r12): 105 s → ~28 s composed
+    (sf10f 577.6 → 77.6 s, docs/TIME_sf10f_r12_task2.json — 138.9 s
+    before the signature-from-contraction reuse); no
     materialized intermediate exceeds bands·n rows plus the
     still-cross-component pair set, vs the r11 shape's 40.5M-pair pool.
     At sf10f the eliminated pool was ~10× larger — the r9 disk-full
@@ -1056,18 +1057,40 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     # representative (r11 ADVICE; see stage 0 above).
     grp = fpd.groupBy("__f1", "__f2").agg(
         F.min("id").alias("rep")
-    ).localCheckpoint(eager=False)  # feeds reps_df, base, and the expand
+    ).localCheckpoint(eager=False)  # feeds base, the sigs, and the expand
     member_map = fpd.join(grp, ["__f1", "__f2"]).select("id", "rep")
     rep_ids = grp.select(F.col("rep").alias(id_col))
-    reps_df = df.join(rep_ids, id_col, "left_semi")
     base = all_base.join(grp.select(F.col("rep").alias("id")), "id", "left_semi")
     nodes = rep_ids.select(F.col(id_col).alias("id"))
 
     # Stage 1 — signatures + banded postings (checkpointed: reused by
     # the full-signature union, the spanning edges, and the exhaustive
-    # cross-component verify).
+    # cross-component verify). At shingle_n=1 the signature is a pure
+    # function of the DISTINCT-token-hash array the contraction already
+    # checkpointed (min over duplicates = min over distinct, and
+    # :func:`minhash_signatures` hashes exactly xxhash64(token) →
+    # xxhash64(that) → per-seed xxhash64), so it derives from ``base``
+    # instead of re-tokenizing the reps' text — one whole
+    # normalize/split/hash scan saved (bit-identical signatures for
+    # every doc with tokens; token-less docs get a null signature
+    # instead of the seed-constant one, which only relabels the single
+    # degenerate bucket their verify already rejects).
+    def _seeded(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    shing = base.select(
+        "id", F.transform("toks", lambda x: F.xxhash64(x)).alias("__sh")
+    )
     sig, sig_ids = _tracked_checkpoint(
-        minhash_signatures(reps_df, text_col, id_col, num_hashes, shingle_n=1)
+        shing.select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform("__sh", _seeded(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
     )
     banded, banded_ids = _tracked_checkpoint(
         banded_postings(sig, num_hashes, bands)

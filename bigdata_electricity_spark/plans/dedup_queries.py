@@ -329,8 +329,8 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning edges + full-signature unions feed the closure, then ONE
     ints-only exhaustive cross-component bucket join certifies
     exactness (see the operator docstring; sf1f composed cost 105 →
-    ~30 s, recall/precision re-certified identical in
-    docs/RECALL_DENSITY.md).
+    ~28 s, sf10f 577.6 → 77.6 s, recall/precision re-certified
+    identical in docs/RECALL_DENSITY.md).
     """
     from ..sources.loaders import parquet_row_count
 

@@ -1053,3 +1053,95 @@ def normalize_quantile_match_by_source(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source")
     )
+
+
+_CLIP_W = 8
+
+
+@query(
+    "decon_substring_clip",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), eval_w AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(t[(s+1):(s+{_CLIP_W})], ' ') AS w
+        FROM toks,
+             UNNEST(generate_series(0, GREATEST(len(t)-{_CLIP_W}, 0))) AS u(s)
+        WHERE source = 'src0'
+    ), bwins AS (
+        SELECT doc_id, s, array_to_string(t[(s+1):(s+{_CLIP_W})], ' ') AS w
+        FROM toks,
+             UNNEST(generate_series(0, GREATEST(len(t)-{_CLIP_W}, 0))) AS u(s)
+        WHERE source <> 'src0'
+    ), flagged AS MATERIALIZED (
+        SELECT b.doc_id, b.s, (ew.w IS NOT NULL) AS dup
+        FROM bwins b LEFT JOIN eval_w ew ON b.w = ew.w
+    ), tokpos AS (
+        SELECT doc_id, source, p, len(t) AS n
+        FROM toks, UNNEST(generate_series(0, len(t)-1)) AS v(p)
+        WHERE source <> 'src0'
+    ), covered AS (
+        SELECT tk.doc_id, tk.source, tk.p, BOOL_OR(NOT f.dup) AS keep
+        FROM tokpos tk JOIN flagged f
+          ON f.doc_id = tk.doc_id
+         AND f.s BETWEEN GREATEST(tk.p - {_CLIP_W} + 1, 0)
+                     AND LEAST(tk.p, GREATEST(tk.n - {_CLIP_W}, 0))
+        GROUP BY tk.doc_id, tk.source, tk.p
+    ), perdoc AS (
+        SELECT doc_id, source, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+        FROM covered GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_kept < n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens - n_kept) AS BIGINT) AS n_tokens_removed
+    FROM perdoc GROUP BY source
+    ORDER BY source
+    """,
+)
+def decon_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination — the REMEDIATION half the
+    lexical ladder was missing (r12): `decon_ngram_overlap` DETECTS
+    training docs sharing any 4-gram with the eval source and
+    `decon_embedding_topk` ranks semantic leakage, but a pipeline that
+    decides to keep a flagged document still needs the leaked span CUT.
+    This entry clips every training document against the eval suite's
+    rolling {_CLIP_W}-token windows (eval = source 'src0', the
+    `decon_ngram_overlap` convention): a training token drops iff every
+    window covering it appears verbatim in the eval suite — interiors
+    of quoted eval passages vanish at ANY offset while organic n-gram
+    coincidences (shorter than a window) survive. Reports the per-source
+    contamination bill: docs touched and tokens removed.
+
+    Pure composition of the tested shifted-substring operators
+    (`build_window_index` over the eval suite — eval sets are small, so
+    at 100 TB this index is a few MB, bucketed or even broadcast —
+    then `clip_against_index` streaming the training side; the only
+    wide exchange is the window probe). The DuckDB twin replays the
+    windowing and coverage rule per source.
+    """
+    from ..operators.dedup import build_window_index, clip_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    index = build_window_index(ev, width=_CLIP_W)
+    flags = clip_against_index(index, train, width=_CLIP_W)
+    return (
+        flags.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_kept") < F.col("n_tokens")).cast("int"))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("n_tokens") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+        .orderBy("source")
+    )

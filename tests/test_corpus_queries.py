@@ -309,3 +309,35 @@ def test_window_index_width_mismatch_raises(spark):
         clip_against_index(index, batch, width=4)
     out = clip_against_index(index, batch, width=8).collect()
     assert out[0]["n_kept"] == 0  # verbatim copy fully clipped
+
+
+def test_decon_substring_clip_planted(spark, tmp_path):
+    """Remediation semantics: a training doc quoting an eval passage at
+    an arbitrary offset loses the passage interior; a training doc
+    overlapping the eval suite by fewer than W=8 consecutive tokens (an
+    organic n-gram coincidence) is untouched; eval docs never appear."""
+    e = [f"e{i}" for i in range(30)]
+    rows = [
+        (0, " ".join(e), "src0"),                                   # eval
+        (1, " ".join(["j0", "j1", "j2"] + e[3:23] + ["j3"]), "src1"),  # quote
+        (2, " ".join(e[0:5] + [f"y{i}" for i in range(20)]), "src2"),  # 5-tok overlap
+        (3, " ".join(f"z{i}" for i in range(15)), "src2"),          # clean
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _, _ in rows],
+            "text": [t for _, t, _ in rows],
+            "lang": ["en"] * len(rows),
+            "source": [s for _, _, s in rows],
+            "n_chars": [len(t) for _, t, _ in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["source"]: (r["n_docs"], r["n_contaminated_docs"],
+                      r["n_tokens"], r["n_tokens_removed"])
+        for r in REGISTRY["decon_substring_clip"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"src1", "src2"}  # eval source never reported
+    n1, c1, t1, rm1 = got["src1"]
+    assert (n1, c1, t1) == (1, 1, 24) and 0 < rm1 < 24
+    assert got["src2"] == (2, 0, 40, 0)  # sub-window overlap survives

@@ -954,22 +954,19 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
        exact operators compute): bands·n skinny rows, checkpointed once
        and reused by stages 2–4. No pair relation is ever built from
        them.
-    2. full-signature union (r11 VERDICT task 2): docs whose ENTIRE
-       signature matches are the same point to every band, and at the
-       certified operating point a J < t pair survives all num_hashes
-       min-hashes with probability ≤ t^num_hashes (0.6³² ≈ 8e-8) — so
-       signature-identical groups union into the closure DIRECTLY, one
-       star edge per member to the group min, no exact verify. Honest
-       sizing (measured sf1f): these are only 50.8k of the 40.5M
-       distinct candidate pairs (0.13%) — the r11 VERDICT's hypothesis
-       that the 74% true-pair candidate mass is full-signature mass is
-       wrong (a J ∈ [0.6, 0.95) pair matches all 32 hashes with
-       probability J³², e.g. 3% at J = 0.9); the shortcut is kept for
-       its zero cost and its value at J≈1-dense corpora, but the real
-       r12 win is the elimination of pair materialization. Precision
-       stays measured-1.0 (tools/recall_density.py re-certified r12).
-       Token-less docs are excluded (their signatures are degenerate
-       seed constants).
+    2. full-signature candidate pairs (r11 VERDICT task 2; verify
+       added r13 per r12 ADVICE): docs whose ENTIRE signature matches
+       are the same point to every band — one star pair per member to
+       the group min. These were originally unioned into the closure
+       UNVERIFIED on the t^num_hashes bound (0.6³² ≈ 8e-8), but that
+       bound is threshold-dependent: at threshold = 0.95 a J = 0.9
+       pair matches all 32 hashes with probability 0.9³² ≈ 3.4%, and
+       one false edge transitively fuses two clusters. Since the
+       full-signature pairs are only 50.8k of the 40.5M distinct
+       candidate pairs at sf1f (0.13%), they now flow through the SAME
+       exact-Jaccard verify as the stage-3 spanning pairs — precision
+       1.0 by construction at every threshold, cost unmeasurable.
+       Token-less docs are excluded structurally (no signature row).
     3. spanning-edge verify: within each (band, bucket), every member
        pairs with the bucket's ``per_node_cap`` smallest ids — ≤
        bands·cap·n pairs TOTAL (vs Σ C(bucket,2) ≈ 89.5M enumerated
@@ -1072,13 +1069,16 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     # xxhash64(that) → per-seed xxhash64), so it derives from ``base``
     # instead of re-tokenizing the reps' text — one whole
     # normalize/split/hash scan saved (bit-identical signatures for
-    # every doc with tokens; token-less docs get a null signature
-    # instead of the seed-constant one, which only relabels the single
-    # degenerate bucket their verify already rejects).
+    # every doc with tokens).
     def _seeded(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    shing = base.select(
+    # Token-less docs (__n NULL or 0) are excluded STRUCTURALLY here —
+    # no signature, no banded posting, no stage-3/4 membership — so
+    # their singleton-ness never depends on NULL/NaN semantics of the
+    # verify expression or the session's sizeOfNull setting (r12
+    # ADVICE). They remain in ``nodes`` and close as singletons.
+    shing = base.filter(F.col("__n") > 0).select(
         "id", F.transform("toks", lambda x: F.xxhash64(x)).alias("__sh")
     )
     sig, sig_ids = _tracked_checkpoint(
@@ -1096,23 +1096,27 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         banded_postings(sig, num_hashes, bands)
     )
 
-    # Stage 2 — full-signature union edges (no verify; see docstring).
-    # Guard: token-less docs have degenerate constant signatures and
-    # must not group (__n is NULL or -1 for a null token array
-    # depending on sizeOfNull semantics, never > 0).
-    sigfp = (
-        sig.join(base.filter(F.col("__n") > 0).select("id"), "id", "left_semi")
-        .select(
-            "id",
-            F.xxhash64("sig").alias("__s1"),
-            F.xxhash64(F.lit(1), "sig").alias("__s2"),
-        )
+    # Stage 2 — full-signature candidate pairs. Signature-identical
+    # docs are near-certain duplicates, but the per-pair false-match
+    # probability is J^num_hashes — negligible at threshold 0.6
+    # (0.6³² ≈ 8e-8) yet ~3.4% for a J=0.9 pair when a caller serves
+    # threshold=0.95, and ONE false edge transitively fuses two whole
+    # clusters (r12 ADVICE). Since these pairs are only ~0.13% of the
+    # candidate mass (measured sf1f), they are exact-verified alongside
+    # the stage-3 spanning pairs instead of unioning into the closure
+    # unverified — precision 1.0 now holds at EVERY threshold, not just
+    # the tested 0.6/0.8 points, at negligible cost. (sig already
+    # excludes token-less docs structurally.)
+    sigfp = sig.select(
+        "id",
+        F.xxhash64("sig").alias("__s1"),
+        F.xxhash64(F.lit(1), "sig").alias("__s2"),
     )
     wsig = Window.partitionBy("__s1", "__s2")
-    sig_edges = (
+    sig_pairs = (
         sigfp.withColumn("__mn", F.min("id").over(wsig))
         .filter(F.col("id") != F.col("__mn"))
-        .select(F.col("__mn").alias("src"), F.col("id").alias("dst"))
+        .select(F.col("__mn").alias("id_a"), F.col("id").alias("id_b"))
     )
 
     # Stage 3 — spanning edges: each bucket member pairs with the
@@ -1139,11 +1143,12 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         .dropDuplicates(["id_a", "id_b"])
     )
     edges1 = (
-        stars.join(va, "id_a")
+        stars.unionByName(sig_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+        .join(va, "id_a")
         .join(vb, "id_b")
         .filter(jaccard >= F.lit(threshold))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(sig_edges)
     )
     comp, comp_ids = _tracked_checkpoint(connected_components(nodes, edges1))
 
@@ -1161,7 +1166,7 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
     # must be verified no matter the schedule.
     bi = (
         banded.join(comp, "id")
-        .join(base.select("id", "__n"), "id")
+        .join(base.select("id", "__n").filter(F.col("__n") > 0), "id")
         .select("id", "band", "bucket", "component", "__n")
     )
     a, b = bi.alias("a"), bi.alias("b")

@@ -450,6 +450,7 @@ def test_ivf_serve_shuffle_fallback_equals_broadcast(spark):
     # CANNOT fire at production batch sizes (its broadcast threshold is
     # measured from shuffle stats), which is exactly why the fallback
     # only needs to hold statically.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         sh_static = serve_ivf_topk(index, batch, k=3, nprobe=2, par=8,
@@ -459,7 +460,7 @@ def test_ivf_serve_shuffle_fallback_equals_broadcast(spark):
             index, batch, k=3, nprobe=2, par=8
         )._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     # Assert at JOIN granularity (substring-splitting the tree text
     # bleeds across sibling subtrees after ReusedExchange reference
     # lines): every join keyed on the batch's qid, and the probe join

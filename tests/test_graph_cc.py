@@ -181,10 +181,9 @@ def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
     colocated cross-component verify) must induce EXACTLY the partition
     of the one-shot verify-every-candidate closure — on the real
     sf0.001 corpus, not just planted fixtures. The schedule changes
-    WHICH true pairs get exact-verified (and full-signature pairs union
-    unverified — this equality is also the empirical certification that
-    no J < t pair survives all 32 hashes here), never the components
-    they span."""
+    WHICH true pairs get exact-verified (since r13 ALL candidate pairs,
+    full-signature ones included, pass exact verify — r12 ADVICE),
+    never the components they span."""
     from pyspark.sql import functions as F
 
     from bigdata_electricity_spark.operators.dedup import (
@@ -296,3 +295,62 @@ def test_lsh_dedup_clusters_rejects_half_specified_signature(spark):
         lsh_dedup_clusters(df, num_hashes=32)
     with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
         lsh_dedup_clusters(df, bands=8)
+
+
+def test_lsh_dedup_sig_identical_below_threshold_pair_not_merged(spark):
+    """r12 ADVICE (stage 2): a pair whose FULL MinHash signature
+    collides but whose exact Jaccard is below the serve threshold must
+    NOT merge — before r13 the full-signature shortcut unioned such
+    pairs into the closure unverified, and at high thresholds the
+    t^num_hashes bound is far from negligible (0.9^32 ≈ 3.4% per
+    J = 0.9 pair). Plant the collision deterministically: with a
+    2-hash signature, search filler tokens until a superset doc's two
+    arg-min tokens both land in the shared core (probability 1/4 per
+    candidate), giving identical signatures at J = 0.5; then assert
+    threshold = 0.9 keeps the pair as two singleton clusters."""
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.dedup import (
+        lsh_dedup_clusters,
+        normalize_text,
+    )
+
+    a_text = "alpha beta"
+    cands = spark.createDataFrame(
+        [(i, f"alpha beta w{i} x{i}") for i in range(64)] + [(-1, a_text)],
+        "doc_id long, text string",
+    )
+    toks = F.transform(
+        F.array_distinct(F.split(normalize_text(F.col("text")), " ")),
+        lambda t: F.xxhash64(t),
+    )
+    sh = F.transform(toks, lambda x: F.xxhash64(x))
+    sigged = cands.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(0)))).alias("s0"),
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(1)))).alias("s1"),
+    ).collect()
+    ref = {r["doc_id"]: (r["s0"], r["s1"]) for r in sigged}
+    hit = next((i for i in range(64) if ref[i] == ref[-1]), None)
+    assert hit is not None, "no 2-hash signature collision in 64 candidates"
+
+    pair = spark.createDataFrame(
+        [(1, a_text), (2, f"alpha beta w{hit} x{hit}")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in lsh_dedup_clusters(
+            pair, threshold=0.9, num_hashes=2, bands=1
+        ).collect()
+    )
+    assert got == [(1, 1, True), (2, 2, True)]
+    # sanity: at a threshold the J=0.5 pair DOES satisfy, it merges —
+    # the signature collision is real and flows through verify.
+    low = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in lsh_dedup_clusters(
+            pair, threshold=0.5, num_hashes=2, bands=1
+        ).collect()
+    )
+    assert low == [(1, 1), (2, 1)]

@@ -419,3 +419,54 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "mid", "cos")
     )
+
+
+def refresh_ivf_index(index: dict, delta: DataFrame, par: int) -> dict:
+    """Epoch refresh for the IVF index (r12 VERDICT task 2 — the
+    warm-start docs/SCALING_SF10.md finding 6 promised): assign ONLY
+    the ``delta`` vectors to the PREVIOUS epoch's centroids — the
+    quantizer is warm-started from the persisted ``cent`` and frozen,
+    so no existing vector re-assigns and no n×√n rebuild runs — and
+    append them to the inverted lists. The refresh term is
+    |delta| × nlist distance evaluations vs the fresh build's
+    (n + |delta|) × nlist: at a 1% daily delta the epoch costs ~1% of
+    a rebuild (measured at sf1f, docs/TIME_ivf_refresh_r13.json).
+
+    Semantics: the refreshed index IS ``build_ivf_index``'s output for
+    corpus+delta whenever the fresh build would seed the same centroid
+    set (delta ids above the corpus seed range — the steady-state
+    append-only ingest shape); the planted-geometry pytest certifies
+    serve-result equality on exactly that configuration. When drift
+    accumulates, periodic retrains re-run ``build_ivf_index`` (or
+    Lloyd rounds seeded from ``cent`` — ml/clustering.lloyd_centroids
+    accepts any centroid frame) and the amortization clock restarts;
+    nlist grows with ⌈√n⌉ on those retrains, never mid-epoch.
+
+    Assignment mirrors the build exactly: broadcast centroids
+    (√n-bounded), map-side min(struct(d2, cid)) — the scored stream
+    never shuffles — norms precomputed once per new vector. The
+    returned dict shares ``cent`` (and every build parameter) with the
+    input, so manifests persist unchanged; ``lists`` is the union —
+    a metadata-only plan on parquet-backed inputs, which at 100 TB is
+    an APPEND of the delta's list rows to the cid-partitioned store.
+    """
+    from ..functions.vectors import l2_norm_unrolled, squared_l2_unrolled
+
+    dim, id_col, vec_col = index["dim"], index["id_col"], index["vec_col"]
+    cent = index["cent"]
+    delta_p = delta.repartition(par, id_col)
+    assign = (
+        delta_p.crossJoin(F.broadcast(cent))
+        .select(
+            id_col, "cid",
+            squared_l2_unrolled(F.col(vec_col), F.col("c"), dim).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+        .select(id_col, F.col("__m.cid").alias("cid"))
+    )
+    new_lists = delta_p.join(assign, id_col).select(
+        F.col(id_col).alias("id"), "cid", F.col(vec_col).alias("v"),
+        l2_norm_unrolled(F.col(vec_col), dim).alias("nv"),
+    )
+    return {**index, "lists": index["lists"].unionByName(new_lists)}

@@ -42,9 +42,12 @@ SCALE_TWINS: dict[str, str] = {
     # reference-parity whole-table 1-minute cadence lag (global-order
     # window) ↔ user-partitioned gap windows
     "clean_gap_detection": "events_user_gaps",
-    # exact rolling 7-day distinct users (7× row fan-out) ↔ mergeable
-    # per-shard HLL sketches union-merged without re-scanning
-    "events_rolling_7d_distinct_users": "sketch_shard_merge",
+    # exact rolling 7-day distinct users (7× row fan-out) ↔ the SAME
+    # rolling relation from per-day HLL sketches fanned out |days|×7
+    # and union-merged per window (bounded state, exact n_events;
+    # r12 VERDICT task 3 — was previously anchored to the generic
+    # sketch_shard_merge pattern rather than a true output twin)
+    "events_rolling_7d_distinct_users": "events_rolling_7d_distinct_users_sketch",
     # exact brute-force cosine top-k (full-corpus scan per query) ↔
     # learned IVF coarse quantizer probing a fraction of the corpus
     "sim_topk_bruteforce": "sim_ivf_probe_topk",

@@ -2571,3 +2571,110 @@ def streaming_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query_handle.stop()
     return spark.read.parquet(out).orderBy("vec_id", "rank")
+
+
+_SIM_REFRESH_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    corpus0 AS (SELECT * FROM pts WHERE vec_id % 7 NOT IN (0, 6)),
+    delta   AS (SELECT * FROM pts WHERE vec_id % 7 = 6),
+    batch   AS (SELECT * FROM pts WHERE vec_id % 7 = 0),
+    cent AS (
+        SELECT vec_id AS cid, v AS c FROM corpus0
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+                <= (SELECT ceil(sqrt(COUNT(*))) FROM corpus0)
+    ),
+    allpts AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM delta),
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(p.v, c.c),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), c.cid) AS rn
+            FROM allpts p CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT b.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(b.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM batch b CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT b.vec_id AS qid, p.vec_id AS mid,
+               {{cos}} AS cos
+        FROM batch b
+        JOIN probe pr ON pr.qid = b.vec_id
+        JOIN lists l ON l.cid = pr.cid
+        JOIN pts p ON p.vec_id = l.vec_id
+    )
+    SELECT qid AS vec_id, rank, mid AS match_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM (
+        SELECT qid, mid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, mid) AS rank
+        FROM cand
+    )
+    WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """.format(cos=_DUCK_COS.format(a="p.v", b="b.v"))
+
+
+@query("sim_ivf_epoch_refresh", oracle=_SIM_REFRESH_ORACLE)
+def sim_ivf_epoch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-refresh ingest for the IVF index (r12 VERDICT task 2 —
+    the warm-start docs/SCALING_SF10.md finding 6 promised): the
+    epoch-0 corpus (vec_id % 7 ∉ {0, 6}) builds its index ONCE; the
+    next epoch's delta (vec_id % 7 == 6, ~14%) is folded in by
+    `operators/similarity.py::refresh_ivf_index` — the delta vectors
+    assign to the PREVIOUS epoch's frozen centroids (warm start: no
+    re-seed, no n×√n rebuild, no existing vector touched) and append
+    to the inverted lists. The query batch (vec_id % 7 == 0) then
+    serves top-3 exact-cosine neighbors over corpus+delta through the
+    refreshed index.
+
+    The refresh term is |delta| × nlist distance evaluations vs the
+    fresh build's (n + |delta|) × nlist — at a production 1% daily
+    delta the epoch costs ~1% of a rebuild (measured at sf1f,
+    docs/TIME_ivf_refresh_r13.json). The quantizer staying frozen is
+    what makes "only new vectors re-assigned" exact, not approximate;
+    drift is handled by periodic retrains (build_ivf_index, or Lloyd
+    rounds warm-seeded from the persisted centroids) that restart the
+    amortization clock. Serve-result equality with a fresh
+    corpus+delta build under append-only ids is pytest-certified on
+    planted geometry (tests/test_dedup_similarity.py).
+
+    The oracle replicates the refreshed semantics exactly: centroids
+    seeded from the EPOCH-0 corpus only (⌈√n₀⌉ smallest ids), lists
+    over corpus+delta, probe/serve identical to
+    `sim_incremental_batch`'s.
+    """
+    from ..operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+        serve_ivf_topk,
+    )
+    from ..sources.loaders import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    corpus0 = emb.filter(~(F.col("vec_id") % 7).isin(0, 6))
+    delta = emb.filter(F.col("vec_id") % 7 == 6)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    n_total = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    n_batch = (n_total + 6) // 7       # ids dense 0..n-1: % 7 == 0 count
+    n_delta = n_total // 7             # % 7 == 6 count
+    nlist = int(math.ceil(math.sqrt(n_total - n_batch - n_delta)))
+    dim = embedding_dim(emb, "v")
+    par = spark.sparkContext.defaultParallelism
+    index0 = build_ivf_index(corpus0, nlist, dim, par)
+    index1 = refresh_ivf_index(index0, delta, par)
+    return _incr_format(
+        serve_ivf_topk(index1, batch, k=3, nprobe=2, par=par, n_batch=n_batch)
+    )

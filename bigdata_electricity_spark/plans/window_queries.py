@@ -828,6 +828,64 @@ def events_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query("events_rolling_7d_distinct_users_sketch")  # rows-only: HLL estimates
+def events_rolling_7d_distinct_users_sketch(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """Mergeable-sketch twin of `events_rolling_7d_distinct_users`
+    (r12 VERDICT task 3 — the last exact-baseline without a chainable
+    production twin): ONE HLL sketch of user_id per day, then each
+    day's fixed-size sketch fans out to the 7 sliding window starts
+    that contain it and union-merges per window.
+
+    The exact entry fans out every EVENT 7× because distinct counts
+    don't merge across subwindows; at 100 TB that is 7× the event
+    stream through a shuffle into unbounded per-window distinct state.
+    Here the fan-out is |days|×7 KILOBYTE-sized sketch rows — state
+    bounded by the calendar, not the data — and Datasketches HLL union
+    is lossless over sub-sketches, so accuracy is the sketch's own
+    (~1.6% rse at the default lgk=12; the per-window estimate-vs-exact
+    error is pinned ≤5% in tests/test_sketches.py, the
+    `sketch_quantile_error_bound` style). n_events stays EXACT — sums
+    merge. Window-start set is identical to the exact entry's: a
+    window is emitted iff one of its 7 days has events. Day buckets
+    come from the same epoch-aligned F.window the exact entry slides
+    by, so starts line up bit-for-bit.
+
+    Rows-only by design (HLL estimates are implementation-specific;
+    the twin relation to the oracled exact entry is the correctness
+    anchor, SCALE_TWINS in plans/__init__.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.window("ts", "1 day").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fanout = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d.start") - F.expr("INTERVAL 6 DAYS"),
+                F.col("d.start"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("ws"),
+        "sk",
+        "n",
+    )
+    return (
+        fanout.groupBy("ws")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+            F.sum("n").alias("n_events"),
+        )
+        .select(
+            F.date_format("ws", _TS_FMT_SPARK).alias("window_start"),
+            "distinct_users_est",
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
 @query(
     "events_top_trigram_paths",
     oracle="""

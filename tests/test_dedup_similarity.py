@@ -475,3 +475,62 @@ def test_ivf_serve_shuffle_fallback_equals_broadcast(spark):
     # sanity: the broadcast path DOES broadcast those same joins
     bc_qid = [ln for ln in join_lines(bc_plan) if "[qid#" in ln]
     assert bc_qid and all("BroadcastHashJoin" in ln for ln in bc_qid), bc_qid
+
+
+def test_ivf_epoch_refresh_equals_fresh_build(spark):
+    """refresh_ivf_index (r12 VERDICT task 2): warm-starting from the
+    epoch-0 centroids and assigning ONLY the delta must serve the same
+    relation as a fresh build over corpus+delta whenever the fresh
+    build would seed the same centroid set — the append-only ingest
+    shape (delta ids above the seed range, same nlist). Also pins the
+    frozen-quantizer contract: cent is the SAME object, no existing
+    list row changes."""
+    import math
+
+    from bigdata_electricity_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+        serve_ivf_topk,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    corpus0 = spark.createDataFrame(
+        [(0, vec(0.00)), (2, vec(0.05)), (4, vec(0.10)),
+         (1, vec(1.57)), (3, vec(1.62)), (5, vec(1.52))],
+        "vec_id long, v array<double>",
+    )
+    delta = spark.createDataFrame(
+        [(20, vec(0.07)), (21, vec(1.55)), (22, vec(0.03))],
+        "vec_id long, v array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, vec(0.02)), (11, vec(1.60))], "vec_id long, v array<double>"
+    )
+
+    index0 = build_ivf_index(corpus0, nlist=2, dim=2, par=4)
+    refreshed = refresh_ivf_index(index0, delta, par=4)
+    assert refreshed["cent"] is index0["cent"]  # frozen quantizer
+    assert refreshed["nlist"] == 2 and refreshed["dim"] == 2
+
+    fresh = build_ivf_index(corpus0.unionByName(delta), nlist=2, dim=2, par=4)
+
+    def rows(served):
+        return sorted(
+            (r["qid"], r["rank"], r["mid"], round(r["cos"], 9))
+            for r in served.collect()
+        )
+
+    got = rows(serve_ivf_topk(refreshed, batch, k=4, nprobe=1, par=4))
+    want = rows(serve_ivf_topk(fresh, batch, k=4, nprobe=1, par=4))
+    assert got == want and len(got) == 8
+    # delta members must actually be retrievable post-refresh
+    a_matches = {m for q, _, m, _ in got if q == 10}
+    assert {20, 22} <= a_matches, got
+    b_matches = {m for q, _, m, _ in got if q == 11}
+    assert 21 in b_matches, got
+    # refresh must not mutate or drop epoch-0 list rows
+    ids0 = {r["id"] for r in index0["lists"].collect()}
+    ids1 = {r["id"] for r in refreshed["lists"].collect()}
+    assert ids1 == ids0 | {20, 21, 22}

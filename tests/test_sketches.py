@@ -65,3 +65,28 @@ def test_countmin_never_undercounts(spark):
     assert r.min_overestimate >= 0
     assert r.max_overestimate >= r.min_overestimate
     assert 0 <= r.n_exact <= r.n_keys
+
+
+def test_rolling_7d_sketch_twin_tracks_exact(spark):
+    """r12 VERDICT task 3: the HLL twin of the rolling-WAU entry must
+    emit the SAME window set, the EXACT n_events per window (sums
+    merge losslessly), and a distinct-user estimate within 5% of the
+    exact count per window (default lgk=12 → ~1.6% rse; 5% is the
+    conservative gate the quantile-bound test uses)."""
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["window_start"]: (r["distinct_users"], r["n_events"])
+        for r in REGISTRY["events_rolling_7d_distinct_users"].fn(spark, sf).collect()
+    }
+    sketch = {
+        r["window_start"]: (r["distinct_users_est"], r["n_events"])
+        for r in REGISTRY["events_rolling_7d_distinct_users_sketch"].fn(spark, sf).collect()
+    }
+    assert sketch.keys() == exact.keys()
+    assert len(exact) > 7
+    for ws, (du, ne) in exact.items():
+        est, ne2 = sketch[ws]
+        assert ne2 == ne, f"{ws}: n_events {ne2} != exact {ne}"
+        assert abs(est - du) / du <= 0.05, f"{ws}: est {est} vs exact {du}"

@@ -192,13 +192,25 @@ def _thin_documents(t: pa.Table, keep_mask: "np.ndarray") -> pa.Table:
 
 def build(src: str, dst: str, mult: int, fresh: bool = False,
           dup_density: float | None = None,
-          base_density: float = 0.57) -> None:
+          base_density: float = 0.57,
+          tables: list[str] | None = None) -> None:
+    """``tables`` restricts the build (e.g. ["documents"] for a dedup
+    decade run — no point replicating lineitem 1000×). Replicas are
+    STREAMED to the writer one at a time (r13: mult=1000 for sf100f
+    would otherwise hold the whole 5M-row table in memory via
+    concat_tables)."""
     os.makedirs(dst, exist_ok=True)
+    keyed = {t: c for t, c in KEYED.items() if tables is None or t in tables}
+    needed_domains = {d for cols in keyed.values() for d in cols.values()}
     strides: dict[str, int] = {}
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
+        if dom not in needed_domains:
+            continue
         t = pq.read_table(f"{src}/{tbl}.parquet", columns=[col])
         strides[dom] = int(pc.max(t.column(0)).as_py()) + 1
     for tbl in COPY_AS_IS:
+        if tables is not None and tbl not in tables:
+            continue
         shutil.copyfile(f"{src}/{tbl}.parquet", f"{dst}/{tbl}.parquet")
         print(f"{tbl}: copied (domain-bounded dimension)")
     keep_mask = None
@@ -212,31 +224,40 @@ def build(src: str, dst: str, mult: int, fresh: bool = False,
             f"(keep-dup frac {r:.3f}, {int(keep_mask.sum())}/{n_docs} "
             f"rows stay duplicate-eligible per replica)"
         )
-    for tbl, keycols in KEYED.items():
+    for tbl, keycols in keyed.items():
         t = pq.read_table(f"{src}/{tbl}.parquet")
-        replicas = []
-        for i in range(mult):
-            if i == 0:
-                rep = t
-            else:
-                cols = []
-                for name in t.schema.names:
-                    col = t.column(name)
-                    if name in keycols:
-                        off = pa.scalar(
-                            i * strides[keycols[name]], type=col.type
-                        )
-                        col = pc.add_checked(col, off)
-                    cols.append(col)
-                rep = pa.table(cols, schema=t.schema)
-                if fresh and tbl in FRESHEN:
-                    rep = FRESHEN[tbl](rep, i)
-            if tbl == "documents" and keep_mask is not None:
-                rep = _thin_documents(rep, keep_mask)
-            replicas.append(rep)
-        out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{dst}/{tbl}.parquet", compression="snappy")
-        print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
+        writer = None
+        n_out = 0
+        try:
+            for i in range(mult):
+                if i == 0:
+                    rep = t
+                else:
+                    cols = []
+                    for name in t.schema.names:
+                        col = t.column(name)
+                        if name in keycols:
+                            off = pa.scalar(
+                                i * strides[keycols[name]], type=col.type
+                            )
+                            col = pc.add_checked(col, off)
+                        cols.append(col)
+                    rep = pa.table(cols, schema=t.schema)
+                    if fresh and tbl in FRESHEN:
+                        rep = FRESHEN[tbl](rep, i)
+                if tbl == "documents" and keep_mask is not None:
+                    rep = _thin_documents(rep, keep_mask)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{dst}/{tbl}.parquet", rep.schema,
+                        compression="snappy",
+                    )
+                writer.write_table(rep)
+                n_out += rep.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        print(f"{tbl}: {t.num_rows} -> {n_out} rows", flush=True)
 
 
 def main() -> int:
@@ -260,10 +281,15 @@ def main() -> int:
         i = args.index("--base-density")
         base_density = float(args[i + 1])
         del args[i : i + 2]
+    tables = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        tables = args[i + 1].split(",")
+        del args[i : i + 2]
     src = args[0] if args else "/root/testdata/sf0.1"
     dst = args[1] if len(args) > 1 else "/root/repo/.localdata/sf1"
     build(src, dst, mult, fresh=fresh, dup_density=dup_density,
-          base_density=base_density)
+          base_density=base_density, tables=tables)
     return 0
 
 

@@ -222,6 +222,83 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decon_neardup_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split({_NORM}, ' ')) AS t
+        FROM documents
+    ), ev AS (
+        SELECT * FROM toks WHERE source = 'src0'
+    ), train AS (
+        SELECT * FROM toks WHERE source <> 'src0'
+    ), matched AS (
+        SELECT tr.doc_id AS doc_id, tr.source AS source,
+               CAST(len(list_intersect(tr.t, e.t)) AS DOUBLE)
+                   / len(list_distinct(list_concat(tr.t, e.t))) AS j
+        FROM train tr JOIN ev e
+          ON CAST(len(list_intersect(tr.t, e.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(tr.t, e.t))) >= 0.5
+    )
+    SELECT doc_id, source,
+           COUNT(*) AS n_eval_matches,
+           {dround("MAX(j)", 4)} AS best_jaccard
+    FROM matched
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """,
+)
+def decon_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE decontamination — the middle rung the ladder
+    lacked (r12 VERDICT task 4): training docs within token-set
+    Jaccard ≥ 0.5 of ANY eval item ('src0'). Exact n-gram overlap
+    (`decon_ngram_overlap`) misses light paraphrase/reformatting —
+    reordering a sentence shares ZERO word 4-grams while keeping
+    token-set Jaccard at 1.0 (the planted-paraphrase pytest pins
+    exactly that miss) — and the embedding rung
+    (`decon_embedding_topk`) only queues candidates for human review;
+    this rung FLAGS them deterministically.
+
+    The r12 VERDICT sketched this as MinHash banding
+    (`decon_minhash_overlap`) with the eval side broadcast; built
+    against the recall-1 alternative instead: the eval suite is the
+    INDEX side of :func:`operators.dedup.build_incremental_index`
+    (token dfs + ranked prefix postings — bounded, materialize-once,
+    broadcast-sized by construction), and the 100 TB training side
+    streams through as the probe batch. Candidate mass is
+    |train| × df(rare eval tokens) by the prefix-filter theorem
+    (Xiao et al., WWW'08) with recall 1 — banding's S-curve recall
+    (~0.67 per pair at J = 0.6 under (32, 8)) buys nothing here
+    because the bounded eval side already caps the index; this is why
+    the entry can be ORACLED (brute-force train×eval Jaccard) rather
+    than rows-only like every seeded-signature entry.
+
+    Output is one row per CONTAMINATED training doc (bounded by real
+    leakage): its eval-match count and best Jaccard — feeding the same
+    drop-or-review decision `decon_substring_clip` makes for verbatim
+    leakage. Threshold 0.5 sits between the substring clip (exact
+    spans) and the semantic queue (no lexical requirement).
+    """
+    from ..operators.dedup import incremental_jaccard_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    flags = incremental_jaccard_flags(evalset, train, threshold=0.5)
+    return (
+        flags.filter(F.col("is_dup"))
+        .join(train.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "source",
+            F.col("n_matches").alias("n_eval_matches"),
+            hround("best_jaccard", 4).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Shared by dedup_cc_clusters and its prefix-filtered scale twin —
 # identical edge sets mean one closure oracle certifies both plans.
 _CC_ORACLE = f"""

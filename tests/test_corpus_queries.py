@@ -341,3 +341,48 @@ def test_decon_substring_clip_planted(spark, tmp_path):
     n1, c1, t1, rm1 = got["src1"]
     assert (n1, c1, t1) == (1, 1, 24) and 0 < rm1 < 24
     assert got["src2"] == (2, 0, 40, 0)  # sub-window overlap survives
+
+
+def test_decon_neardup_flags_paraphrase_ngram_misses(spark, tmp_path):
+    """r12 VERDICT task 4: the near-dup rung must flag a training doc
+    whose text is an eval item with SENTENCE ORDER SHUFFLED — token-set
+    Jaccard 1.0 but ZERO shared word 4-grams, so `decon_ngram_overlap`
+    provably misses it (asserted here, not assumed). A genuinely
+    unrelated doc stays unflagged, and a partial-vocabulary overlap doc
+    (J < 0.5) stays below the threshold."""
+    e = [f"w{i}" for i in range(16)]
+    # paraphrase: reverse token order — every adjacent 4-gram differs
+    # from every eval 4-gram (w3 w2 w1 w0 vs w0 w1 w2 w3, ...)
+    para = list(reversed(e))
+    rows = [
+        (0, " ".join(e), "src0"),                                 # eval item
+        (7, " ".join(para), "src1"),                              # paraphrase
+        # 4 eval tokens INTERLEAVED with filler: J = 4/28 < 0.5 and no
+        # 4 consecutive eval tokens, so no shared 4-gram either
+        (14, " ".join(x for p in zip(e[:4], [f"q{i}" for i in range(12)])
+                      for x in p) + " " + " ".join(f"q{i}" for i in range(4, 12)),
+         "src1"),
+        (21, " ".join(f"z{i}" for i in range(16)), "src2"),       # clean
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _, _ in rows],
+            "text": [t for _, t, _ in rows],
+            "lang": ["en"] * len(rows),
+            "source": [s for _, _, s in rows],
+            "n_chars": [len(t) for _, t, _ in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    ngram = {
+        r["source"]: r["n_contaminated"]
+        for r in REGISTRY["decon_ngram_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    assert ngram.get("src1", 0) == 0 and ngram.get("src2", 0) == 0  # the miss
+
+    near = {
+        r["doc_id"]: (r["source"], r["n_eval_matches"], r["best_jaccard"])
+        for r in REGISTRY["decon_neardup_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(near) == {7}, near        # ONLY the paraphrase is flagged
+    assert near[7] == ("src1", 1, 1.0)   # J exactly 1.0 on the token set

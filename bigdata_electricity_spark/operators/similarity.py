@@ -429,8 +429,14 @@ def refresh_ivf_index(index: dict, delta: DataFrame, par: int) -> dict:
     so no existing vector re-assigns and no n×√n rebuild runs — and
     append them to the inverted lists. The refresh term is
     |delta| × nlist distance evaluations vs the fresh build's
-    (n + |delta|) × nlist: at a 1% daily delta the epoch costs ~1% of
-    a rebuild (measured at sf1f, docs/TIME_ivf_refresh_r13.json).
+    (n + |delta|) × nlist. Measured at sf10f (200k vectors, 1% staged
+    delta, docs/TIME_ivf_refresh_r13.json): refresh 1.81 s vs fresh
+    rebuild 10.07 s warm — 5.6× even though local session overhead
+    floors the small side; the compute term is the 1%. At sf100f
+    (2M vectors, nlist=1415) the fresh rebuild's 2.8B-row scored
+    stream OOMs this box outright while the refresh path never builds
+    it — the decade where warm-start stops being an optimization and
+    becomes the only path.
 
     Semantics: the refreshed index IS ``build_ivf_index``'s output for
     corpus+delta whenever the fresh build would seed the same centroid

@@ -134,9 +134,17 @@ def main() -> None:
         sf_dir = "/root/repo/.localdata/sf1f"
         # r10 additions: the incremental-ingest pair. Suite TOTAL is
         # comparable from r10 on; per-query trends throughout.
+        # r10 additions: the incremental-ingest pair; r13 additions
+        # (r12 VERDICT task 6): the substring-dedup pair + the
+        # streaming embedding-ingest gate — one-off TIME records until
+        # now, recurring trend from r13 on. Suite TOTAL comparable
+        # within the same suite version; per-query trends throughout.
         suite = HEAVY_SF1 + ["dedup_lsh_clusters",
                              "dedup_incremental_batch",
-                             "sim_incremental_batch"]
+                             "sim_incremental_batch",
+                             "dedup_substring_rolling",
+                             "dedup_substring_incremental",
+                             "streaming_incremental_sim"]
         metric = "heavy_suite_sf1f_sec"
         if not os.path.isdir(sf_dir):
             sys.exit("--sf1f needs .localdata/sf1f — run: "

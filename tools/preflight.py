@@ -66,6 +66,13 @@ def main() -> int:
                          "/root/testdata/sf0.001"]),
         ("bench", [sys.executable, "bench.py"]),
     ]
+    if not fast:
+        # r12 VERDICT task 5: the closing gate records the per-round
+        # shuffle-byte trend (headline + heaviest production entries)
+        # so a >1.5× byte regression surfaces even when wall-time
+        # noise hides it. Non-strict: flags print for adjudication.
+        stages.append(("shuffle trend",
+                       [sys.executable, "tools/shuffle_trend.py"]))
     failed = [d for d, cmd in stages if run(d, cmd) != 0]
     if failed:
         print(f"PREFLIGHT FAILED: {failed}")

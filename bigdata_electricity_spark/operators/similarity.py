@@ -429,14 +429,13 @@ def refresh_ivf_index(index: dict, delta: DataFrame, par: int) -> dict:
     so no existing vector re-assigns and no n×√n rebuild runs — and
     append them to the inverted lists. The refresh term is
     |delta| × nlist distance evaluations vs the fresh build's
-    (n + |delta|) × nlist. Measured at sf10f (200k vectors, 1% staged
-    delta, docs/TIME_ivf_refresh_r13.json): refresh 1.81 s vs fresh
-    rebuild 10.07 s warm — 5.6× even though local session overhead
-    floors the small side; the compute term is the 1%. At sf100f
-    (2M vectors, nlist=1415) the fresh rebuild's 2.8B-row scored
-    stream OOMs this box outright while the refresh path never builds
-    it — the decade where warm-start stops being an optimization and
-    becomes the only path.
+    (n + |delta|) × nlist — and the measured ratio widens with scale
+    exactly as that model predicts (docs/TIME_ivf_refresh_r13.json,
+    1% staged delta): sf10f (200k vectors) 1.81 s vs 10.07 s fresh
+    (5.6×, overhead-floored); sf100f (2M vectors, nlist=1408)
+    **2.32 s vs 302.5 s fresh — 130×**, and the fresh build's
+    2.8B-row scored stream needs a 48 GiB heap (OOMs at the local
+    default 8 GiB) while the refresh runs at either.
 
     Semantics: the refreshed index IS ``build_ivf_index``'s output for
     corpus+delta whenever the fresh build would seed the same centroid

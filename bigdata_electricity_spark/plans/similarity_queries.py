@@ -2639,10 +2639,11 @@ def sim_ivf_epoch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed index.
 
     The refresh term is |delta| × nlist distance evaluations vs the
-    fresh build's (n + |delta|) × nlist — measured at sf10f with a 1%
-    staged delta: 1.81 s vs 10.07 s fresh (5.6×, overhead-floored; at
-    sf100f the fresh rebuild OOMs this box while the refresh never
-    builds the n×√n stream — docs/TIME_ivf_refresh_r13.json). The
+    fresh build's (n + |delta|) × nlist — measured with a 1% staged
+    delta: sf10f 1.81 s vs 10.07 s fresh (5.6×, overhead-floored);
+    sf100f (2M vectors) 2.32 s vs 302.5 s fresh — 130×, with the
+    fresh build needing a 48 GiB heap while refresh runs at the
+    default (docs/TIME_ivf_refresh_r13.json). The
     quantizer staying frozen is
     what makes "only new vectors re-assigned" exact, not approximate;
     drift is handled by periodic retrains (build_ivf_index, or Lloyd

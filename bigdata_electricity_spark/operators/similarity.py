@@ -432,10 +432,12 @@ def refresh_ivf_index(index: dict, delta: DataFrame, par: int) -> dict:
     (n + |delta|) × nlist — and the measured ratio widens with scale
     exactly as that model predicts (docs/TIME_ivf_refresh_r13.json,
     1% staged delta): sf10f (200k vectors) 1.81 s vs 10.07 s fresh
-    (5.6×, overhead-floored); sf100f (2M vectors, nlist=1408)
-    **2.32 s vs 302.5 s fresh — 130×**, and the fresh build's
-    2.8B-row scored stream needs a 48 GiB heap (OOMs at the local
-    default 8 GiB) while the refresh runs at either.
+    (5.6×, overhead-floored); sf100f (2M vectors, nlist=1408) 2.32 s
+    vs 185.7 s fresh — 80× against the best-tuned rebuild. The fresh
+    build's 2.8B-row assignment intermediate also demands its own
+    tuning (OOMs at 8 GiB/128 partitions until shuffle partitions are
+    sized to it — the spill-aware rule); the refresh needs neither
+    knob, because it never builds that stream.
 
     Semantics: the refreshed index IS ``build_ivf_index``'s output for
     corpus+delta whenever the fresh build would seed the same centroid

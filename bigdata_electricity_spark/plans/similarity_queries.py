@@ -2641,9 +2641,9 @@ def sim_ivf_epoch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The refresh term is |delta| × nlist distance evaluations vs the
     fresh build's (n + |delta|) × nlist — measured with a 1% staged
     delta: sf10f 1.81 s vs 10.07 s fresh (5.6×, overhead-floored);
-    sf100f (2M vectors) 2.32 s vs 302.5 s fresh — 130×, with the
-    fresh build needing a 48 GiB heap while refresh runs at the
-    default (docs/TIME_ivf_refresh_r13.json). The
+    sf100f (2M vectors) 2.32 s vs 185.7 s best-tuned fresh — 80×,
+    and the rebuild's 2.8B-row intermediate needs partition sizing
+    the refresh never does (docs/TIME_ivf_refresh_r13.json). The
     quantizer staying frozen is
     what makes "only new vectors re-assigned" exact, not approximate;
     drift is handled by periodic retrains (build_ivf_index, or Lloyd

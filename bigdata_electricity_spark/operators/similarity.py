@@ -296,8 +296,21 @@ def brute_force_topk_arrow(embeddings: DataFrame, query_vec_id: int, k: int = 10
 # identical relation (certified by sim_index_roundtrip's shared oracle).
 
 
+def assignment_partitions(par: int, n_corpus: int, nlist: int,
+                          rows_per_task: int = 8_000_000) -> int:
+    """Partition count for the IVF assignment stage, sized to the
+    n×nlist scored intermediate: min(struct) is not hash-aggregable,
+    so each task SORTS its slice of the scored stream —
+    ``rows_per_task`` ≈ 8M (id, cid, d2) rows ≈ 200 MB of sort buffer,
+    comfortable under an 8 GiB/32-thread local JVM and a
+    4 GiB-executor cluster alike. Never shrinks below the caller's
+    compute-spread ``par``."""
+    return max(par, -(-n_corpus * nlist // rows_per_task))
+
+
 def build_ivf_index(corpus: DataFrame, nlist: int, dim: int, par: int,
-                    id_col: str = "vec_id", vec_col: str = "v") -> dict:
+                    id_col: str = "vec_id", vec_col: str = "v",
+                    n_corpus: int | None = None) -> dict:
     """The corpus-only half of IVF ANN serving: ``cent`` (cid, c) —
     nlist seeded centroids (the nlist smallest corpus ids: deterministic,
     engine-portable); ``lists`` (id, cid, v, nv) — every corpus vector
@@ -316,8 +329,24 @@ def build_ivf_index(corpus: DataFrame, nlist: int, dim: int, par: int,
     ``par`` explicitly: the work is compute-bound on tiny partitions,
     the shape AQE's byte-based coalescing wrongly serializes (measured
     r10: one 21 s task without the hint).
+
+    SELF-SIZED ASSIGNMENT (r13): pass ``n_corpus`` (parquet footer
+    count — never a count job) and the repartition count scales to the
+    n×nlist ASSIGNMENT intermediate, not just the input: min(struct)
+    over a struct is not hash-aggregable, so the scored stream goes
+    through a SortAggregate whose per-task sort buffer holds
+    n×nlist/partitions rows. At 2M vectors × nlist=1408 the caller's
+    par=32 put 88M scored rows in each task's sorter — OOM at the
+    default 8 GiB heap; sizing partitions so each sorts ≤ ~8M scored
+    rows completes at default heap FASTER than a 6×-heap run at the
+    small count (185.7 s vs 302.5 s, docs/TIME_ivf_refresh_r13.json).
+    Without the hint behavior is unchanged (callers at bench SFs are
+    nowhere near the cliff).
     """
     from ..functions.vectors import l2_norm_unrolled, squared_l2_unrolled
+
+    if n_corpus is not None:
+        par = assignment_partitions(par, n_corpus, nlist)
 
     cent = (
         corpus.orderBy(id_col)

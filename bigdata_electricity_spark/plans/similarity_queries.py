@@ -2359,7 +2359,7 @@ def _incr_corpus_batch(spark: SparkSession, sf_dir: str):
     nlist = int(math.ceil(math.sqrt(n_corpus)))
     dim = embedding_dim(emb, "v")
     par = spark.sparkContext.defaultParallelism
-    return corpus, batch, nlist, dim, par, n_batch
+    return corpus, batch, nlist, dim, par, n_batch, n_corpus
 
 
 def _incr_format(served: DataFrame) -> DataFrame:
@@ -2426,8 +2426,8 @@ def sim_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import build_ivf_index, serve_ivf_topk
 
-    corpus, batch, nlist, dim, par, n_batch = _incr_corpus_batch(spark, sf_dir)
-    index = build_ivf_index(corpus, nlist, dim, par)
+    corpus, batch, nlist, dim, par, n_batch, n_corpus = _incr_corpus_batch(spark, sf_dir)
+    index = build_ivf_index(corpus, nlist, dim, par, n_corpus=n_corpus)
     return _incr_format(
         serve_ivf_topk(index, batch, k=3, nprobe=2, par=par, n_batch=n_batch)
     )
@@ -2468,10 +2468,10 @@ def sim_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, serve_ivf_topk
     from ..sources.sinks import run_dir
 
-    corpus, batch, nlist, dim, par, n_batch = _incr_corpus_batch(spark, sf_dir)
+    corpus, batch, nlist, dim, par, n_batch, n_corpus = _incr_corpus_batch(spark, sf_dir)
     base = run_dir("ivf_index", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
-    built = build_ivf_index(corpus, nlist, dim, par)
+    built = build_ivf_index(corpus, nlist, dim, par, n_corpus=n_corpus)
     tables = {k: v for k, v in built.items() if isinstance(v, DataFrame)}
     params = {k: v for k, v in built.items() if not isinstance(v, DataFrame)}
     for name, df in tables.items():
@@ -2520,11 +2520,11 @@ def streaming_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, serve_ivf_topk
     from ..sources.sinks import run_dir
 
-    corpus, _, nlist, dim, par, _ = _incr_corpus_batch(spark, sf_dir)
+    corpus, _, nlist, dim, par, _, n_corpus = _incr_corpus_batch(spark, sf_dir)
     base = run_dir("stream_incr_sim", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     out = f"{base}/flags"
-    built = build_ivf_index(corpus, nlist, dim, par)
+    built = build_ivf_index(corpus, nlist, dim, par, n_corpus=n_corpus)
     tables = {k: v for k, v in built.items() if isinstance(v, DataFrame)}
     params = {k: v for k, v in built.items() if not isinstance(v, DataFrame)}
     for name, df in tables.items():
@@ -2673,10 +2673,11 @@ def sim_ivf_epoch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     n_batch = (n_total + 6) // 7       # ids dense 0..n-1: % 7 == 0 count
     n_delta = n_total // 7             # % 7 == 6 count
-    nlist = int(math.ceil(math.sqrt(n_total - n_batch - n_delta)))
+    n_corpus0 = n_total - n_batch - n_delta
+    nlist = int(math.ceil(math.sqrt(n_corpus0)))
     dim = embedding_dim(emb, "v")
     par = spark.sparkContext.defaultParallelism
-    index0 = build_ivf_index(corpus0, nlist, dim, par)
+    index0 = build_ivf_index(corpus0, nlist, dim, par, n_corpus=n_corpus0)
     index1 = refresh_ivf_index(index0, delta, par)
     return _incr_format(
         serve_ivf_topk(index1, batch, k=3, nprobe=2, par=par, n_batch=n_batch)

@@ -534,3 +534,48 @@ def test_ivf_epoch_refresh_equals_fresh_build(spark):
     ids0 = {r["id"] for r in index0["lists"].collect()}
     ids1 = {r["id"] for r in refreshed["lists"].collect()}
     assert ids1 == ids0 | {20, 21, 22}
+
+
+def test_ivf_build_self_sizes_and_result_invariant(spark):
+    """r13: build_ivf_index(n_corpus=...) sizes the assignment stage to
+    the n×nlist scored intermediate (the 2M-vector sf100f build OOMed
+    at the caller's par=32 until this landed). The sizing arithmetic is
+    pinned on the pure helper; the hint must never change the relation
+    — same planted-geometry serve rows with and without it."""
+    import math
+
+    from bigdata_electricity_spark.operators.similarity import (
+        assignment_partitions,
+        build_ivf_index,
+        serve_ivf_topk,
+    )
+
+    # arithmetic: floor at caller's par; ceil-divide above it
+    assert assignment_partitions(32, 1000, 10) == 32
+    assert assignment_partitions(32, 2_000_000, 1408) == 352  # the sf100f case
+    assert assignment_partitions(4, 80_000_000, 1) == 10
+    assert assignment_partitions(4, 8_000_001, 1) == 4  # par still wins at 2
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    corpus = spark.createDataFrame(
+        [(0, vec(0.00)), (2, vec(0.05)), (4, vec(0.10)),
+         (1, vec(1.57)), (3, vec(1.62)), (5, vec(1.52))],
+        "vec_id long, v array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, vec(0.02)), (11, vec(1.60))], "vec_id long, v array<double>"
+    )
+
+    def rows(index):
+        return sorted(
+            (r["qid"], r["rank"], r["mid"], round(r["cos"], 9))
+            for r in serve_ivf_topk(index, batch, k=3, nprobe=1, par=4).collect()
+        )
+
+    plain = rows(build_ivf_index(corpus, nlist=2, dim=2, par=4))
+    hinted = rows(build_ivf_index(corpus, nlist=2, dim=2, par=4, n_corpus=6))
+    oversized = rows(build_ivf_index(corpus, nlist=2, dim=2, par=4,
+                                     n_corpus=99_000_000))
+    assert plain == hinted == oversized and len(plain) == 6

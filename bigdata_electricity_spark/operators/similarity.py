@@ -383,12 +383,16 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
 
     Probe ranking runs on SKINNY (qid, cid, d2) rows; the query vectors
     (with precomputed norms) rejoin only for the |batch|×nprobe
-    winners, so no vector payload rides the ranking shuffle. The lists
-    are repartitioned to ``par`` by cid HERE (not at build) so a cold
-    parquet reload gets the same compute-spread as fresh lineage.
+    winners — BEFORE the lists join, so the candidate stream is
+    produced after its last vector-carrying shuffle and a list-local
+    top-k (exchange-free: the cid join's partitioning satisfies the
+    (cid, qid) window) bounds the rows entering the global per-query
+    ranking at |batch|×nprobe×k. The lists are repartitioned to ``par``
+    by cid HERE (not at build) so a cold parquet reload gets the same
+    compute-spread as fresh lineage.
 
     BROADCAST BOUND (r11 VERDICT task 3): by default the batch-derived
-    sides (the probe winners and the query-vector table) broadcast —
+    side (probe winners with their query vectors attached) broadcasts —
     the micro-batch contract, and the fastest plan for bounded batches.
     A production server feeding BULK batches must not broadcast
     arbitrarily large query tables through the driver, so callers pass
@@ -396,11 +400,11 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
     never a count job) and any batch above ``broadcast_threshold``
     falls back to SHUFFLE joins: both joins are hinted shuffle_hash so
     neither Catalyst's size estimate nor AQE re-promotes a broadcast,
-    and the candidate stream shuffles by cid/qid instead. Identical
-    relation on both paths (the roundtrip pytest forces threshold=0
-    and asserts no batch-side BroadcastExchange survives in the plan).
-    The centroid table stays broadcast on both paths: it is √n-bounded
-    by construction."""
+    and only the |batch|×nprobe winner table and the lists (once)
+    shuffle with vectors aboard. Identical relation on both paths (the
+    roundtrip pytest forces threshold=0 and asserts no batch-side
+    BroadcastExchange survives in the plan). The centroid table stays
+    broadcast on both paths: it is √n-bounded by construction."""
     from ..functions.vectors import (
         dot_product_unrolled,
         l2_norm_unrolled,
@@ -426,21 +430,49 @@ def serve_ivf_topk(index: dict, batch: DataFrame, k: int = 3,
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
         l2_norm_unrolled(F.col(vec_col), dim).alias("nq"),
     )
+    # JOIN ORDER (r13): attach query vectors to the probe winners
+    # (|batch|×nprobe rows) BEFORE joining the lists. The earlier shape
+    # (lists ⋈ probe on cid, then ⋈ bq on qid) shuffled the full
+    # candidate stream — |batch|×nprobe×(n/nlist) rows, each carrying a
+    # dim-double match vector — by qid in the fallback path: at 2M
+    # vectors / 286k-query bulk batch that is ~750M vector-laden rows
+    # (hundreds of GB of shuffle; measured disk-full on a 250 GB box,
+    # docs/TIME_sf100f_breadth_r13.json). With the probe⋈bq join first,
+    # the candidate stream is born AFTER its last vector-carrying
+    # shuffle: only `lists` (n rows, once) and the |batch|×nprobe
+    # winner table ever shuffle with vectors aboard.
     if broadcast_batch:
-        probe, bq = F.broadcast(probe), F.broadcast(bq)
+        pqv = F.broadcast(probe.join(bq, "qid"))
     else:
-        probe, bq = probe.hint("shuffle_hash"), bq.hint("shuffle_hash")
-    denom = F.col("nv") * F.col("nq")
-    cand = (
-        lists.join(probe, "cid")
-        .join(bq, "qid")
-        .select(
-            "qid",
-            F.col("id").alias("mid"),
-            F.when(denom > 0,
-                   dot_product_unrolled(F.col("v"), F.col("qv"), dim) / denom
-                   ).alias("cos"),
+        pqv = (
+            probe.hint("shuffle_hash")
+            .join(bq.hint("shuffle_hash"), "qid")
+            .hint("shuffle_hash")
         )
+    denom = F.col("nv") * F.col("nq")
+    cand = lists.join(pqv, "cid").select(
+        "cid", "qid",
+        F.col("id").alias("mid"),
+        F.when(denom > 0,
+               dot_product_unrolled(F.col("v"), F.col("qv"), dim) / denom
+               ).alias("cos"),
+    )
+    # LOCAL TOP-K PRE-REDUCTION (r13): the cid join leaves cand
+    # hash-partitioned by cid, which SATISFIES a window clustered on
+    # (cid, qid) — Spark inserts only a local sort, no exchange. Taking
+    # per-(query, probed-list) top-k here cuts the rows entering the
+    # global per-query ranking from |batch|×nprobe×(n/nlist) to
+    # |batch|×nprobe×k (750M → 1.7M at the 2M-vector point), so the
+    # final window's qid shuffle moves k-bounded rows instead of the
+    # whole candidate mass. Exact: ordering matches the global window
+    # (cos desc NULLS LAST, mid asc — a total order), so any row in the
+    # global top-k is necessarily in its list-local top-k.
+    w_local = Window.partitionBy("cid", "qid").orderBy(
+        F.desc("cos"), F.asc("mid"))
+    cand = (
+        cand.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .select("qid", "mid", "cos")
     )
     w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("mid"))
     return (

@@ -279,6 +279,15 @@ def decon_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-or-review decision `decon_substring_clip` makes for verbatim
     leakage. Threshold 0.5 sits between the substring clip (exact
     spans) and the semantic queue (no lexical requirement).
+
+    CONTRACT: the eval side is a benchmark SUITE — bounded (10²–10⁵
+    items) and content-distinct from the corpus. The replicated
+    sf100f synthesis violates both (src0 grows to 500k docs that ARE
+    1000 copies of the training content, making the true match
+    relation ~5·10⁹ pairs — no plan computes that cheaply because the
+    ANSWER is that large); the production shape at 5M training docs
+    (eval = replica-0 src0, 500 items) is measured in
+    docs/TIME_sf100f_breadth_r13.json.
     """
     from ..operators.dedup import incremental_jaccard_flags
 

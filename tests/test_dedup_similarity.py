@@ -579,3 +579,78 @@ def test_ivf_build_self_sizes_and_result_invariant(spark):
     oversized = rows(build_ivf_index(corpus, nlist=2, dim=2, par=4,
                                      n_corpus=99_000_000))
     assert plain == hinted == oversized and len(plain) == 6
+
+
+def test_ivf_serve_candidate_stream_born_after_last_shuffle(spark):
+    """r13: guards the serve-plan shape that fixed the sf100f bulk-serve
+    disk-full (docs/TIME_sf100f_breadth_r13.json). Two properties, both
+    asserted on the STATIC fallback plan (AQE off, same rationale as
+    test_ivf_serve_shuffle_fallback_equals_broadcast):
+
+    1. JOIN ORDER — the qid join (probe winners ⋈ query vectors) sits
+       BELOW the cid join in the tree: query vectors attach to the
+       |batch|×nprobe winner table, never to the |batch|×nprobe×(n/nlist)
+       candidate stream. The old shape (candidates ⋈ bq on qid AFTER
+       the lists join) shuffled ~750M vector-laden rows by qid at the
+       2M-vector point — hundreds of GB.
+    2. EXCHANGE-FREE LOCAL TOP-K — the list-local (cid, qid) window
+       runs directly on the cid join's hash(cid) partitioning (subset
+       of the window's clustering keys): only a Sort between them,
+       never an Exchange, so the pre-reduction is free and the global
+       ranking shuffle moves k-bounded rows.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.similarity import (
+        build_ivf_index,
+        serve_ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    n_corpus = corpus.count()
+    nlist = int(math.ceil(math.sqrt(n_corpus)))
+    dim = len(emb.select("v").first()["v"])
+    index = build_ivf_index(corpus, nlist=nlist, dim=dim, par=8)
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = serve_ivf_topk(
+            index, batch, k=3, nprobe=2, par=8,
+            n_batch=9999999, broadcast_threshold=0,
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    lines = plan.splitlines()
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    cid_join = [i for i, ln in enumerate(lines)
+                if "ShuffledHashJoin [cid#" in ln]
+    qid_join = [i for i, ln in enumerate(lines)
+                if "ShuffledHashJoin [qid#" in ln]
+    assert len(cid_join) == 1, [lines[i] for i in cid_join]
+    assert len(qid_join) == 1, [lines[i] for i in qid_join]
+    # property 1: the qid join is a descendant of the cid join (deeper
+    # in the text AND deeper-indented) — candidates never re-join by qid
+    assert qid_join[0] > cid_join[0]
+    assert indent(lines[qid_join[0]]) > indent(lines[cid_join[0]])
+
+    # property 2: the list-local window clustered on (cid, qid) is an
+    # ancestor of the cid join with NO Exchange on the path between them
+    local_win = [
+        i for i, ln in enumerate(lines)
+        if "Window" in ln and "windowspecdefinition(cid#" in ln
+        and "qid#" in ln
+    ]
+    assert local_win, "list-local (cid, qid) window missing from plan"
+    between = lines[local_win[0] + 1: cid_join[0]]
+    assert not any("Exchange" in ln for ln in between), between

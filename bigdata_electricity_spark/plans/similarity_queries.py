@@ -2557,8 +2557,23 @@ def streaming_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        # BROADCAST BOUND inside the stream (r13): micro-batches are
+        # bounded by the trigger policy in production, but the policy is
+        # the CALLER's — a single oversized input file arrives as one
+        # oversized micro-batch (measured: the sf100f corpus is one
+        # 761 MB file → a 286k-vector "micro"-batch). foreachBatch hands
+        # us a materialized bounded batch, so counting IT (not the
+        # corpus) is one cheap job per trigger and lets serve_ivf_topk's
+        # threshold demote oversized batches to the hinted shuffle plan
+        # instead of broadcasting an unbounded query table. The batch-
+        # mode entries keep their footer-derived n_batch (no count job);
+        # this count is per-micro-batch by construction.
         (
-            _incr_format(serve_ivf_topk(loaded, b, k=3, nprobe=2, par=par))
+            _incr_format(
+                serve_ivf_topk(
+                    loaded, b, k=3, nprobe=2, par=par, n_batch=b.count()
+                )
+            )
             .write.mode("append")
             .parquet(out)
         )

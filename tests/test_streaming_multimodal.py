@@ -352,3 +352,38 @@ def test_streaming_incremental_sim_microbatch_boundary_invariance(spark, tmp_pat
     )
     assert streamed == bulk
     assert len(bulk) > 0
+
+
+def test_streaming_incremental_sim_passes_microbatch_count(spark, monkeypatch):
+    """r13: the streaming ANN gate must pass each materialized
+    micro-batch's TRUE row count to serve_ivf_topk's ``n_batch`` so the
+    broadcast bound applies inside the stream (a single oversized input
+    file arrives as one oversized micro-batch — measured at sf100f,
+    docs/TIME_sf100f_breadth_r13.json). Guard: wrap the serve, record
+    every n_batch passed, and assert the counts are present and sum to
+    the full batch-side population."""
+    from bigdata_electricity_spark.operators import similarity as sim_ops
+    from bigdata_electricity_spark.plans import REGISTRY
+
+    seen = []
+    real_serve = sim_ops.serve_ivf_topk
+
+    def recording_serve(index, batch, *args, **kwargs):
+        seen.append(kwargs.get("n_batch"))
+        return real_serve(index, batch, *args, **kwargs)
+
+    # the entry imports serve_ivf_topk function-locally, so patch the
+    # defining module — the local import resolves there at call time
+    monkeypatch.setattr(sim_ops, "serve_ivf_topk", recording_serve)
+    result = REGISTRY["streaming_incremental_sim"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    n_expected = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id % 7 = 0")
+        .count()
+    )
+    assert seen, "stream never reached the serve"
+    assert all(isinstance(n, int) and n > 0 for n in seen), seen
+    assert sum(seen) == n_expected, (seen, n_expected)
+    assert result.count() > 0

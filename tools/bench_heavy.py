@@ -137,14 +137,18 @@ def main() -> None:
         # r10 additions: the incremental-ingest pair; r13 additions
         # (r12 VERDICT task 6): the substring-dedup pair + the
         # streaming embedding-ingest gate — one-off TIME records until
-        # now, recurring trend from r13 on. Suite TOTAL comparable
-        # within the same suite version; per-query trends throughout.
+        # now, recurring trend from r13 on; late-r13: the composed
+        # curation_pipeline (quality→dedup→mix), measured clean at 5M
+        # docs (docs/TIME_sf100f_breadth_r13.json) and now trended here
+        # like the other composed plans. Suite TOTAL comparable within
+        # the same suite version; per-query trends throughout.
         suite = HEAVY_SF1 + ["dedup_lsh_clusters",
                              "dedup_incremental_batch",
                              "sim_incremental_batch",
                              "dedup_substring_rolling",
                              "dedup_substring_incremental",
-                             "streaming_incremental_sim"]
+                             "streaming_incremental_sim",
+                             "curation_pipeline"]
         metric = "heavy_suite_sf1f_sec"
         if not os.path.isdir(sf_dir):
             sys.exit("--sf1f needs .localdata/sf1f — run: "

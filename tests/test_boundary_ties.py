@@ -767,3 +767,63 @@ def test_warehouse_plants_are_non_vacuous(warehouse_edge_dir):
     assert one(f"SELECT COUNT(*) FROM '{d}/lineitem.parquet' WHERE l_partkey = 999901") == 0
     assert one(f"SELECT COUNT(*) FROM '{d}/customer.parquet' "
                "WHERE c_name = 'Customer#000000000'") == 2  # duplicate name tie
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization guard: decon_embedding_topk BLAS prune is lossless
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def decon_tie_dir(tmp_path_factory):
+    """Embeddings with DUPLICATED eval vectors (eids 13 and 26 are
+    bit-identical): every corpus vector's cosine to them is EXACTLY
+    equal, so the per-vector argmax is decided purely by the min-eid
+    tie-break. The r13 BLAS prescore must retain BOTH tied eval
+    candidates (a prune that keeps only numpy's first argmax would pick
+    whichever eid happened to be collected first and break the
+    tie-break)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+
+    def dense(i):
+        return [math.sin(0.7 * i + 0.31 * j) for j in range(dim)]
+
+    shared = dense(999)
+    rows = []
+    for i in range(30):
+        if i % 13 == 0:
+            rows.append((i, [0.0] * dim if i == 0 else shared))
+        else:
+            rows.append((i, dense(i)))
+    d = tmp_path_factory.mktemp("decon_tie_emb")
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    })
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_decon_embedding_prune_preserves_eid_tiebreak(spark, decon_tie_dir):
+    out = REGISTRY["decon_embedding_topk"].fn(spark, decon_tie_dir).collect()
+    assert out, "queue must not be empty"
+    # eids 13 and 26 are identical vectors; 0 is the zero vector
+    # (excluded by the denom > 0 guard) — every argmax must be eid 13.
+    assert all(r["eval_id"] == 13 for r in out), out
+
+
+def test_decon_embedding_tie_fixture_matches_oracle(spark, decon_tie_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{decon_tie_dir}/embeddings.parquet'"
+    )
+    from parity import compare_one
+
+    err = compare_one(spark, con, REGISTRY["decon_embedding_topk"], decon_tie_dir)
+    assert err is None or err.startswith("ok:"), err

@@ -937,19 +937,25 @@ def test_doulion_gate_inside_candidate_join(spark):
     assert "unit" not in join_lines[0]
 
 
-def test_decon_embedding_plan_broadcasts_eval_and_takeorders(spark):
-    """r11: the semantic-decontamination queue must broadcast the eval
-    side (small by nature — the 100 TB corpus streams map-side through
-    the cross join), combine the per-vector argmax map-side
-    (partial_min of the (-cos, eid) struct), and take the global top-k
-    via TakeOrderedAndProject — never a global sort."""
+def test_decon_embedding_plan_prescore_rescore_shape(spark):
+    """r13 optimization: the semantic-decontamination queue BLAS-prunes
+    the n×m scoring in ONE Arrow stage (the corpus streams through
+    mapInPandas once, the eval matrix rides in the closure), then
+    exactly re-scores only the pruned candidates — so the plan must
+    show the Python stage, a BROADCAST join attaching the eval vectors
+    to the candidates (never a shuffle of them), the map-side-combining
+    struct-min argmax, and a TakeOrderedAndProject top-k — never a
+    BroadcastNestedLoopJoin over all n×m pairs and never a global
+    sort."""
     from bigdata_electricity_spark.plans import REGISTRY
 
     plan = (
         REGISTRY["decon_embedding_topk"].fn(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "partial_min" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     # no full sort BY COSINE anywhere (the struct-min SortAggregate

@@ -736,6 +736,134 @@ def incremental_jaccard_flags(corpus: DataFrame, batch: DataFrame,
                                         block_cols, threshold)
 
 
+def bounded_eval_jaccard_matches(evalset: DataFrame, batch: DataFrame,
+                                 text_col: str = "text", id_col: str = "doc_id",
+                                 carry_cols: list[str] | None = None,
+                                 threshold: float = 0.5) -> DataFrame:
+    """Token-set Jaccard match counts of a large batch against a BOUNDED
+    eval set, in ONE Arrow pass over the batch — the r13-optimized fast
+    path behind `decon_neardup_overlap` (guide §4.2/§8).
+
+    The index-based probe (:func:`incremental_jaccard_flags`) exists for
+    the corpus-scale right side; against a bounded eval suite its
+    machinery is pure overhead — at duplicate-dense SFs the prefix
+    filter passes ~86% of all |batch|×|eval| pairs (measured sf0.1:
+    1.02M distinct candidates of 1.19M possible), so the entry paid an
+    explode + df join + per-doc window + 8M-row candidate join +
+    distinct + two array-carrying verify joins to end up brute-forcing
+    anyway (14.1 s steady at sf0.1). Here the batch streams through
+    mapInPandas ONCE (no shuffle at all): eval token postings ride in
+    the closure as sorted arrays, per-batch intersection counts come
+    from one vectorized postings expansion + bincount, and only matched
+    docs (bounded by real leakage) are emitted.
+
+    EXACTNESS: tokenization stays in Spark (the same
+    :func:`_token_base` xxhash64 arrays both sides), so intersection
+    counts are integers identical to ``size(array_intersect(...))``,
+    and ``j = inter/(na+nb−inter)`` is one IEEE-double division of the
+    same integers — bit-identical to the JVM expression (both are
+    correctly-rounded float64 divisions), so the ≥ threshold compare
+    and MAX(j) agree with the oracle exactly.
+
+    BOUNDEDNESS: the eval side is collected (the entry's standing
+    CONTRACT: a benchmark suite, 10²–10⁵ items). Callers should guard
+    the collect with a count and fall back to the index-based probe
+    when the contract is violated (`decon_neardup_overlap` does, at
+    50k eval docs).
+
+    Returns (id, *carry_cols, n_matches, best_jaccard) for MATCHED
+    batch docs only (n_matches ≥ 1).
+    """
+    import numpy as np
+
+    carry = list(carry_cols or [])
+    ebase = _token_base(evalset, text_col, id_col)
+    ev_rows = ebase.select("toks", "__n").collect()
+    nb_np = np.asarray([r["__n"] for r in ev_rows], dtype=np.int64)
+    n_eval = len(ev_rows)
+    # Eval postings as CSR over the sorted distinct token universe:
+    # uniq[u] -> eflat[eptr[u]:eptr[u+1]] = eval row indices holding it.
+    if n_eval:
+        tok_cat = np.concatenate(
+            [np.asarray(r["toks"] or [], dtype=np.int64) for r in ev_rows]
+        )
+        eidx_cat = np.repeat(
+            np.arange(n_eval, dtype=np.int64),
+            [len(r["toks"] or []) for r in ev_rows],
+        )
+        order = np.argsort(tok_cat, kind="stable")
+        tok_sorted, eflat = tok_cat[order], eidx_cat[order]
+        uniq, start = np.unique(tok_sorted, return_index=True)
+        eptr = np.append(start, len(tok_sorted))
+    else:
+        uniq = np.empty(0, dtype=np.int64)
+        eflat = np.empty(0, dtype=np.int64)
+        eptr = np.zeros(1, dtype=np.int64)
+    thr = float(threshold)
+    # Cap the dense (rows × n_eval) intersection block at ~32M cells.
+    chunk_rows = max(1, (1 << 25) // max(n_eval, 1))
+
+    def _flags(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # len(uniq) == 0 (no eval doc has any token): no pair can
+            # reach J >= thr — n_eval > 0 with all-empty toks gives
+            # inter = 0, so j is 0 or NaN (0/0), both non-matches in
+            # the JVM expression too.
+            if pdf.empty or n_eval == 0 or len(uniq) == 0:
+                continue
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                toks_col = part["toks"].to_numpy()
+                lens = np.asarray([len(t) if t is not None else 0 for t in toks_col])
+                na = part["__n"].to_numpy(dtype=np.int64)
+                if lens.sum() == 0:
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in toks_col if t is not None and len(t)]
+                )
+                rows = np.repeat(np.arange(len(part), dtype=np.int64), lens)
+                pos = np.searchsorted(uniq, flat)
+                pos[pos >= len(uniq)] = 0
+                hit = uniq[pos] == flat
+                rows_h, pos_h = rows[hit], pos[hit]
+                starts, seg = eptr[pos_h], eptr[pos_h + 1] - eptr[pos_h]
+                total = int(seg.sum())
+                if total == 0:
+                    continue
+                # Concatenate eflat[starts[i] : starts[i]+seg[i]] ranges.
+                cum = np.concatenate(([0], np.cumsum(seg)[:-1]))
+                take = np.arange(total, dtype=np.int64) - np.repeat(cum, seg) + np.repeat(starts, seg)
+                pair_rows = np.repeat(rows_h, seg)
+                inter = np.bincount(
+                    pair_rows * n_eval + eflat[take], minlength=len(part) * n_eval
+                ).reshape(len(part), n_eval).astype(np.float64)
+                denom = (na[:, None] + nb_np[None, :]).astype(np.float64) - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = inter / denom
+                matched = j >= thr  # NaN (0/0) compares False, like the JVM filter
+                n_matches = matched.sum(axis=1)
+                keep = np.nonzero(n_matches > 0)[0]
+                if len(keep) == 0:
+                    continue
+                best = np.where(matched[keep], j[keep], -np.inf).max(axis=1)
+                out = {"id": part["id"].to_numpy()[keep]}
+                for c in carry:
+                    out[c] = part[c].to_numpy()[keep]
+                out["n_matches"] = n_matches[keep].astype(np.int64)
+                out["best_jaccard"] = best
+                yield pd.DataFrame(out)
+
+    tbase = _token_base(batch, text_col, id_col, carry)
+    carry_schema = "".join(
+        f", {c} string" for c in carry  # decon carries `source` (string)
+    )
+    return tbase.mapInPandas(
+        _flags, f"id long{carry_schema}, n_matches long, best_jaccard double"
+    )
+
+
 def build_incremental_index(corpus: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             block_cols: list[str] | None = None,

@@ -371,11 +371,34 @@ def decon_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval = replica-0 src0, 500 items) is measured in
     docs/TIME_sf100f_breadth_r13.json.
     """
-    from ..operators.dedup import incremental_jaccard_flags
+    from ..operators.dedup import (
+        bounded_eval_jaccard_matches,
+        incremental_jaccard_flags,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
+    # r13 optimization (guide §4.2/§8): within the bounded-eval CONTRACT
+    # the whole train×eval Jaccard relation is ONE Arrow pass over the
+    # training side (eval postings in the closure, vectorized
+    # intersection counts, zero shuffles) — bit-identical j values, see
+    # the operator docstring. Measured 14.1 s → 3.3 s steady at sf0.1.
+    # A contract-violating eval side (the replicated sf100f synthesis)
+    # falls back to the index-based probe rather than collecting it.
+    if evalset.count() <= 50_000:
+        matched = bounded_eval_jaccard_matches(
+            evalset, train, carry_cols=["source"], threshold=0.5
+        )
+        return (
+            matched.select(
+                F.col("id").alias("doc_id"),
+                "source",
+                F.col("n_matches").alias("n_eval_matches"),
+                hround("best_jaccard", 4).alias("best_jaccard"),
+            )
+            .orderBy("doc_id")
+        )
     flags = incremental_jaccard_flags(evalset, train, threshold=0.5)
     return (
         flags.filter(F.col("is_dup"))

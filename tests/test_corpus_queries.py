@@ -386,3 +386,39 @@ def test_decon_neardup_flags_paraphrase_ngram_misses(spark, tmp_path):
     }
     assert set(near) == {7}, near        # ONLY the paraphrase is flagged
     assert near[7] == ("src1", 1, 1.0)   # J exactly 1.0 on the token set
+
+
+def test_bounded_eval_fast_path_equals_index_probe(spark):
+    """r13 optimization guard: the Arrow-stage bounded-eval fast path
+    behind decon_neardup_overlap must produce exactly the matched-doc
+    relation of the index-based probe it replaced — same doc set, same
+    integer match counts, same unrounded best-Jaccard doubles (the j
+    division is one IEEE-double op of identical integers on both
+    paths)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_electricity_spark.operators.dedup import (
+        bounded_eval_jaccard_matches,
+        incremental_jaccard_flags,
+    )
+    from bigdata_electricity_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    fast = {
+        r["id"]: (r["source"], r["n_matches"], r["best_jaccard"])
+        for r in bounded_eval_jaccard_matches(
+            evalset, train, carry_cols=["source"], threshold=0.5
+        ).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in train.collect()}
+    slow = {
+        r["id"]: (src[r["id"]], r["n_matches"], r["best_jaccard"])
+        for r in incremental_jaccard_flags(evalset, train, threshold=0.5)
+        .filter(F.col("is_dup"))
+        .collect()
+    }
+    assert fast == slow
+    assert fast, "non-vacuous: the dense fixture must have matches"

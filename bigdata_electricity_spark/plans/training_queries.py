@@ -226,6 +226,10 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eids_np = np.asarray([], dtype=np.int64)
         ne_np = np.asarray([])
     eps = 1e-6
+    # Bound the dense (rows × n_eval) score block at ~32M cells so a
+    # large (but in-contract) eval suite cannot blow a worker on one
+    # Arrow batch.
+    chunk_rows = max(1, (1 << 25) // max(len(eids_np), 1))
 
     def _prescore(batches):
         import pandas as pd
@@ -238,22 +242,24 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for vid, e in zip(pdf["vec_id"], pdf["embedding"])
                 if e is not None and len(e) >= dim
             ]
-            if not rows:
-                continue
-            X = np.stack([np.asarray(e[:dim], dtype=np.float64) for _, e in rows])
-            nx = np.sqrt((X * X).sum(axis=1))
-            ok = np.nonzero(nx > 0)[0]
-            if len(ok) == 0:
-                continue
-            S = (X[ok] @ E.T) / np.outer(nx[ok], ne_np)   # one BLAS matmul
-            hit_i, hit_j = np.nonzero(S >= (S.max(axis=1) - eps)[:, None])
-            yield pd.DataFrame(
-                {
-                    "vec_id": [rows[ok[i]][0] for i in hit_i],
-                    "embedding": [rows[ok[i]][1] for i in hit_i],
-                    "eid": eids_np[hit_j],
-                }
-            )
+            for lo in range(0, len(rows), chunk_rows):
+                part = rows[lo : lo + chunk_rows]
+                if not part:
+                    continue
+                X = np.stack([np.asarray(e[:dim], dtype=np.float64) for _, e in part])
+                nx = np.sqrt((X * X).sum(axis=1))
+                ok = np.nonzero(nx > 0)[0]
+                if len(ok) == 0:
+                    continue
+                S = (X[ok] @ E.T) / np.outer(nx[ok], ne_np)   # one BLAS matmul
+                hit_i, hit_j = np.nonzero(S >= (S.max(axis=1) - eps)[:, None])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": [part[ok[i]][0] for i in hit_i],
+                        "embedding": [part[ok[i]][1] for i in hit_i],
+                        "eid": eids_np[hit_j],
+                    }
+                )
 
     cand = raw.filter(F.col("vec_id") % 13 != 0).mapInPandas(
         _prescore, "vec_id long, embedding array<float>, eid long"

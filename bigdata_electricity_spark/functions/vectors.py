@@ -35,6 +35,28 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def unit_vector(a: Column) -> Column:
+    """Element-wise a/‖a‖ with the norm evaluated ONCE PER ROW by
+    construction — bit-identical to dividing every element by a
+    materialized norm column.
+
+    Why not ``transform(a, x -> x / nrm_col)`` over a projected norm:
+    predicate pushdown substitutes a filter's ``nrm > 0`` below the
+    defining projection, the now-adjacent projections collapse (a
+    single lambda reference passes CollapseProject's cheapness guard),
+    and the norm FOLD lands inside the division lambda — re-evaluated
+    per ARRAY ELEMENT, 64× per row (the HOF-CSE trap, re-discovered
+    r13: every `_unit_base` consumer's plan carried
+    ``x / SQRT(aggregate(...))`` inside the transform). Here the norm
+    travels in ARGUMENT position (``array_repeat``), so however the
+    optimizer inlines the whole expression, the fold stays once-per-row
+    and the lambda references only its zipped element."""
+    nrm = l2_norm(a)
+    return F.zip_with(
+        a, F.array_repeat(nrm, F.size(a)), lambda x, y: x.cast("double") / y
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (‖a‖·‖b‖), NULL when either vector has zero norm.
 

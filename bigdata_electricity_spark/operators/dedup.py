@@ -63,13 +63,24 @@ def token_shingles(tokens_col, n: int = 3):
     column. The lambda then reads a bound attribute instead of
     re-evaluating the tokenization per element (measured ~13× faster
     than :func:`shingles` on exploded 4-gram generation at sf0.1).
-    Requires size(tokens_col) >= n (callers filter short docs first).
+
+    Arrays shorter than ``n`` yield an EMPTY shingle array (r13): the
+    guard lives in the expression, not in a caller row-filter — a
+    ``filter(size(toks) >= n)`` above the tokenizing projection gets
+    pushed below it with the tokenize pipeline SUBSTITUTED into the
+    predicate, re-running normalize+split+hash twice per row (measured
+    in the decon_ngram_overlap/text_repetition/dedup_repeated_ngrams
+    plans). Callers that explode the shingles drop short docs
+    identically either way.
     """
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    return F.transform(
-        F.sequence(F.lit(0), F.size(c) - n),
-        lambda i: F.concat_ws(" ", F.slice(c, i + 1, n)),
-    )
+    return F.when(
+        F.size(c) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(c) - n),
+            lambda i: F.concat_ws(" ", F.slice(c, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3):

@@ -20,7 +20,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm, unit_vector
 
 
 def hyperplanes(dim: int, k: int = 16, seed: int = 42) -> list[list[float]]:
@@ -89,19 +89,15 @@ def lsh_near_dup_pairs(embeddings: DataFrame, dim: int, k_bits: int = 16,
     # HOFs run interpreted with no CSE, and pairs outnumber rows by
     # orders of magnitude, so per-pair expression count is the cost
     # driver (measured 11.6s → ~5s at sf0.1). Signs (and therefore
-    # signatures) are unchanged by positive scaling. The norm MUST be
-    # materialized in its own projection before the divide — inlined in
-    # the lambda it would be re-evaluated per element (the HOF-CSE
-    # trap; measured 15.6s, WORSE than no normalization).
-    with_norm = embeddings.select(
+    # signatures) are unchanged by positive scaling. The norm must be
+    # evaluated once per ROW, never inside the division lambda (the
+    # HOF-CSE trap; measured 15.6s, WORSE than no normalization) —
+    # unit_vector keeps it in argument position, immune to the
+    # pushdown/collapse re-inlining found in r13 (functions/vectors.py).
+    base = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    )
-    base = with_norm.select(
-        "id",
-        F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
-        banded_signature_col(F.col("vec"), planes, bands).alias("sigs"),
+        unit_vector(F.col(vec_col)).alias("unit"),
+        banded_signature_col(F.col(vec_col), planes, bands).alias("sigs"),
     ).localCheckpoint(eager=False)
 
     # Candidate generation carries ONLY ids through the band fan-out and

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm, unit_vector
 
 
 def _unit_base(embeddings: DataFrame, id_col: str, vec_col: str,
@@ -30,15 +30,13 @@ def _unit_base(embeddings: DataFrame, id_col: str, vec_col: str,
     neither be a neighbour nor have one under cosine — and dividing by
     their norm is an ANSI divide-by-zero. Oracles apply the same
     WHERE nrm > 0 (plans/similarity_queries._DUCK_UNITS)."""
-    with_norm = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(bucket_col).alias("bucket"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
-    return with_norm.select(
-        "id", "bucket",
-        F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+    return (
+        embeddings.filter(l2_norm(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(bucket_col).alias("bucket"),
+            unit_vector(F.col(vec_col)).alias("unit"),
+        )
     )
 
 

@@ -620,7 +620,7 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = docs.select(
         "source", F.split(normalize_text(F.col("text")), " ").alias("t")
-    ).filter(F.size("t") >= 5)
+    )  # short docs yield empty shingle arrays; explode drops them (r13)
     fps = toks.select(
         "source", F.explode(token_shingles("t", 5)).alias("g")
     ).select("source", F.md5("g").alias("fp")).distinct()

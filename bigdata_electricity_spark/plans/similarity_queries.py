@@ -19,6 +19,7 @@ from ..functions.vectors import (
     embedding_dim,
     l2_norm,
     squared_l2_unrolled,
+    unit_vector,
 )
 from ..operators.dims import hint_dim
 from ..operators.similarity import (
@@ -1586,11 +1587,11 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan shape; everything after operates on ≤8 rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
-    units = with_norm.select(
-        "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
+    # zero vectors have no direction (see _DUCK_UNITS); unit_vector keeps
+    # the norm fold once-per-row under pushdown/collapse (r13, see
+    # functions/vectors.py)
+    units = emb.filter(l2_norm(F.col("embedding")) > 0).select(
+        "vec_id", unit_vector(F.col("embedding")).alias("unit")
     )
     q = units.filter(F.col("vec_id") == 0).select(F.col("unit").alias("qu"))
     cand = (
@@ -1702,11 +1703,11 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are sums of exact 1/(60+r) rationals ~0.016 apart).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", F.col("embedding").alias("vec"), l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
-    units = with_norm.select(
-        "vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
+    # zero vectors have no direction (see _DUCK_UNITS); unit_vector keeps
+    # the norm fold once-per-row under pushdown/collapse (r13, see
+    # functions/vectors.py)
+    units = emb.filter(l2_norm(F.col("embedding")) > 0).select(
+        "vec_id", unit_vector(F.col("embedding")).alias("unit")
     )
 
     def ranking(qid: int) -> DataFrame:
@@ -1853,12 +1854,12 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per round (lazy localCheckpoint).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    withn = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)  # zero vectors have no direction (see _DUCK_UNITS)
-    units = withn.select(
+    # zero vectors have no direction (see _DUCK_UNITS); unit_vector keeps
+    # the norm fold once-per-row under pushdown/collapse (r13, see
+    # functions/vectors.py)
+    units = emb.filter(l2_norm(F.col("embedding")) > 0).select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+        unit_vector(F.col("embedding")).alias("unit"),
     ).localCheckpoint(eager=False)
     r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     c1 = units.filter(F.col("vec_id") == 0).select(

@@ -315,12 +315,22 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("l")
     )
     # Materialize the two shifted slices as real columns before zipping
-    # (higher-order functions are CodegenFallback with no CSE).
+    # (higher-order functions are CodegenFallback with no CSE). The
+    # <2-token guard lives INSIDE the slice expressions (r13): a
+    # row-filter on size(l) gets pushed below the projection with the
+    # split substituted into the predicate — tokenizing twice per row;
+    # empty slices zip to an empty array and explode drops the row
+    # identically.
+    short = F.size("l") < 2
+    empty = F.array().cast("array<string>")
     big = (
-        toks.filter(F.size("l") >= 2)
-        .select(
-            F.slice(F.col("l"), 1, F.size("l") - 1).alias("a1"),
-            F.slice(F.col("l"), 2, F.size("l") - 1).alias("a2"),
+        toks.select(
+            F.when(short, empty).otherwise(
+                F.slice(F.col("l"), 1, F.size("l") - 1)
+            ).alias("a1"),
+            F.when(short, empty).otherwise(
+                F.slice(F.col("l"), 2, F.size("l") - 1)
+            ).alias("a2"),
         )
         .select(F.explode(F.arrays_zip("a1", "a2")).alias("bg"))
         .select(F.col("bg.a1").alias("w1"), F.col("bg.a2").alias("w2"))

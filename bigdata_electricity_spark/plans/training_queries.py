@@ -86,18 +86,27 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.split(normalize_text(F.col("text")), " "), lambda t: F.xxhash64(t)
         ).alias("__th"),
-    ).filter(F.size("__th") >= 4)
+    )
+    # The <4-token guard lives INSIDE the explode argument (r13): a
+    # row-filter on size(__th) gets pushed below the projection with
+    # the whole tokenize pipeline substituted into the predicate —
+    # normalize/split/hash ran TWICE per row on both sides (measured in
+    # the before-plan: Filter (2)/(6) each carry the full transform).
+    # when→empty-array + explode drops short docs identically.
     grams = toked.select(
         "doc_id", "source",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__th") - 4),
-                    lambda i: F.xxhash64(
-                        *[F.try_element_at("__th", i + k + 1) for k in range(4)]
-                    ),
-                )
-            )
+            F.when(
+                F.size("__th") >= 4,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__th") - 4),
+                        lambda i: F.xxhash64(
+                            *[F.try_element_at("__th", i + k + 1) for k in range(4)]
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("g"),
     )
     eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
@@ -663,7 +672,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
-    ).filter(F.size("__toks") >= 2)
+    )  # short docs yield empty shingle arrays; explode drops them (r13)
     grams = toked.select("doc_id", F.explode(token_shingles("__toks", 2)).alias("g"))
     per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     from ..functions.rounding import hround
@@ -1094,7 +1103,7 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
-    ).filter(F.size("__toks") >= 5)
+    )  # short docs yield empty shingle arrays; explode drops them (r13)
     grams = toked.select("doc_id", F.explode(token_shingles("__toks", 5)).alias("g"))
     per_gram = (
         grams.groupBy("g")

@@ -521,20 +521,32 @@ def containment_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def _token_base(df: DataFrame, text_col: str, id_col: str,
-                block_cols: list[str] | None = None) -> DataFrame:
+                block_cols: list[str] | None = None,
+                checkpoint: bool = True) -> DataFrame:
+    """(id, [blocks], toks, __n) hashed distinct-token arrays.
+
+    ``checkpoint=True`` (default) truncates lineage so multi-consumer
+    plans (postings + both verify sides of the prefix-filter path)
+    don't re-tokenize per consumer. Single-pass consumers (the bounded
+    Arrow fast path, an immediate collect) pass ``checkpoint=False``:
+    the checkpoint would materialize the ENTIRE tokenized relation to
+    executor storage before the one pass, and — because the plan then
+    scans an ExistingRDD — it also hides the parquet scan from column
+    pruning/pushdown (r14, VERDICT r13 task 6; measured in
+    plans/r14/decon_neardup_overlap_{before,after}.txt)."""
     tokens = F.transform(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),
         lambda t: F.xxhash64(t),
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            *[F.col(c) for c in (block_cols or [])],
-            tokens.alias("toks"),
-        )
-        .withColumn("__n", F.size("toks"))
-        .localCheckpoint(eager=False)  # reused: postings + both verify sides
-    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        tokens.alias("toks"),
+    ).withColumn("__n", F.size("toks"))
+    if checkpoint:
+        # reused: postings + both verify sides
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def _df_ranked_postings(base: DataFrame,
@@ -788,7 +800,25 @@ def bounded_eval_jaccard_matches(evalset: DataFrame, batch: DataFrame,
     import numpy as np
 
     carry = list(carry_cols or [])
-    ebase = _token_base(evalset, text_col, id_col)
+    # checkpoint=False both sides (r14, VERDICT r13 task 6): the eval
+    # side is collected immediately and the batch side streams through
+    # the Arrow stage exactly once — a lineage checkpoint would spill
+    # the whole tokenized relation to executor storage first AND hide
+    # the parquet scan from column pruning. NULL-text rows tokenize to
+    # NULL toks/__n (r13 ADVICE): the numpy conversions would raise on
+    # them, while the JVM index-probe path silently drops them (NULL
+    # never reaches a match) — filter them out explicitly on both sides
+    # so the two paths agree.
+    # The filter is on the RAW text column, not on toks: toks is NULL
+    # exactly when text is NULL (every tokenize step propagates NULL),
+    # and a `toks IS NOT NULL` predicate gets pushed below the
+    # tokenizing projection with the whole normalize/split/hash pipeline
+    # substituted into it — re-tokenizing every row twice (the same
+    # pushdown trap the token_shingles guard documents).
+    ebase = _token_base(
+        evalset.filter(F.col(text_col).isNotNull()), text_col, id_col,
+        checkpoint=False,
+    )
     ev_rows = ebase.select("toks", "__n").collect()
     nb_np = np.asarray([r["__n"] for r in ev_rows], dtype=np.int64)
     n_eval = len(ev_rows)
@@ -866,10 +896,13 @@ def bounded_eval_jaccard_matches(evalset: DataFrame, batch: DataFrame,
                 out["best_jaccard"] = best
                 yield pd.DataFrame(out)
 
-    tbase = _token_base(batch, text_col, id_col, carry)
-    carry_schema = "".join(
-        f", {c} string" for c in carry  # decon carries `source` (string)
-    )
+    tbase = _token_base(batch.filter(F.col(text_col).isNotNull()),
+                        text_col, id_col, carry, checkpoint=False)
+    # Carry-column types are derived from the input schema (r13 ADVICE:
+    # the former hard-coded `string` silently mis-declared non-string
+    # carries).
+    _types = {f.name: f.dataType.simpleString() for f in tbase.schema.fields}
+    carry_schema = "".join(f", {c} {_types[c]}" for c in carry)
     return tbase.mapInPandas(
         _flags, f"id long{carry_schema}, n_matches long, best_jaccard double"
     )

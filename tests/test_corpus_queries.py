@@ -422,3 +422,63 @@ def test_bounded_eval_fast_path_equals_index_probe(spark):
     }
     assert fast == slow
     assert fast, "non-vacuous: the dense fixture must have matches"
+
+
+def test_decon_gates_fall_back_when_eval_contract_violated(spark, monkeypatch):
+    """r14 (VERDICT r13 task 3): both decon rungs gate their
+    driver-collected eval side at the bounded-eval cap. With the cap
+    monkeypatched below the fixture's eval count, each entry must take
+    its fully-distributed fallback plan — broadcast cross-join for the
+    embedding queue (BroadcastNestedLoopJoin back in the plan, no
+    MapInPandas), index probe for the near-dup rung (no MapInPandas) —
+    and produce EXACTLY the rows of the fast path."""
+    from bigdata_electricity_spark.plans import training_queries as tq
+
+    sf = "/root/testdata/sf0.001"
+
+    fast_emb = REGISTRY["decon_embedding_topk"].fn(spark, sf)
+    assert "MapInPandas" in fast_emb._jdf.queryExecution().executedPlan().toString()
+    fast_emb_rows = sorted(map(tuple, fast_emb.collect()))
+    fast_near_rows = sorted(
+        map(tuple, REGISTRY["decon_neardup_overlap"].fn(spark, sf).collect())
+    )
+
+    monkeypatch.setattr(tq, "_BOUNDED_EVAL_CAP", 1)
+
+    slow_emb = REGISTRY["decon_embedding_topk"].fn(spark, sf)
+    plan = slow_emb._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert sorted(map(tuple, slow_emb.collect())) == fast_emb_rows
+
+    slow_near = REGISTRY["decon_neardup_overlap"].fn(spark, sf)
+    assert "MapInPandas" not in slow_near._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, slow_near.collect())) == fast_near_rows
+    assert fast_emb_rows, "non-vacuous"
+
+
+def test_bounded_eval_handles_null_text_and_typed_carries(spark):
+    """r13 ADVICE items: a NULL-text row on either side of
+    bounded_eval_jaccard_matches must be dropped like the JVM index
+    probe drops it (never a numpy TypeError on None), and a non-string
+    carry column must come back with its own type, not a hard-coded
+    string."""
+    from bigdata_electricity_spark.operators.dedup import (
+        bounded_eval_jaccard_matches,
+    )
+
+    evalset = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta", 7), (11, None, 8),
+         (12, "zz yy xx", 9)],
+        ["doc_id", "text", "grp"],
+    )
+    out = bounded_eval_jaccard_matches(
+        evalset, batch, carry_cols=["grp"], threshold=0.5
+    )
+    assert dict(out.dtypes)["grp"] == "bigint"
+    rows = {r["id"]: (r["grp"], r["n_matches"], r["best_jaccard"]) for r in out.collect()}
+    # doc 10 matches eval 1 (J = 3/4); NULL-text rows vanish silently.
+    assert rows == {10: (7, 1, 0.75)}

@@ -87,6 +87,7 @@ def test_kmeans_partitions_all_points(spark):
     assert [tuple(r) for r in sizes] == [tuple(r) for r in again]
 
 
+@pytest.mark.heavy
 def test_logreg_learns_planted_clusters(spark):
     # The testdata embeddings carry random labels (chance-level by
     # construction), so learnability is asserted on PLANTED separable

@@ -139,6 +139,7 @@ def test_applyinpandas_zscore_matches_builtin(spark):
     assert arrow == builtin
 
 
+@pytest.mark.heavy
 def test_ivf_probe_recall_vs_bruteforce(spark):
     # nprobe=2 of k=4 lists must recover most of the exact top-3 —
     # the IVF acceptance bar (non-vacuous: probing misses lists).
@@ -245,6 +246,7 @@ def test_pq_adc_rerank_recall(spark):
     assert 0 < hits < 9
 
 
+@pytest.mark.heavy
 def test_ivf_scaled_nlist_recall_and_structure(spark):
     # The scaled-nlist IVF (nlist = ceil(sqrt(n)), nprobe=2) trades
     # recall for sub-linear serve cost; the acceptance bar is
@@ -406,6 +408,7 @@ def test_ivf_build_serve_planted_geometry(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.heavy
 def test_ivf_serve_shuffle_fallback_equals_broadcast(spark):
     """r11 VERDICT task 3: a batch above broadcast_threshold must serve
     through SHUFFLE joins (no batch-side BroadcastExchange in the
@@ -477,6 +480,7 @@ def test_ivf_serve_shuffle_fallback_equals_broadcast(spark):
     assert bc_qid and all("BroadcastHashJoin" in ln for ln in bc_qid), bc_qid
 
 
+@pytest.mark.heavy
 def test_ivf_epoch_refresh_equals_fresh_build(spark):
     """refresh_ivf_index (r12 VERDICT task 2): warm-starting from the
     epoch-0 centroids and assigning ONLY the delta must serve the same

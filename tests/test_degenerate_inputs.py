@@ -7,6 +7,8 @@ filtered-to-nothing branch somewhere.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
@@ -85,6 +87,7 @@ def test_topk_and_argmax_on_empty(spark):
     assert row["k"] is None and row["v"] is None  # max_by of nothing → null row
 
 
+@pytest.mark.heavy
 def test_insight_entries_survive_tiny_tables(spark, tmp_path_factory):
     """Run every entry added in the lifecycle/corpus-science round
     against a minimal synthetic sf_dir (2 users x 3 events, 2 orders,

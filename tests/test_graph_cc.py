@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_electricity_spark.operators.graph import connected_components
@@ -45,6 +47,7 @@ def test_long_chain_converges_within_diameter(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.heavy
 def test_cc_matches_union_find_property(spark):
     """Random graphs: distributed label propagation must equal a
     driver-side union-find (the sequential ground truth)."""
@@ -175,6 +178,7 @@ def test_checkpoint_blocks_released_per_iteration(spark):
     assert len(leaked) <= 1, f"dead checkpoint RDDs retained: {sorted(leaked)}"
 
 
+@pytest.mark.heavy
 def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
     """r10 verify-schedule redesign, r12 restructure: the staged verify
     (full-signature union → per-bucket spanning edges → exhaustive
@@ -240,6 +244,7 @@ def test_capped_verify_equals_oneshot_closure_on_corpus(spark):
     assert tight == want
 
 
+@pytest.mark.heavy
 def test_lsh_dedup_clusters_degenerate_inputs(spark):
     """Capped-verify loop on empty / single-doc / all-identical inputs:
     no round may fail on an empty window or an empty CC edge set."""
@@ -297,6 +302,7 @@ def test_lsh_dedup_clusters_rejects_half_specified_signature(spark):
         lsh_dedup_clusters(df, bands=8)
 
 
+@pytest.mark.heavy
 def test_lsh_dedup_sig_identical_below_threshold_pair_not_merged(spark):
     """r12 ADVICE (stage 2): a pair whose FULL MinHash signature
     collides but whose exact Jaccard is below the serve threshold must

@@ -112,6 +112,7 @@ def test_doulion_estimate_within_band(spark):
     assert abs(est_edges - exact["n_edges"]) <= 0.2 * exact["n_edges"]
 
 
+@pytest.mark.heavy
 def test_entry_schema_and_consistency(spark):
     """The registry entry must expose raw sampled support next to the
     scaled estimates, with the scaling identities holding exactly."""

@@ -138,6 +138,7 @@ def test_seasonal_anomaly_nonvacuous_at_driver_sf():
     assert n > 0
 
 
+@pytest.mark.heavy
 def test_pca_top_component_matches_numpy(spark):
     """Same 3-round power iteration in numpy must reproduce the loadings
     (to rounding), and the Rayleigh quotient must sit within the true
@@ -167,6 +168,7 @@ def test_pca_top_component_matches_numpy(spark):
     assert lam_got >= 0.5 * true_top  # 3 rounds already in the top of the spectrum
 
 
+@pytest.mark.heavy
 def test_kcore_peel_matches_python(spark):
     """Re-peel the same graph with a driver-side set implementation and
     compare the full trajectory (run at sf0.01 — sf0.001's co-purchase
@@ -238,6 +240,7 @@ def test_mutual_information_matches_scipy_style(spark, events_pdf):
     assert r["mi_nats"] <= min(hx, hy) + 1e-9  # MI bounded by marginal entropies
 
 
+@pytest.mark.heavy
 def test_gd_linreg_matches_numpy_and_descends(spark):
     """Identical 5-round GD in numpy (with the same 1e-9 lockstep
     rounding) must reproduce the trajectory; MSE must strictly descend

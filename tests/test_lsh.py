@@ -184,6 +184,7 @@ def test_minhash_signature_law():
     assert lsh_signature_for(100_000_000) == (50, 10)
 
 
+@pytest.mark.heavy
 def test_composed_dedup_exercises_sharpened_signature(spark):
     """r11 VERDICT task 6: the law had never been EXERCISED above r=4 —
     this runs lsh_dedup_clusters with a synthetic 10⁸ footer count

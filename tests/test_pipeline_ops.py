@@ -10,6 +10,8 @@ chunk-overlap algebra.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from bigdata_electricity_spark.operators.text import PII_PATTERNS, redact_pii
@@ -370,6 +372,7 @@ def test_morton_nd_roundtrip(spark):
 # Python DataSource connector
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_pyds_partitioning_invariance(spark):
     """The synthetic source must produce the identical dataset under any
     partition count — the contract a partitioned connector owes."""
@@ -422,6 +425,7 @@ def test_pyds_jsonl_manifest_sink_commit_protocol(spark, tmp_path):
     assert on_disk == manifest["total_rows"]
 
 
+@pytest.mark.heavy
 def test_pyds_stream_equals_batch(spark):
     """The Python streaming source must deliver exactly the batch
     dataset once drained (offset bookkeeping loses/duplicates nothing)."""
@@ -446,6 +450,7 @@ def test_pyds_stream_equals_batch(spark):
 # DataFrame Lloyd k-means
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_lloyd_inertia_monotone(spark):
     """Lloyd's algorithm guarantee: total inertia never increases with
     more rounds (assignment and update steps each only decrease it)."""
@@ -474,6 +479,7 @@ def test_lloyd_inertia_monotone(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy
 def test_compaction_shrinks_files_and_preserves_content(spark):
     import glob
 

@@ -17,6 +17,8 @@ top-k / bounded-generator node.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from bigdata_electricity_spark.plans import REGISTRY, SCALE_TWINS
@@ -57,6 +59,7 @@ def unagg_single_partition(plan: str) -> list[str]:
     return bad
 
 
+@pytest.mark.heavy
 def test_no_untwinned_global_shuffles(spark):
     flagged: dict[str, list[str]] = {}
     for name, spec in REGISTRY.items():

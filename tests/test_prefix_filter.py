@@ -222,6 +222,7 @@ def test_incremental_flags_degenerate_inputs(spark):
     assert got == {1: (0, 0.0, False), 2: (0, 0.0, False)}
 
 
+@pytest.mark.heavy
 def test_index_param_mismatch_rejected(spark):
     """An index built at one threshold/blocking cannot silently serve
     another (r10 ADVICE): prefix lengths are ⌈(1−t)·n⌉+1 at BUILD time,
@@ -266,6 +267,7 @@ def test_index_param_mismatch_rejected(spark):
     assert got[10][2] is True
 
 
+@pytest.mark.heavy
 def test_incremental_flags_property_random_corpora(spark):
     """Random token-set corpora: the prefix-filtered incremental path
     must equal a driver-side brute force at every threshold — the case

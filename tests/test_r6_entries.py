@@ -6,6 +6,8 @@ DuckDB oracle (which checks engine parity, not semantics).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -285,6 +287,7 @@ def test_snm_bucketized_join_finds_all_window_pairs(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.heavy
 def test_counting_median_property_vs_numpy_upper_median(spark):
     """Property: the MAD entry's counting-median (smallest v with
     cumcount >= (n+1)/2 over the distinct-value table) equals the
@@ -392,6 +395,7 @@ def test_source_overlap_matrix_is_non_vacuous_and_symmetric_free(spark):
     assert all(0 < r.fp_jaccard < 1 for r in rows)
 
 
+@pytest.mark.heavy
 def test_containment_property_vs_bruteforce(spark):
     """Property: containment_pairs equals the brute-force pairwise
     computation (orientation, threshold, values) on random small
@@ -441,6 +445,7 @@ def test_containment_property_vs_bruteforce(spark):
     check()
 
 
+@pytest.mark.heavy
 def test_incremental_sessions_property_random_streams(spark):
     """Property: stitched == monolithic for RANDOM event streams around
     the watershed — covers multi-session straddles, users entirely on
@@ -493,6 +498,7 @@ def test_incremental_sessions_property_random_streams(spark):
     check()
 
 
+@pytest.mark.heavy
 def test_dynamic_gap_sessions_match_interval_merge_simulation(spark):
     """Property: the builtin dynamic-gap session_window equals a direct
     interval-merge simulation (each event proposes [ts, ts+gap]; merge

@@ -168,6 +168,7 @@ def _als2_direct(r: dict[tuple[int, int], float], rounds: int):
     return traj
 
 
+@pytest.mark.heavy
 def test_als_rank2_matches_direct_recursion_on_planted_blocks(
         spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("als2_fix"))
@@ -453,6 +454,7 @@ def test_js_drift_disjoint_vocabularies_hit_ln2(spark, tmp_path_factory):
 # --------------------------------------------------- FD discovery
 
 
+@pytest.mark.heavy
 def test_fd_discovery_planted_dependencies(spark, tmp_path_factory):
     import duckdb
 
@@ -727,6 +729,7 @@ def test_hist_quantiles_match_direct_python(spark):
         assert abs(r.est - r.exact) <= r.bin_width + 1e-9
 
 
+@pytest.mark.heavy
 def test_hist_quantiles_degenerate_constant_column(spark, tmp_path_factory):
     import datetime as dt
     import duckdb
@@ -1089,6 +1092,7 @@ def test_glob_filter_decoys_are_load_bearing(spark):
 # --------------------------------------------------- Poisson GLM
 
 
+@pytest.mark.heavy
 def test_poisson_glm_recovers_planted_exponential_rates(spark, tmp_path_factory):
     """Plant counts y ~ round(exp(2 + 0.1x)) per hour-of-day: IRLS must
     recover (a, b) near (2, 0.1) after 2 rounds, deviance near 0, and
@@ -1270,6 +1274,7 @@ def test_kmv_matches_direct_sketch_replay(spark):
 # --------------------------------------------------- max concurrency
 
 
+@pytest.mark.heavy
 def test_max_concurrency_planted_closed_interval_convention(spark, tmp_path_factory):
     import datetime as dt
 

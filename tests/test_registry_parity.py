@@ -27,8 +27,23 @@ def duck():
     con.close()
 
 
+# Default tier (r14, VERDICT r13 task 1): the FULL 342-entry sweep takes
+# ~10 min of the suite's ~32 — past the driver's verify budget. The
+# default tier keeps (a) the first 64 registry entries — a superset of
+# the driver's own 50-entry correctness sample, so anything the driver
+# checks is also pytest-checked — plus (b) the headline bench queries
+# and (c) every entry whose plan an optimization round touched. The
+# full sweep still runs under SPARK_GRAFT_HEAVY_TESTS=1 (and is exactly
+# what `python tools/parity.py` runs standalone). Gated, not removed.
+from tests.conftest import DEFAULT_TIER_ENTRIES, HEAVY_TESTS
+
+_DEFAULT_PARITY = set(list(REGISTRY)[:64]) | DEFAULT_TIER_ENTRIES
+
+
 @pytest.mark.parametrize("name", list(REGISTRY))
 def test_query_parity(spark, duck, name):
+    if not HEAVY_TESTS and name not in _DEFAULT_PARITY:
+        pytest.skip("full parity sweep is heavy-gated (SPARK_GRAFT_HEAVY_TESTS=1)")
     outcome = compare_one(spark, duck, REGISTRY[name], SF_DIR)
     if outcome is not None and outcome.startswith("ok:"):
         return  # rows-only spec: ran without error

@@ -28,6 +28,7 @@ def duck():
     return duckdb.connect()
 
 
+@pytest.mark.heavy
 def test_hround_equals_dround(spark, duck):
     # Planted @examples: exact .5-at-the-cut values (representable in
     # binary at n=0 and n=2, where banker's-vs-half-up divergence

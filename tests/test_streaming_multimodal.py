@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from bigdata_electricity_spark.operators.multimodal import attach_binary_payload, decode_media
@@ -262,6 +264,7 @@ def test_available_now_drains_in_rate_limited_batches(spark):
     assert rows == {tuple(r) for r in batch.collect()}
 
 
+@pytest.mark.heavy
 def test_late_data_accounting_actually_drops(spark):
     """The lateness entry must exercise the drop path: total events in
     the final state < rows emitted by the source (2000)."""
@@ -273,6 +276,7 @@ def test_late_data_accounting_actually_drops(spark):
     assert total > 1900  # but only the planted late stragglers
 
 
+@pytest.mark.heavy
 def test_streaming_incremental_sim_microbatch_boundary_invariance(spark, tmp_path):
     """r11 VERDICT task 5: the streaming ANN ingest gate's final
     snapshot must be invariant to WHERE the micro-batch boundaries
@@ -354,6 +358,7 @@ def test_streaming_incremental_sim_microbatch_boundary_invariance(spark, tmp_pat
     assert len(bulk) > 0
 
 
+@pytest.mark.heavy
 def test_streaming_incremental_sim_passes_microbatch_count(spark, monkeypatch):
     """r13: the streaming ANN gate must pass each materialized
     micro-batch's TRUE row count to serve_ivf_topk's ``n_batch`` so the

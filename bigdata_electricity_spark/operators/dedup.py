@@ -1218,7 +1218,14 @@ def lsh_dedup_clusters(df: DataFrame, text_col: str = "text",
         F.when(tokless, -F.col("id")).otherwise(
             F.xxhash64(F.lit(1), "__st")
         ).alias("__f2"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ checkpointed (r14): fpd feeds BOTH the group aggregate and the
+    # member expand join; uncheckpointed, each consumer re-evaluates the
+    # array_sort + two xxhash64 fingerprints, and the expand join's
+    # pushed-down IsNotNull(key) filters inline the whole CASE/array_sort
+    # pipeline AGAIN below the projection (2 more interpreted array_sort
+    # evaluations per row — visible in plans/r14/dedup_lsh_clusters_before.txt
+    # operator (2)). One n×(id,f1,f2) materialization ends all of it.
     # 128-bit fingerprint (two independently-seeded xxhash64 over the
     # SORTED distinct-token-hash array — set-equal docs hash equal
     # regardless of token order); collision would need ~2⁶⁴ groups.

@@ -94,7 +94,6 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
     E, E_ids = _tracked_checkpoint(
         edges.filter(F.col("u") != F.col("v")).distinct()
     )
-    prev_fp = None
     for _ in range(max_iter):
         # large-star: around every node u, connect each strictly-larger
         # neighbor v to m = min(Γ(u) ∪ {u}). Keyed by u over BOTH edge
@@ -124,10 +123,53 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        fp_row = small.agg(
-            F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
-        ).first()
-        fp = (fp_row["c"], fp_row["h"])
+        # Convergence, detected on the iteration that PRODUCES the
+        # fixpoint instead of one full (confirm) iteration later (r14;
+        # each iteration is a full shuffle barrier at scale, guide §2):
+        # the fixpoint is exactly "small is a DEPTH-1 star forest rooted
+        # at component minima", which two conditions certify together —
+        #   (a) small == large (small-star was the identity), i.e.
+        #       every node's smaller neighbors collapse to one min:
+        #       small is a parent-pointer forest; and
+        #   (b) no node is both a child and a parent in small
+        #       (depth 1) — (a) alone also holds on DEEPER
+        #       parent-pointer forests (a 14-node chain stalls it,
+        #       caught by test_transitive_closure_chain), so (b) is
+        #       load-bearing, not defensive.
+        # With (a)+(b): each tree is one star whose root is smaller
+        # than its children; both phases preserve component
+        # connectivity, so a component is ONE star and its root the
+        # component min — and both phases are identities on that, so
+        # the test is exact in both directions. All three probes run
+        # in ONE action (crossJoin of 1-row aggregates); `small` and
+        # `large` are checkpointed, so the extra scans are block reads.
+        depth2 = (
+            small.alias("ca")
+            .join(
+                small.alias("pb"),
+                F.col("ca.v") == F.col("pb.u"),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("d2"))
+        )
+        fp_row = (
+            small.agg(
+                F.count(F.lit(1)).alias("sc"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("sh"),
+            )
+            .crossJoin(
+                large.agg(
+                    F.count(F.lit(1)).alias("lc"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("lh"),
+                )
+            )
+            .crossJoin(depth2)
+            .first()
+        )
+        converged = (
+            (fp_row["sc"], fp_row["sh"]) == (fp_row["lc"], fp_row["lh"])
+            and fp_row["d2"] == 0
+        )
         # The fingerprint action has materialized `small`'s checkpoint,
         # so the PREVIOUS iteration's edge set and this iteration's
         # intermediate `large` are dead blocks from here on. Release
@@ -142,9 +184,8 @@ def _star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
         # 100 TB-tier edge set is k× wasted executor storage.
         _release_checkpoints(small, large_ids | E_ids)
         E, E_ids = small, small_ids
-        if fp == prev_fp:
+        if converged:
             break
-        prev_fp = fp
     return E.select(F.col("u").alias("id"), F.col("v").alias("component"))
 
 
